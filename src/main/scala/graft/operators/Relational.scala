@@ -1,0 +1,335 @@
+package graft.operators
+
+import graft.{Num, Op, T}
+import graft.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational surface of the engine.
+  *
+  * The reference (OMLDM) has no relational algebra of its own — SURVEY.md §2.7
+  * — so this whole surface is expressed directly as Catalyst logical plans via
+  * the DataFrame API: scans stay columnar parquet with pushed filters/pruned
+  * columns, joins get broadcast hints for dimension tables, aggregates are
+  * partial (map-side) by construction, and AQE handles skew/coalesce at scale.
+  *
+  * Numeric outputs go through [[graft.Num]] (decimal-exact, order-independent)
+  * so results hash-match the DuckDB oracle bit-for-bit.
+  */
+object Relational {
+
+  private def disc(c: org.apache.spark.sql.Column) = one - rate(c)
+  private val sqlDisc = "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+  private val sqlCharge =
+    "(CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    Op(
+      "q01_pricing_summary",
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(col("l_shipdate").cast(DateType) <= lit("1999-06-30").cast(DateType))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * disc(col("l_discount")))
+              .cast(DoubleType).as("sum_disc_price"),
+            sum(dec2(col("l_extendedprice")) * disc(col("l_discount")) *
+              (one + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |  ${sqlDsum("l_quantity")} AS sum_qty,
+        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * $sqlDisc) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * $sqlDisc * $sqlCharge) AS DOUBLE) AS sum_charge,
+        |  ${sqlDavg("l_quantity")} AS avg_qty,
+        |  ${sqlDavg("l_extendedprice")} AS avg_price,
+        |  ${sqlDavg("l_discount")} AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1999-06-30'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q02_revenue_by_nation",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum(dec2(col("l_extendedprice")) * disc(col("l_discount")))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * $sqlDisc) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q03_top_orders",
+      (s, d) =>
+        T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(dec2(col("l_extendedprice")) * disc(col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10),
+      Some(s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * $sqlDisc) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q04_priority_exists",
+      (s, d) =>
+        T.orders(s, d)
+          .join(T.lineitem(s, d).filter(col("l_quantity") >= 45),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q05_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        T.lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q06_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.orders(s, d)
+          .withColumn("run_spend", sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType))
+          .select(col("o_custkey"), col("o_orderkey"), col("run_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q07_revenue_filter",
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(
+            col("l_shipdate").cast(DateType) >= lit("1996-01-01").cast(DateType) &&
+            col("l_shipdate").cast(DateType) <  lit("1998-01-01").cast(DateType) &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q08_semi_join",
+      (s, d) =>
+        T.customer(s, d)
+          .join(T.orders(s, d).filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q09_anti_join",
+      (s, d) =>
+        T.customer(s, d)
+          .join(T.orders(s, d).filter(col("o_totalprice") > 400000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q10_distinct_counts",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q11_union",
+      (s, d) =>
+        T.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            lit("customer").as("kind"))
+          .unionByName(T.supplier(s, d).select(col("s_suppkey").as("id"),
+            col("s_name").as("name"), lit("supplier").as("kind")))
+          .orderBy("kind", "id"),
+      Some("""SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q12_rollup",
+      (s, d) =>
+        T.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy("returnflag", "linestatus"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q13_conditional_agg",
+      (s, d) =>
+        T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("low_line_count"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q14_above_avg_customers",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val stats = c.agg(
+          (sum(dec2(col("c_acctbal"))).cast(DoubleType) / count(lit(1)))
+            .cast(DoubleType).as("avg_bal"))
+        c.crossJoin(broadcast(stats))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q15_string_funcs",
+      (s, d) =>
+        T.part(s, d)
+          .filter(col("p_name").like("%a%"))
+          .select(
+            col("p_partkey"),
+            upper(substring(col("p_name"), 1, 8)).as("prefix"),
+            length(col("p_name")).as("name_len"),
+            concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS prefix,
+        |  LENGTH(p_name) AS name_len,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "q16_monthly_revenue",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+          .orderBy("month"),
+      Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  ${sqlDsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin)),
+  )
+}
