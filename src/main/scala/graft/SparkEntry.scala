@@ -14,7 +14,10 @@ object SparkEntry {
   /** All operator registrations, in evaluation-cost order. */
   def allOps: Seq[Op] =
     operators.Relational.ops ++
-    operators.AsOf.ops
+    operators.AsOf.ops ++
+    operators.TextAnalysis.ops ++
+    operators.Dedup.ops ++
+    operators.Similarity.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

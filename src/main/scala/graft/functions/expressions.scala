@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code. Keeping the
+  * loops here means `doGenCode` is a single static call — the expression stays
+  * inside whole-stage codegen without inlining large method bodies.
+  */
+object VectorOps {
+
+  /** Cosine similarity over two float vectors with double accumulation in
+    * index order — the exact fold order the DuckDB oracle uses
+    * (`list_reduce(list_prepend(0.0, list_transform(...)))`), so results are
+    * bit-identical across engines.
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Dot product of a float vector with a double vector (e.g. an LSH
+    * hyperplane), double accumulation in index order.
+    */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** First 4 bytes of MD5 as an unsigned 32-bit value in a long — identical
+    * to `('0x' || substr(md5(s), 1, 8))::BIGINT` in DuckDB and
+    * `conv(substring(md5(s), 1, 8), 16, 10)` in Spark SQL.
+    */
+  def md5Prefix32(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
+    * token multiplicity; bit set iff the vote sum is positive.
+    */
+  def simHash32(tokens: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < tokens.numElements()) {
+      val h = md5Prefix32(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `cosine_sim(array<float>, array<float>) -> double`, codegen'd. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosineFF($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dot_fd(array<float>, array<double>) -> double`, codegen'd. */
+case class DotFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dotFD($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `simhash32(array<string>) -> long`, codegen'd. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.simHash32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.simHash32($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points; the functions resolve through the registry, so
+  * sessions must install [[graft.GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`).
+  */
+object F {
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotFD(a: Column, b: Column): Column = call_function("dot_fd", a, b)
+  def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    (FunctionIdentifier("dot_fd"),
+      new ExpressionInfo(classOf[DotFD].getName, "dot_fd"),
+      (es: Seq[Expression]) => DotFD(es(0), es(1))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (es: Seq[Expression]) => SimHash32(es.head)),
+  )
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Op, T}
+import graft.functions.F
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication surface over the `documents` / `embeddings` fixtures:
+  * exact content-hash dedup, exact n-gram Jaccard, MinHash+LSH banding,
+  * SimHash (native codegen'd expression), and embedding-cosine near-dup.
+  *
+  * Scale notes: exact dedup is one hash-shuffle on the content hash; n-gram
+  * Jaccard blocks candidate pairs on a shared 5-gram (never all-pairs);
+  * MinHash reduces that further to band-collisions, and the final Jaccard
+  * verification runs only on candidates. All hashes are md5-prefix based so
+  * the DuckDB oracle reproduces them exactly.
+  */
+object Dedup {
+
+  /** Distinct word 5-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+      .distinct()
+
+  private val sqlShingles =
+    """SELECT DISTINCT doc_id, array_to_string(t[p:p+4], ' ') AS sh FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p FROM (
+      |      SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 5)""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    Op(
+      "d01_exact_dedup",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(md5(lower(col("text"))).as("content_hash"))
+          .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy("content_hash"),
+      Some("""SELECT md5(lower(text)) AS content_hash,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "d02_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pr = sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        pr.join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+              .cast(DoubleType))
+          .filter(col("jaccard") >= 0.1)
+          .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS ($sqlShingles),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS DOUBLE) AS jaccard
+        |FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // MinHash (16 permutations) + LSH (4 bands x 4 rows) + exact-Jaccard
+    // verification restricted to band-collision candidates.
+    Op(
+      "d03_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val hs = sh.withColumn("h",
+          expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
+        val perms = s.range(0, 16).select(
+          col("id").cast(IntegerType).as("i"),
+          (lit(100003L) + lit(7919L) * col("id")).as("a"),
+          (lit(12345L) + lit(104729L) * col("id")).as("b"))
+        val mh = hs.crossJoin(broadcast(perms))
+          .select(col("doc_id"), col("i"),
+            ((col("a") * col("h") + col("b")) % lit(2147483647L)).as("v"))
+          .groupBy("doc_id", "i").agg(min("v").as("mh"))
+        val bands = mh.withColumn("band", expr("i div 4"))
+          .groupBy("doc_id", "band")
+          .agg(expr(
+            "concat_ws(',', transform(sort_array(collect_list(struct(i, mh))), x -> cast(x.mh as string)))")
+            .as("sig"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val inter = cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+              .cast(DoubleType))
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS ($sqlShingles),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+        |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
+        |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+        |mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS mh
+        |       FROM hs CROSS JOIN pm GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS DOUBLE) AS jaccard
+        |FROM iv JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "d04_simhash",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
+          .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, unnest(generate_series(0, 31)) AS b, h FROM th),
+        |sg AS (SELECT doc_id, b,
+        |       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |       FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "d05_embed_neardup",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        e.as("a")
+          .join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", F.cosineSim(col("a.embedding"), col("b.embedding")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.label").as("label"), col("cos"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  ${VecSql.cos("a.embedding", "b.embedding")} AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${VecSql.cos("a.embedding", "b.embedding")} >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)),
+  )
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Op, T}
+import graft.functions.F
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DuckDB-SQL forms of the vector kernels, with the exact double-accumulation
+  * fold order of [[graft.functions.VectorOps]] so both engines produce
+  * bit-identical doubles.
+  */
+object VecSql {
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+  def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
+}
+
+/** Similarity search over the `embeddings` fixture (64-dim float vectors).
+  *
+  * s01 is the exact baseline: brute-force cosine top-k with the codegen'd
+  * [[graft.functions.CosineSim]] kernel — at scale this is one broadcast of
+  * the query set and a single pass over the corpus, no shuffle until the
+  * per-query top-k. s02 is the scale path: deterministic random-hyperplane
+  * LSH bucketing (sign-bit bucket per vector, candidates share a bucket),
+  * which turns the O(|Q|·N) scan into a bucket-equi-join.
+  */
+object Similarity {
+
+  /** Deterministic LCG-derived hyperplanes — same integer arithmetic as the
+    * oracle SQL, so bucket assignments match exactly.
+    */
+  def planeVec(p: Int): Seq[Double] =
+    (0 until 64).map(i =>
+      ((1103515245L * (p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5)
+
+  private val sqlPlanes =
+    """SELECT p, list_transform(generate_series(0, 63),
+      |    i -> CAST((CAST(1103515245 AS BIGINT) * (p*64 + i) + 12345) % 2147483648 AS DOUBLE)
+      |         / CAST(2147483648 AS DOUBLE) - 0.5) AS r
+      |  FROM (SELECT unnest(generate_series(0, 5)) AS p)""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    Op(
+      "s01_topk_bruteforce",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 16),
+        |sc AS (SELECT q.q_id, e.vec_id, ${VecSql.cos("q.q_emb", "e.embedding")} AS cos
+        |       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "s02_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        val e = T.embeddings(s, d)
+        val planes = (0 until 6).map(p => (p, planeVec(p))).toDF("p", "r")
+        val buckets = e.crossJoin(broadcast(planes))
+          .withColumn("dp", F.dotFD(col("embedding"), col("r")))
+          .withColumn("bit",
+            when(col("dp") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
+          .groupBy("vec_id").agg(sum("bit").as("bucket"))
+        val eb = e.join(buckets, "vec_id")
+        val q = eb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        eb.join(q, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("q_id", "rk", "vec_id", "bucket", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH pl AS ($sqlPlanes),
+        |dt AS (SELECT e.vec_id, pl.p,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(generate_series(1, len(e.embedding)),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.r[i])), (x, y) -> x + y) AS dp
+        |       FROM embeddings e CROSS JOIN pl),
+        |bk AS (SELECT vec_id,
+        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM dt GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM eb WHERE vec_id < 16),
+        |sc AS (SELECT q.q_id, eb.vec_id, eb.bucket, ${VecSql.cos("q.q_emb", "eb.embedding")} AS cos
+        |       FROM eb JOIN q USING (bucket) WHERE eb.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, bucket, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        |SELECT q_id, rk, vec_id, bucket, cos FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin)),
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Op, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis surface for large-scale training-data pipelines, over the
+  * `documents` fixture: token statistics, heuristic language ID, quality
+  * scoring, and winnowing fingerprints.
+  *
+  * Parity rules with the DuckDB oracle: tokenization is a plain
+  * single-space split on both sides; all ratios divide exact integers cast
+  * to double; hashes are md5-prefix-based (identical in both engines). All
+  * computation is per-row Catalyst expressions (no UDFs except the codegen'd
+  * native expressions) — fully parallel, no shuffles except the final sort.
+  */
+object TextAnalysis {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "que"),
+    "es" -> Seq("el", "los", "y", "es", "para", "con", "por", "una"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  /** Count tokens (with multiplicity) that belong to `ws`. */
+  private def hitExpr(ws: Seq[String]) =
+    s"size(filter(split(text, ' '), t -> t IN (${sqlList(ws)})))"
+  private def sqlHit(ws: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(ws)})))"
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    Op(
+      "t01_token_stats",
+      (s, d) =>
+        T.documents(s, d).select(
+          col("doc_id"),
+          expr("size(split(text, ' '))").cast(LongType).as("n_tokens"),
+          expr("size(array_distinct(split(text, ' ')))").cast(LongType).as("n_uniq"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (acc, x) -> acc + x)")
+            .cast(LongType).as("sum_token_len"))
+          .withColumn("avg_token_len",
+            (col("sum_token_len").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_token_len,
+        |  CAST(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "t02_lang_id",
+      (s, d) =>
+        T.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          expr(hitExpr(stop("en"))).cast(LongType).as("s_en"),
+          expr(hitExpr(stop("de"))).cast(LongType).as("s_de"),
+          expr(hitExpr(stop("fr"))).cast(LongType).as("s_fr"),
+          expr(hitExpr(stop("es"))).cast(LongType).as("s_es"))
+          .withColumn("pred_lang",
+            when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+              col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+              .when(col("s_de") > 0 && col("s_de") >= col("s_fr") &&
+                col("s_de") >= col("s_es"), "de")
+              .when(col("s_fr") > 0 && col("s_fr") >= col("s_es"), "fr")
+              .when(col("s_es") > 0, "es")
+              .otherwise("und"))
+          .orderBy("doc_id"),
+      Some(s"""WITH sc AS (SELECT doc_id, lang,
+        |  CAST(${sqlHit(stop("en"))} AS BIGINT) AS s_en,
+        |  CAST(${sqlHit(stop("de"))} AS BIGINT) AS s_de,
+        |  CAST(${sqlHit(stop("fr"))} AS BIGINT) AS s_fr,
+        |  CAST(${sqlHit(stop("es"))} AS BIGINT) AS s_es
+        |FROM documents)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "t03_quality_score",
+      (s, d) =>
+        T.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          expr("size(split(text, ' '))").cast(LongType).as("n_tokens"),
+          expr(hitExpr(stop("en"))).cast(LongType).as("stop_cnt"),
+          expr("size(filter(split(text, ' '), t -> length(t) >= 6))")
+            .cast(LongType).as("long_cnt"))
+          .withColumn("stop_ratio",
+            (col("stop_cnt").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+          .withColumn("long_ratio",
+            (col("long_cnt").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+          .withColumn("len_score",
+            when(col("n_chars").between(150, 450), 1.0).otherwise(0.0))
+          .withColumn("quality",
+            lit(0.4) * col("stop_ratio") + lit(0.3) * col("long_ratio") +
+              lit(0.3) * col("len_score"))
+          .orderBy("doc_id"),
+      Some(s"""WITH m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(${sqlHit(stop("en"))} AS BIGINT) AS stop_cnt,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS BIGINT) AS long_cnt
+        |FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, stop_cnt, long_cnt,
+        |  CAST(CAST(stop_cnt AS DOUBLE) / n_tokens AS DOUBLE) AS stop_ratio,
+        |  CAST(CAST(long_cnt AS DOUBLE) / n_tokens AS DOUBLE) AS long_ratio,
+        |  CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS len_score,
+        |  ((0.4::DOUBLE * (CAST(stop_cnt AS DOUBLE) / n_tokens))
+        |   + (0.3::DOUBLE * (CAST(long_cnt AS DOUBLE) / n_tokens)))
+        |   + (0.3::DOUBLE * CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k=8-char shingles,
+    // hash = md5 32-bit prefix, window w=4 minima, distinct per doc.
+    Op(
+      "t04_fingerprint",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        T.documents(s, d)
+          .select(col("doc_id"), col("text"), (length(col("text")) - lit(7)).as("npos"))
+          .filter(col("npos") >= 4)
+          .withColumn("pos", explode(expr("sequence(1, npos)")))
+          .withColumn("h",
+            expr("cast(conv(substring(md5(substring(text, pos, 8)), 1, 8), 16, 10) as bigint)"))
+          .withColumn("fp", min(col("h")).over(w))
+          .filter(col("pos") <= col("npos") - 3)
+          .select(col("doc_id"), col("fp")).distinct()
+          .orderBy("doc_id", "fp")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents
+        |  WHERE length(text) - 7 >= 4),
+        |pos AS (SELECT doc_id, npos, text,
+        |        unnest(generate_series(1, npos)) AS pos FROM base),
+        |h AS (SELECT doc_id, npos, pos,
+        |      ('0x' || substr(md5(substring(text, pos, 8)), 1, 8))::BIGINT AS h FROM pos),
+        |wmin AS (SELECT doc_id, pos, npos,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h)
+        |SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= npos - 3
+        |ORDER BY doc_id, fp""".stripMargin)),
+  )
+}
