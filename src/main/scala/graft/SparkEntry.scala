@@ -17,7 +17,8 @@ object SparkEntry {
     operators.AsOf.ops ++
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++
-    operators.Similarity.ops
+    operators.Similarity.ops ++
+    operators.MLOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.ml
+
+/** Distributed-training protocols, mirroring the reference's catalog
+  * (MLNodeGenerator.scala:26-64): CentralizedTraining, SingleLearner,
+  * Asynchronous, Synchronous, SSP, EASGD, GM, FGM.
+  *
+  * The reference exchanges models continuously through a parameter server
+  * over a Kafka feedback loop; on Spark's micro-batch execution model the
+  * natural equivalent is per-round model aggregation (SURVEY §3.4(b)):
+  * every round each partition trains a replica seeded from the global model,
+  * then the protocol decides how replicas fold into the next global.
+  * Semantic deltas vs the reference (documented, per SURVEY §2.6):
+  * Asynchronous/SSP collapse onto Synchronous averaging at round boundaries;
+  * GM/FGM keep their communication-skipping semantics via the drift
+  * threshold (replicas that moved less than the threshold don't ship).
+  */
+final case class ProtocolStats(
+    var modelsShipped: Long = 0L,
+    var bytesShipped: Long = 0L,
+    var blocks: Long = 0L)
+
+sealed trait Protocol extends Serializable {
+  def name: String
+  /** Number of training partitions this protocol allows (None = any). */
+  def maxParallelism: Option[Int] = None
+  /** Fold replicas + previous global into the next global. */
+  def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
+    val merged = learner.merge(replicas, prev)
+    stats.modelsShipped += replicas.length
+    stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
+    stats.blocks += 1
+    merged
+  }
+}
+
+case object Synchronous extends Protocol { def name = "Synchronous" }
+
+/** At round granularity asynchronous merging degenerates to the same
+  * weighted average — the semantic difference (stale updates interleaving)
+  * does not exist without a continuous channel. Documented delta.
+  */
+case object Asynchronous extends Protocol { def name = "Asynchronous" }
+
+/** Stale-synchronous parallel: with bounded staleness s, a round boundary is
+  * a full synchronization — identical here to Synchronous. Documented delta.
+  */
+case object SSP extends Protocol { def name = "SSP" }
+
+case object CentralizedTraining extends Protocol {
+  def name = "CentralizedTraining"
+  override def maxParallelism: Option[Int] = Some(1)
+}
+
+/** One global model trained sequentially (reference forces this for HT and
+  * K-means, FlinkSpoke.scala:203-211).
+  */
+case object SingleLearner extends Protocol {
+  def name = "SingleLearner"
+  override def maxParallelism: Option[Int] = Some(1)
+}
+
+/** Elastic averaging (Zhang et al., NIPS 2015): center absorbs a fraction
+  * alpha of the replica average instead of being replaced by it.
+  */
+final case class EASGD(alpha: Double) extends Protocol {
+  def name = "EASGD"
+  override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
+    val avg = learner.merge(replicas, prev)
+    stats.modelsShipped += replicas.length
+    stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
+    stats.blocks += 1
+    prev match {
+      case Some(center: LinearModel) =>
+        val a = avg.asInstanceOf[LinearModel]
+        val w = center.w.clone()
+        var i = 0
+        while (i < w.length) { w(i) = (1 - alpha) * w(i) + alpha * a.w(i); i += 1 }
+        val out = new LinearModel(w, (1 - alpha) * center.b + alpha * a.b)
+        out.n = avg.n; out.cumLoss = avg.cumLoss
+        out
+      case _ => avg // non-linear models / first round: plain average
+    }
+  }
+}
+
+/** Geometric-monitoring family (GM exact, FGM functional — Samoladas &
+  * Garofalakis, EDBT 2018 lineage, see PAPERS.md): replicas whose parameter
+  * drift from the previous global stays inside the threshold don't ship,
+  * saving communication; the global advances only on shipped replicas.
+  */
+final case class DriftGated(override val name: String, threshold: Double)
+    extends Protocol {
+  override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
+    val prevParams = prev.map(_.params)
+    val shipped = prevParams match {
+      case None => replicas
+      case Some(pp) =>
+        replicas.filter { r =>
+          val rp = r.params
+          var s = 0.0; var i = 0
+          val n = math.min(rp.length, pp.length)
+          while (i < n) { val d = rp(i) - pp(i); s += d * d; i += 1 }
+          math.sqrt(s) > threshold
+        }
+    }
+    stats.blocks += 1
+    if (shipped.isEmpty) prev.getOrElse(learner.merge(replicas, prev))
+    else {
+      stats.modelsShipped += shipped.length
+      stats.bytesShipped += shipped.map(_.params.length.toLong * 8L).sum
+      val base = prev.toSeq.filterNot(_ => shipped.length == replicas.length)
+      learner.merge(base ++ shipped, prev)
+    }
+  }
+}
+
+object Protocols {
+  val names: Set[String] = Set("CentralizedTraining", "SingleLearner",
+    "Asynchronous", "Synchronous", "SSP", "EASGD", "GM", "FGM")
+
+  def create(name: String, hp: Map[String, Double] = Map.empty): Protocol = name match {
+    case "Synchronous" => Synchronous
+    case "Asynchronous" => Asynchronous
+    case "SSP" => SSP
+    case "CentralizedTraining" => CentralizedTraining
+    case "SingleLearner" => SingleLearner
+    case "EASGD" => EASGD(hp.getOrElse("alpha", 0.5))
+    case "GM" => DriftGated("GM", hp.getOrElse("threshold", 0.0))
+    case "FGM" => DriftGated("FGM", hp.getOrElse("threshold", 0.01))
+    case other => throw new IllegalArgumentException(s"unknown protocol: $other")
+  }
+
+  /** Reference protocol-resolution rules: HT / K-means force SingleLearner
+    * (FlinkSpoke.scala:203-211); parallelism 1 forces CentralizedTraining
+    * (FlinkSpoke.scala:214).
+    */
+  def resolve(requested: String, learnerName: String, parallelism: Int,
+      hp: Map[String, Double] = Map.empty): Protocol = {
+    if (learnerName == "HT" || learnerName == "K-means") SingleLearner
+    else if (parallelism <= 1) CentralizedTraining
+    else create(requested, hp)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{Op, T}
+import graft.core._
+import graft.pipeline._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ML pipeline surface: one query per reference learner (SURVEY §2.6), plus
+  * wire-format parsing and the PipelineMap request lifecycle. Training
+  * queries are rows-only checked by the driver (iterative SGD is not
+  * SQL-expressible); learner correctness is covered by the ScalaTest golden
+  * tests (separability, 1-vs-N equivalence for ORR, protocol semantics).
+  *
+  * Inputs are deterministically range-partitioned into 8 slices sorted by id
+  * so results are reproducible regardless of the session's core count.
+  */
+object MLOps {
+
+  /** embeddings -> (id, features double[], target) rows, deterministic layout. */
+  private def features(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("features"),
+        col("label").cast(DoubleType).as("target"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+
+  private def toRdd(df: DataFrame): RDD[(Array[Double], Double)] =
+    df.select("features", "target").rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+
+  private def binary(df: DataFrame): DataFrame =
+    df.withColumn("target", when(col("target") >= 5.0, 1.0).otherwise(-1.0))
+
+  /** Train one pipeline and emit its chunked QueryResponses as rows. */
+  private def trainOp(name: String, spec: PipelineSpec,
+      prep: DataFrame => DataFrame = identity): Op =
+    Op(name, (s, d) => {
+      import s.implicits._
+      val fitted = Trainer.fit(s, spec, toRdd(prep(features(s, d))))
+      fitted.responses(requestId = 1L).toDF()
+        .select(col("responseId"), col("id"), col("mlpId"), col("learner"),
+          col("protocol"), col("dataFitted"), col("loss"), col("cumulativeLoss"),
+          col("score"), col("paramsCount"))
+        .orderBy("id")
+    })
+
+  val ops: Seq[Op] = Seq(
+    trainOp("ml01_pa_train",
+      PipelineSpec(1, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous"),
+      binary),
+    trainOp("ml02_regressorpa_train",
+      PipelineSpec(2, "RegressorPA", Map("C" -> 0.01, "epsilon" -> 0.1),
+        Seq("MinMaxScaler"), "EASGD")),
+    trainOp("ml03_orr_train",
+      PipelineSpec(3, "ORR", Map("lambda" -> 1.0), Nil, "Synchronous")),
+    trainOp("ml04_svm_train",
+      PipelineSpec(4, "SVM", Map("lambda" -> 1e-4), Seq("StandardScaler"), "FGM"),
+      binary),
+    // PolynomialFeatures blows 64 dims to 2144; k=10 classes => >21k params,
+    // exercising the 10k-entry QueryResponse chunking (FlinkNetwork.scala:50).
+    trainOp("ml05_multiclasspa_train",
+      PipelineSpec(5, "MultiClassPA", Map("C" -> 0.01, "classes" -> 10.0),
+        Seq("PolynomialFeatures"), "Asynchronous")),
+    trainOp("ml06_kmeans_train",
+      PipelineSpec(6, "K-means", Map("k" -> 8.0), Nil, "Asynchronous")),
+    trainOp("ml07_nn_train",
+      PipelineSpec(7, "NN", Map("hidden" -> 16.0, "classes" -> 10.0, "lr" -> 0.05),
+        Seq("StandardScaler"), "SSP")),
+    trainOp("ml08_ht_train",
+      PipelineSpec(8, "HT", Map("classes" -> 10.0, "grace" -> 50.0), Nil,
+        "Asynchronous")),
+    // ------------------------------------------------------------------
+    Op("ml09_predictions", (s, d) => {
+      val df = binary(features(s, d))
+      val fitted = Trainer.fit(s,
+        PipelineSpec(1, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous"),
+        toRdd(df))
+      fitted.predict(s, df).orderBy("id")
+    }),
+    // ------------------------------------------------------------------
+    Op("ml10_job_statistics", (s, d) => {
+      import s.implicits._
+      val df = features(s, d)
+      val p1 = Trainer.fit(s,
+        PipelineSpec(1, "PA", Map("C" -> 0.01), Nil, "Synchronous"), toRdd(binary(df)))
+      val p2 = Trainer.fit(s,
+        PipelineSpec(2, "ORR", Map("lambda" -> 1.0), Nil, "GM"), toRdd(df))
+      Seq(p1.statistics, p2.statistics).toDF()
+        .select(col("pipelineId"), col("protocol"), col("modelsShipped"),
+          col("bytesShipped"), col("blocks"), col("fitted"),
+          size(col("learningCurve")).as("curve_len"), col("score"))
+        .orderBy("pipelineId")
+    }),
+    // ------------------------------------------------------------------
+    // Wire-format roundtrip: build DataInstance JSON (ints only, so string
+    // formatting is engine-independent), parse via Wire.parseInstances
+    // (from_json PERMISSIVE + validity filter + EOS skip), lower to points.
+    // The oracle computes the expected output directly from the generator
+    // expressions — the parse path itself is what's under test.
+    Op("w01_parse_instances", (s, d) => {
+      val json = T.embeddings(s, d).select(concat(
+        lit("{\"id\": "), col("vec_id").cast(StringType),
+        lit(", \"operation\": \""),
+        when(col("vec_id") % 4 === 0, "forecasting").otherwise("training"),
+        lit("\", \"discreteFeatures\": ["), col("label").cast(StringType),
+        lit(","), (col("vec_id") % 7).cast(StringType),
+        lit("], \"target\": "), col("label").cast(StringType), lit("}")).as("value"))
+      import s.implicits._
+      val noise = Seq("EOS", "{not json", """{"id": 1}""").toDF("value")
+      val all = json.unionByName(noise)
+      Wire.toPoints(Wire.parseInstances(all, "value"))
+        .select(col("id"), col("operation"),
+          size(col("features")).cast(LongType).as("n_features"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          col("target"))
+        .orderBy("id")
+    },
+      Some("""SELECT vec_id AS id,
+        |  CASE WHEN vec_id % 4 = 0 THEN 'forecasting' ELSE 'training' END AS operation,
+        |  CAST(2 AS BIGINT) AS n_features,
+        |  CAST(label AS DOUBLE) AS f0,
+        |  CAST(vec_id % 7 AS DOUBLE) AS f1,
+        |  CAST(label AS DOUBLE) AS target
+        |FROM embeddings ORDER BY id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // PipelineMap lifecycle (PipelineMap.scala:31-47): Create/Update/Query/
+    // Delete sequence incl. validation rejections, driven through the JSON
+    // request parser. Deterministic -> literal-VALUES oracle.
+    Op("w02_request_lifecycle", (s, d) => {
+      import s.implicits._
+      val reqJson = Seq(
+        """{"id": 1, "request": "Create", "learner": {"name": "PA", "hyperParameters": {"C": 0.01}}, "preProcessors": [{"name": "StandardScaler"}], "trainingConfiguration": {"protocol": "Asynchronous"}}""",
+        """{"id": 1, "request": "Create", "learner": {"name": "SVM"}}""",
+        """{"id": 2, "request": "Create", "learner": {"name": "DeepForest"}}""",
+        """{"id": 1, "request": "Update", "learner": {"name": "SVM"}, "trainingConfiguration": {"protocol": "EASGD"}}""",
+        """{"id": 1, "request": "Query", "requestId": 9}""",
+        """{"id": 2, "request": "Delete"}""",
+        """{"id": 1, "request": "Delete"}""",
+        """{"id": 1, "request": "Query", "requestId": 10}""",
+        """{"id": 3, "request": "Create", "learner": {"name": "HT"}, "preProcessors": [{"name": "MinMaxScaler"}], "trainingConfiguration": {"protocol": "GM"}}""",
+        """not a request""")
+      val parsed = Wire.parseRequests(reqJson.toDF("value"), "value")
+      val catalog = new PipelineCatalog
+      val requests = parsed.collect().map { r =>
+        val lrIdx = r.fieldIndex("learner")
+        val learner =
+          if (r.isNullAt(lrIdx)) None
+          else Some(LearnerSpec(r.getStruct(lrIdx).getString(0)))
+        val ppIdx = r.fieldIndex("preProcessors")
+        val pre =
+          if (r.isNullAt(ppIdx)) None
+          else Some(r.getSeq[org.apache.spark.sql.Row](ppIdx)
+            .map(p => PreprocessorSpec(p.getString(0))))
+        val tcIdx = r.fieldIndex("trainingConfiguration")
+        val tc =
+          if (r.isNullAt(tcIdx)) None
+          else Some(r.getMap[String, String](tcIdx).toMap)
+        val ridIdx = r.fieldIndex("requestId")
+        Request(r.getInt(0), r.getString(1),
+          if (r.isNullAt(ridIdx)) None else Some(r.getLong(ridIdx)),
+          learner, pre, tc)
+      }
+      requests.foreach(catalog.apply)
+      catalog.events.zipWithIndex
+        .map { case ((id, op, outcome), i) => (i.toLong, id, op, outcome) }
+        .toSeq.toDF("seq", "pipeline_id", "request", "outcome")
+    },
+      Some("""SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 1, 'Create', 'created'),
+        |  (CAST(1 AS BIGINT), 1, 'Create', 'rejected: exists'),
+        |  (CAST(2 AS BIGINT), 2, 'Create', 'rejected: invalid learner: DeepForest'),
+        |  (CAST(3 AS BIGINT), 1, 'Update', 'updated'),
+        |  (CAST(4 AS BIGINT), 1, 'Query', 'queried'),
+        |  (CAST(5 AS BIGINT), 2, 'Delete', 'rejected: missing'),
+        |  (CAST(6 AS BIGINT), 1, 'Delete', 'deleted'),
+        |  (CAST(7 AS BIGINT), 1, 'Query', 'rejected: missing'),
+        |  (CAST(8 AS BIGINT), 3, 'Create', 'created')
+        |) t(seq, pipeline_id, request, outcome)
+        |ORDER BY seq""".stripMargin)),
+  )
+}

@@ -1,0 +1,238 @@
+package graft.pipeline
+
+import graft.core._
+import graft.ml._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** Pipeline definition (the reference's Create-request payload). */
+case class PipelineSpec(
+    id: Int,
+    learner: String,
+    learnerHp: Map[String, Double] = Map.empty,
+    preprocessors: Seq[String] = Nil,
+    protocol: String = "Asynchronous",
+    protocolHp: Map[String, Double] = Map.empty,
+    rounds: Int = 3,
+    testCap: Int = 256)
+
+final class FittedPipeline(
+    val spec: PipelineSpec,
+    val chain: Seq[FittedPreprocessor],
+    val model: ModelState,
+    val learner: OnlineLearner,
+    val protocolName: String,
+    val stats: ProtocolStats,
+    val curve: Seq[Double],
+    val testLoss: Double,
+    val score: Double) extends Serializable {
+
+  /** Chunked query responses (<=10k params per bucket,
+    * FlinkNetwork.scala:48-149).
+    */
+  def responses(requestId: Long): Seq[QueryResponse] = {
+    val ps = model.params
+    val buckets = ps.grouped(10000).toSeq match {
+      case Seq() => Seq(Array.empty[Double])
+      case bs => bs
+    }
+    buckets.zipWithIndex.map { case (chunk, i) =>
+      QueryResponse(requestId, i, spec.id, spec.learner, spec.preprocessors,
+        protocolName, model.n, testLoss, model.cumLoss, score,
+        chunk.length, chunk.toSeq)
+    }
+  }
+
+  def statistics: PipelineStatistics =
+    PipelineStatistics(spec.id, protocolName, stats.modelsShipped,
+      stats.bytesShipped, stats.blocks, model.n, curve, score)
+
+  /** Distributed prediction over (id, features) rows. */
+  def predict(spark: SparkSession, df: DataFrame): DataFrame = {
+    val bcChain = spark.sparkContext.broadcast(chain)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val l = learner
+    val predictUdf = udf { (features: Seq[Double]) =>
+      val x = Preprocess.applyChain(bcChain.value, features.toArray)
+      l.predict(bcModel.value, x)
+    }
+    df.select(col("id"), predictUdf(col("features")).as("prediction"))
+  }
+}
+
+/** Batch/micro-batch trainer: the Spark-native replacement for the
+  * reference's hub-and-spoke parameter server (SURVEY §3.4(b)). Each round,
+  * every partition trains a replica seeded from the broadcast global model;
+  * the protocol folds replicas into the next global. The reference's
+  * continuous Kafka feedback loop becomes the per-round broadcast.
+  *
+  * Train/test split reproduces FlinkSpoke.scala:92-107: of every 10 points
+  * 2 go to a <=`testCap`-slot ring buffer per partition; ring evictions are
+  * fed back to training.
+  */
+object Trainer {
+
+  def fit(spark: SparkSession, spec: PipelineSpec,
+      data: RDD[(Array[Double], Double)]): FittedPipeline = {
+    val sc = spark.sparkContext
+    val learner = Learners.create(spec.learner, spec.learnerHp)
+    val chain = Preprocess.fitChain(spec.preprocessors, data)
+    val bcChain = sc.broadcast(chain)
+    var tdata = data.map { case (x, y) => (Preprocess.applyChain(bcChain.value, x), y) }
+    val protocol = Protocols.resolve(spec.protocol, spec.learner,
+      data.getNumPartitions, spec.protocolHp)
+    protocol.maxParallelism.foreach { p =>
+      if (tdata.getNumPartitions > p) tdata = tdata.coalesce(p)
+    }
+    tdata.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = tdata.first()._1.length
+      val testCap = spec.testCap
+      val stats = ProtocolStats()
+      var global: Option[ModelState] = None
+      var totalFitted = 0L
+      var totalCumLoss = 0.0
+      val curve = mutable.ArrayBuffer[Double]()
+
+      for (_ <- 1 to spec.rounds) {
+        val bcGlobal = sc.broadcast(global)
+        val replicas = tdata.mapPartitions { it =>
+          val m = bcGlobal.value.map(_.deepCopy).getOrElse(learner.init(dim))
+          m.n = 0L; m.cumLoss = 0.0 // per-round counters; totals tracked outside
+          val ring = new Array[(Array[Double], Double)](testCap)
+          var ringSize = 0; var ringPos = 0; var cnt = 0L
+          it.foreach { case (x, y) =>
+            if (cnt % 10 >= 8) {
+              if (ringSize < testCap) { ring(ringSize) = (x, y); ringSize += 1 }
+              else {
+                val ev = ring(ringPos); ring(ringPos) = (x, y)
+                ringPos = (ringPos + 1) % testCap
+                learner.fit(m, ev._1, ev._2)
+              }
+            } else learner.fit(m, x, y)
+            cnt += 1
+          }
+          learner.finish(m)
+          if (cnt == 0) Iterator.empty else Iterator.single(m)
+        }.collect().toSeq
+        if (replicas.nonEmpty) {
+          val merged = protocol.aggregate(replicas, global, learner, stats)
+          totalFitted += merged.n
+          totalCumLoss += merged.cumLoss
+          merged.n = totalFitted
+          merged.cumLoss = totalCumLoss
+          global = Some(merged)
+          curve += evaluate(sc, tdata, learner, global.get, testCap)._1
+        }
+      }
+      val model = global.getOrElse(learner.init(dim))
+      val (testLoss, score) = evaluate(sc, tdata, learner, model, testCap)
+      new FittedPipeline(spec, chain, model, learner, protocol.name, stats,
+        curve.toSeq, testLoss, score)
+    } finally tdata.unpersist(blocking = false)
+  }
+
+  /** Replay the deterministic split and evaluate the model on the held-out
+    * ring contents: (avg test loss, score). Score = accuracy for
+    * classifiers, -RMSE for regressors, -mean distortion for clustering.
+    */
+  private def evaluate(sc: org.apache.spark.SparkContext,
+      tdata: RDD[(Array[Double], Double)], learner: OnlineLearner,
+      model: ModelState, testCap: Int): (Double, Double) = {
+    val bcModel = sc.broadcast(model)
+    val (lossSum, scoreSum, n) = tdata.mapPartitions { it =>
+      val ring = new Array[(Array[Double], Double)](testCap)
+      var ringSize = 0; var ringPos = 0; var cnt = 0L
+      it.foreach { case (x, y) =>
+        if (cnt % 10 >= 8) {
+          if (ringSize < testCap) { ring(ringSize) = (x, y); ringSize += 1 }
+          else { ring(ringPos) = (x, y); ringPos = (ringPos + 1) % testCap }
+        }
+        cnt += 1
+      }
+      val m = bcModel.value
+      var ls = 0.0; var sc2 = 0.0; var k = 0L
+      var i = 0
+      while (i < ringSize) {
+        val (x, y) = ring(i)
+        ls += learner.loss(m, x, y)
+        if (learner.isClassifier) { if (learner.predict(m, x) == y) sc2 += 1.0 }
+        else { val e = learner.predict(m, x) - y; sc2 += e * e }
+        k += 1
+        i += 1
+      }
+      Iterator.single((ls, sc2, k))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    if (n == 0) (0.0, 0.0)
+    else {
+      val avgLoss = lossSum / n
+      val score =
+        if (learner.isClassifier) scoreSum / n
+        else if (learner.name == "K-means") -avgLossSafe(lossSum, n)
+        else -math.sqrt(scoreSum / n)
+      (avgLoss, score)
+    }
+  }
+
+  private def avgLossSafe(s: Double, n: Long): Double = if (n == 0) 0.0 else s / n
+}
+
+/** The reference's PipelineMap (PipelineMap.scala:14-71): a validated
+  * pipeline catalog driven by Create/Update/Query/Delete requests.
+  */
+final class PipelineCatalog {
+  private val entries = mutable.LinkedHashMap[Int, PipelineSpec]()
+  private val log = mutable.ArrayBuffer[(Int, String, String)]() // id, op, outcome
+
+  def events: Seq[(Int, String, String)] = log.toSeq
+  def specs: Seq[PipelineSpec] = entries.values.toSeq
+  def get(id: Int): Option[PipelineSpec] = entries.get(id)
+
+  private def validate(r: Request): Option[String] = {
+    val ln = r.learner.map(_.name).getOrElse("")
+    if (!Learners.names.contains(ln)) Some(s"invalid learner: $ln")
+    else {
+      val badPre = r.preProcessors.getOrElse(Nil).map(_.name)
+        .filterNot(Preprocess.names.contains)
+      if (badPre.nonEmpty) Some(s"invalid preprocessors: ${badPre.mkString(",")}")
+      else if (!Protocols.names.contains(r.protocol)) Some(s"invalid protocol: ${r.protocol}")
+      else None
+    }
+  }
+
+  private def toSpec(r: Request): PipelineSpec =
+    PipelineSpec(
+      id = r.id,
+      learner = r.learner.map(_.name).getOrElse(""),
+      learnerHp = r.learner.map(_.hyperParameters).getOrElse(Map.empty),
+      preprocessors = r.preProcessors.getOrElse(Nil).map(_.name),
+      protocol = r.protocol)
+
+  /** Apply one request; returns the outcome string recorded in the log. */
+  def apply(r: Request): String = {
+    val outcome = r.request match {
+      case "Create" =>
+        if (entries.contains(r.id)) "rejected: exists"
+        else validate(r) match {
+          case Some(err) => s"rejected: $err"
+          case None => entries(r.id) = toSpec(r); "created"
+        }
+      case "Update" =>
+        validate(r) match {
+          case Some(err) => s"rejected: $err"
+          case None => entries(r.id) = toSpec(r); "updated"
+        }
+      case "Delete" =>
+        if (entries.remove(r.id).isDefined) "deleted" else "rejected: missing"
+      case "Query" =>
+        if (entries.contains(r.id)) "queried" else "rejected: missing"
+      case other => s"rejected: unknown request $other"
+    }
+    log += ((r.id, r.request, outcome))
+    outcome
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.core._
+import graft.ml._
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .getOrCreate()
+}
+
+class PipelineSparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+
+  private def synthetic(n: Int, dim: Int, seed: Long): Seq[(Array[Double], Double)] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val wStar = Array.fill(dim)(next() * 4)
+    Seq.fill(n) {
+      val x = Array.fill(dim)(next() * 2)
+      (x, if (La.dot(wStar, x) >= 0) 1.0 else -1.0)
+    }
+  }
+
+  test("distributed PA training reaches high held-out accuracy") {
+    val data = spark.sparkContext.parallelize(synthetic(8000, 6, 101L), 8)
+    val fitted = Trainer.fit(spark,
+      PipelineSpec(1, "PA", Map("C" -> 0.05), Seq("StandardScaler"), "Synchronous",
+        rounds = 3), data)
+    assert(fitted.score > 0.9, s"score ${fitted.score}")
+    assert(fitted.model.n > 0)
+    assert(fitted.stats.modelsShipped == 8 * 3)
+    assert(fitted.curve.length == 3)
+  }
+
+  test("ORR: 1-partition and 8-partition training produce the same weights") {
+    val data = synthetic(4000, 5, 103L).map { case (x, _) => x }
+    var s = 107L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val wStar = Array.fill(5)(next() * 3)
+    val labeled = data.map(x => (x, La.dot(wStar, x) + next() * 0.01))
+    // testCap large enough that no ring evictions occur: with 4000 points the
+    // 1- and 8-partition runs then hold out the *same* 800 points (chunk
+    // sizes are multiples of 10), so exact-merge equivalence is observable.
+    val spec = PipelineSpec(1, "ORR", Map("lambda" -> 1.0), Nil, "Synchronous",
+      rounds = 2, testCap = 1000)
+    val f1 = Trainer.fit(spark, spec, spark.sparkContext.parallelize(labeled, 1))
+    val f8 = Trainer.fit(spark, spec, spark.sparkContext.parallelize(labeled, 8))
+    val w1 = f1.model.params; val w8 = f8.model.params
+    w1.indices.foreach(i =>
+      assert(math.abs(w1(i) - w8(i)) < 1e-6, s"param $i: ${w1(i)} vs ${w8(i)}"))
+  }
+
+  test("QueryResponse chunking splits >10k params into buckets") {
+    val spec = PipelineSpec(9, "MultiClassPA",
+      Map("C" -> 0.05, "classes" -> 10.0), Seq("PolynomialFeatures"), "Synchronous",
+      rounds = 1)
+    val data = spark.sparkContext.parallelize(
+      synthetic(600, 64, 109L).map { case (x, y) => (x, if (y > 0) 1.0 else 0.0) }, 4)
+    val fitted = Trainer.fit(spark, spec, data)
+    val rs = fitted.responses(42L)
+    assert(rs.length > 1, s"expected multiple chunks, got ${rs.length}")
+    assert(rs.map(_.paramsCount).sum == fitted.model.params.length)
+    assert(rs.forall(_.paramsCount <= 10000))
+    assert(rs.map(_.id).toSeq == rs.indices.toSeq)
+  }
+
+  test("HT is forced onto a single partition and still trains") {
+    val data = spark.sparkContext.parallelize(
+      synthetic(4000, 5, 113L).map { case (x, y) => (x, if (y > 0) 1.0 else 0.0) }, 8)
+    val fitted = Trainer.fit(spark,
+      PipelineSpec(2, "HT", Map("classes" -> 2.0, "grace" -> 50.0), Nil,
+        "Asynchronous", rounds = 1), data)
+    assert(fitted.protocolName == "SingleLearner")
+    assert(fitted.score > 0.8, s"score ${fitted.score}")
+  }
+
+  test("predict emits one prediction per input row") {
+    import spark.implicits._
+    val rows = synthetic(500, 4, 127L)
+    val data = spark.sparkContext.parallelize(rows, 4)
+    val fitted = Trainer.fit(spark,
+      PipelineSpec(3, "PA", Map("C" -> 0.05), Nil, "Synchronous", rounds = 1), data)
+    val df = rows.zipWithIndex
+      .map { case ((x, _), i) => (i.toLong, x.toSeq) }.toDF("id", "features")
+    val preds = fitted.predict(spark, df)
+    assert(preds.count() == 500)
+    assert(preds.columns.toSeq == Seq("id", "prediction"))
+  }
+
+  test("wire parsing drops EOS, malformed and featureless records") {
+    import spark.implicits._
+    val good =
+      """{"id": 7, "operation": "training", "numericalFeatures": [1.0, 2.0], "target": 1.0}"""
+    val fc =
+      """{"id": 8, "operation": "forecasting", "discreteFeatures": [3, 4]}"""
+    val df = Seq(good, fc, "EOS", "{broken", """{"id": 9}""").toDF("value")
+    val pts = Wire.toPoints(Wire.parseInstances(df, "value")).collect()
+    assert(pts.length == 2)
+    val byId = pts.map(r => r.getAs[Long]("id") -> r).toMap
+    def feats(id: Long): Seq[Double] =
+      byId(id).getSeq[Double](byId(id).fieldIndex("features")).toSeq
+    assert(feats(7L) == Seq(1.0, 2.0))
+    assert(feats(8L) == Seq(3.0, 4.0))
+    assert(byId(8L).getAs[String]("operation") == "forecasting")
+  }
+}
