@@ -18,7 +18,8 @@ object SparkEntry {
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++
     operators.Similarity.ops ++
-    operators.MLOps.ops
+    operators.MLOps.ops ++
+    operators.StreamOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

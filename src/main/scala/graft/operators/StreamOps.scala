@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Num, Op, T}
+import graft.Num.{dsum, sqlDsum}
+import graft.streaming._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming surface: real Structured-Streaming queries (event-time windows,
+  * watermarks, session windows, keyed state) executed to completion over the
+  * staged `events` fixture, hash-matched against batch-SQL oracles. The
+  * streaming engine genuinely runs multiple triggers (maxFilesPerTrigger=1)
+  * with the watermark advancing between them — results come from append-mode
+  * watermark progress, not from a final flush.
+  */
+object StreamOps {
+
+  private def uniq(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    Op("st01_tumbling_window", (s, d) => {
+      val (dir, schema, maxTs) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val res = Streaming.runStream(s, dir, schema, uniq("st01"), src =>
+        src.withWatermark("ts", "35 days")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value")))
+      res.filter(col("window_start_us") <= maxTs)
+        .orderBy("window_start_us", "event_type")
+    },
+      Some(s"""SELECT epoch_us(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op("st02_sliding_window", (s, d) => {
+      val (dir, schema, maxTs) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val res = Streaming.runStream(s, dir, schema, uniq("st02"), src =>
+        src.withWatermark("ts", "35 days")
+          .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value")))
+      res.filter(col("window_start_us") <= maxTs)
+        .orderBy("window_start_us", "event_type")
+    },
+      // every event falls in exactly two 6h/3h windows: the 3h-bucket it sits
+      // in and the one 3h earlier
+      Some(s"""WITH ex AS (
+        |  SELECT unnest([epoch_us(time_bucket(INTERVAL 3 HOUR, CAST(ts AS TIMESTAMP))),
+        |                 epoch_us(time_bucket(INTERVAL 3 HOUR, CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR)])
+        |           AS window_start_us,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start_us, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM ex GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op("st03_session_window", (s, d) => {
+      val (dir, schema, maxTs) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val res = Streaming.runStream(s, dir, schema, uniq("st03"), src =>
+        src.withWatermark("ts", "35 days")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+            unix_micros(col("w.end")).as("session_end_us"), col("n"), col("sum_value")))
+      res.filter(col("session_start_us") <= maxTs && col("user_id") >= 0)
+        .orderBy("user_id", "session_start_us")
+    },
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |o AS (SELECT user_id, ts, value,
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Keyed stateful spoke over a staged envelope stream: batch 1 delivers
+    // 100 data points BEFORE the Create (exercising the pre-Create buffer,
+    // SpokeLogic.scala:28-35) plus the Create; batch 2 delivers the rest,
+    // forecasting points, and a Query. Output: predictions + response + logs.
+    Op("st04_spoke_lifecycle", (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_spoke_").toString
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("f"),
+          col("label").cast(DoubleType).as("t"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      def dataEnv(rows: Seq[(Long, Seq[Double], Double)], op: String): Seq[Envelope] =
+        rows.map { case (id, f, t) =>
+          Envelope(id, 1, "data", "", "", -1L, id,
+            f, if (op == "training") Some(if (t >= 5.0) 1.0 else -1.0) else None, op)
+        }
+      val n = base.length
+      val batch1: Seq[Envelope] =
+        dataEnv(base.take(100).toSeq, "training") :+
+          Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")
+      val batch2: Seq[Envelope] =
+        dataEnv(base.slice(100, n - 50).map(x => x.copy(_1 = x._1 + 200000L)).toSeq, "training") ++
+          dataEnv(base.takeRight(50).map(x => x.copy(_1 = x._1 + 300000L)).toSeq, "forecasting") :+
+          Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")
+      batch1.toDS().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1500) // distinct mtimes: file source orders by mod time
+      batch2.toDS().coalesce(1).write.mode("append").parquet(dir)
+      val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope]
+      val q = Spoke.run(src).writeStream
+        .format("memory").queryName(uniq("st04")).outputMode("append")
+        .option("checkpointLocation", s"$dir/_ckpt").start()
+      q.processAllAvailable(); q.stop()
+      s.table(q.name).orderBy("kind", "id", "requestId")
+    }),
+  )
+}

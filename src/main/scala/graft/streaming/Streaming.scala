@@ -1,0 +1,179 @@
+package graft.streaming
+
+import graft.ml.{Learners, ModelState, OnlineLearner}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types.StructType
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.file.Files
+import scala.collection.mutable.ArrayBuffer
+
+/** Structured-Streaming side of the engine.
+  *
+  * Mirrors the reference's streaming dataflow (SURVEY §2.3-2.4) on Spark:
+  *  - event-time windows + watermarks replace the reference's ingestion-time
+  *    processing (the reference has none of these — §2.7 — so they come from
+  *    Spark built-ins);
+  *  - [[Spoke]] is the K1/K2 analog: a keyed stateful processor
+  *    (flatMapGroupsWithState) holding per-pipeline model state, buffering
+  *    data that arrives before Create (SpokeLogic.scala:28-35), training on
+  *    the data path, answering Query with loss/count snapshots and emitting
+  *    Predictions for forecasting points.
+  *
+  * Batch fixtures are staged into time-ranged parquet files read with
+  * maxFilesPerTrigger=1, so a query really runs multiple triggers and the
+  * watermark advances between them — append-mode window results are produced
+  * by watermark progress, not by query shutdown. A far-future sentinel row
+  * (+40 days) closes the tail windows; rows derived from it are filtered out
+  * after the run (the oracle never sees the sentinel). Callers must pick a
+  * watermark delay LARGER than the staged data's time span: same-mtime files
+  * can be listed in any order, and a smaller delay would silently late-drop
+  * an out-of-order file's data.
+  */
+object Streaming {
+
+  /** Stage a batch DataFrame as n time-ranged parquet files + a sentinel
+    * file; returns (dir, schema, maxTs-in-micros).
+    */
+  def stageEvents(spark: SparkSession, events: DataFrame, nFiles: Int): (String, StructType, Long) = {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    events.repartitionByRange(nFiles, col("ts"))
+      .write.mode("append").parquet(dir)
+    // sentinel: one far-future row per schema, closes all real windows
+    val sentinel = events.limit(1)
+      .withColumn("ts", timestamp_micros(lit(maxTs + 40L * 86400L * 1000000L)))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("value", lit(0.0))
+    sentinel.coalesce(1).write.mode("append").parquet(dir)
+    (dir, events.schema, maxTs)
+  }
+
+  /** Run `build` over a staged directory as a real streaming query
+    * (append mode, memory sink), wait for completion, return the collected
+    * result as a batch DataFrame.
+    */
+  def runStream(spark: SparkSession, dir: String, schema: StructType,
+      name: String, build: DataFrame => DataFrame): DataFrame = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = build(src).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$dir/_ckpt_$name")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
+
+/** Envelope: the unified control+data stream element (SURVEY §3.4). */
+case class Envelope(
+    seq: Long, // total order within a pipeline (Kafka offset analog)
+    pipelineId: Int,
+    kind: String, // "data" | "control"
+    reqType: String, // Create | Update | Query | Delete ("" for data)
+    learner: String,
+    requestId: Long,
+    id: Long,
+    features: Seq[Double],
+    target: Option[Double],
+    operation: String)
+
+/** Tagged spoke output (side-output analog, SURVEY §2.4 K9). */
+case class SpokeEvent(
+    pipelineId: Int,
+    kind: String, // "prediction" | "response" | "log"
+    requestId: Long,
+    id: Long,
+    value: Double,
+    info: String)
+
+/** Serializable spoke state: model as a blob (Catalyst-encodable), plus the
+  * pre-Create buffer (capped like SpokeLogic.scala:32-35).
+  */
+case class SpokeState(
+    learnerName: String,
+    created: Boolean,
+    modelBlob: Array[Byte],
+    buffered: Seq[(Seq[Double], Option[Double])])
+
+object Spoke {
+  val BufferCap = 100000 // reference record-buffer cap (SpokeLogic.scala:32)
+
+  private def ser(m: ModelState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(m); oos.close()
+    bos.toByteArray
+  }
+  private def deser(b: Array[Byte]): ModelState = {
+    val ois = new ObjectInputStream(new ByteArrayInputStream(b))
+    ois.readObject().asInstanceOf[ModelState]
+  }
+
+  /** Keyed stateful core: one call per (pipelineId, trigger). */
+  def process(key: Int, it: Iterator[Envelope], state: GroupState[SpokeState]): Iterator[SpokeEvent] = {
+    val events = it.toArray.sortBy(_.seq)
+    var st = state.getOption.getOrElse(SpokeState("", created = false, null, Nil))
+    var learner: OnlineLearner = if (st.created) Learners.create(st.learnerName) else null
+    var model: ModelState = if (st.modelBlob != null) deser(st.modelBlob) else null
+    var buffer = st.buffered.toVector
+    val out = ArrayBuffer[SpokeEvent]()
+
+    def train(features: Seq[Double], target: Option[Double]): Unit = {
+      if (model == null) model = learner.init(features.length)
+      target.foreach(t => learner.fit(model, features.toArray, t))
+    }
+
+    events.foreach { e =>
+      if (e.kind == "control") e.reqType match {
+        case "Create" =>
+          if (learner == null) {
+            learner = Learners.create(e.learner)
+            st = st.copy(learnerName = e.learner, created = true)
+            val pending = buffer; buffer = Vector.empty
+            pending.foreach { case (f, t) => train(f, t) }
+            out += SpokeEvent(key, "log", e.requestId, -1,
+              pending.length.toDouble, "created:drained")
+          }
+        case "Update" =>
+          learner = Learners.create(e.learner)
+          st = st.copy(learnerName = e.learner, created = true)
+          model = null // fresh model; buffer already drained on Create
+          out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "updated")
+        case "Query" =>
+          val (n, cum) = if (model == null) (0L, 0.0) else (model.n, model.cumLoss)
+          out += SpokeEvent(key, "response", e.requestId, -1, cum, s"fitted=$n")
+        case "Delete" =>
+          learner = null; model = null; buffer = Vector.empty
+          st = SpokeState("", created = false, null, Nil)
+          out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "deleted")
+        case _ => ()
+      } else {
+        if (learner == null) {
+          if (buffer.length < BufferCap) buffer :+= ((e.features, e.target))
+        } else if (e.operation == "forecasting") {
+          if (model != null)
+            out += SpokeEvent(key, "prediction", -1, e.id,
+              learner.predict(model, e.features.toArray), "")
+        } else train(e.features, e.target)
+      }
+    }
+    state.update(st.copy(
+      modelBlob = if (model == null) null else ser(model),
+      buffered = buffer))
+    out.iterator
+  }
+
+  /** Wire the processor over an envelope stream. */
+  def run(envelopes: Dataset[Envelope]): Dataset[SpokeEvent] = {
+    import envelopes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    envelopes.groupByKey(_.pipelineId)
+      .flatMapGroupsWithState[SpokeState, SpokeEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+}
