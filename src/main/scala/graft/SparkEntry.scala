@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Dedup.ops ++
     operators.Similarity.ops ++
     operators.MLOps.ops ++
-    operators.StreamOps.ops
+    operators.StreamOps.ops ++
+    operators.Multimodal.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

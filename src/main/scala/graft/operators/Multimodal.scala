@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{Op, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with a typed metadata struct, and decode / feature-extraction as
+  * batched partition-local kernels.
+  *
+  * The decode step is a STUB — deterministic features derived from the raw
+  * bytes (md5 prefix, byte length, first byte) stand in for pixel/audio
+  * decoding because no media libraries exist in this container. Everything
+  * around the stub is real and oracle-checked: the binary column, the typed
+  * metadata schema, the mapPartitions batching (64-element batches, the
+  * `mapInPandas`-style shape), and the feature schema. Swapping the stub for
+  * a real decoder changes ONE function.
+  *
+  * Payloads here are the documents' UTF-8 bytes, so the DuckDB oracle can
+  * reproduce byte-level results with encode()/md5().
+  */
+object Multimodal {
+
+  /** The stubbed decoded-feature record. */
+  case class MMFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      first_byte: Long,
+      h32: Long,
+      n_frames: Long,
+      feat0: Double)
+
+  /** STUB decoder: deterministic byte-derived features. A real implementation
+    * would decode the media payload here (per 64-row batch).
+    */
+  private def decodeStub(id: Long, bytes: Array[Byte]): MMFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    MMFeatures(
+      doc_id = id,
+      n_bytes = bytes.length.toLong,
+      first_byte = if (bytes.isEmpty) -1L else bytes(0) & 0xffL,
+      h32 = h32,
+      n_frames = bytes.length.toLong / 100L + 1L,
+      feat0 = (h32 % 1000L).toDouble / 1000.0)
+  }
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    // Ingest: binary payload + typed metadata struct, all computed with
+    // Catalyst expressions (schema-first, codegen'd, no UDF).
+    Op("mm01_ingest_meta", (s, d) => {
+      val h = expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(
+            lit("text/plain").as("format"),
+            length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+            (lit(64L) + h % 1024L).as("width"),
+            (lit(64L) + expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) div 1024") % 1024L).as("height")
+          ).as("meta"))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.width").as("width"),
+          col("meta.height").as("height"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, 'text/plain' AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1024) AS width,
+        |  64 + ((('0x' || substr(md5(text), 1, 8))::BIGINT // 1024) % 1024) AS height,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Decode + feature extraction over the binary column: batched
+    // mapPartitions kernel (the Spark-side plumbing a real decoder needs).
+    Op("mm02_decode_features", (s, d) => {
+      import s.implicits._
+      val mm = T.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      mm.mapPartitions(it =>
+        // 64-row batches: the mapInPandas-style batch shape a real
+        // vectorized decoder would consume
+        it.grouped(64).flatMap(batch => batch.iterator.map {
+          case (id, bytes) => decodeStub(id, bytes)
+        }))
+        .toDF()
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(text) AS BIGINT) AS first_byte,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS h32,
+        |  CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
+        |  CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS feat0
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}
