@@ -319,6 +319,59 @@ object Relational {
         |WHERE p_name LIKE '%a%'
         |ORDER BY p_partkey""".stripMargin)),
     // ------------------------------------------------------------------
+    // Full outer join: per-nation customer vs supplier account balances
+    // (suppliers exist in few nations -> real null sides both ways).
+    Op(
+      "q18_outer_join",
+      (s, d) => {
+        val c = T.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("cust_bal"))
+        val su = T.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("supp_bal"))
+        c.join(su, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+          .orderBy("nationkey")
+      },
+      Some(s"""WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+        |            ${sqlDsum("c_acctbal")} AS cust_bal FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp,
+        |      ${sqlDsum("s_acctbal")} AS supp_bal FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(cust_bal, 0.0) AS cust_bal,
+        |  COALESCE(n_supp, 0) AS n_supp, COALESCE(supp_bal, 0.0) AS supp_bal
+        |FROM c FULL OUTER JOIN s USING (nationkey)
+        |ORDER BY nationkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // P4 StringToArrayDoublesParser (StringToArrayDoublesParser.scala:3-5):
+    // CSV line -> array<double>, here round-tripped from lineitem columns.
+    Op(
+      "q19_csv_vector_parse",
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            concat_ws(",", col("l_quantity"), col("l_discount"), col("l_tax"))
+              .as("line"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            split(col("line"), ",").cast("array<double>").as("vec"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            element_at(col("vec"), 1).as("v_qty"),
+            element_at(col("vec"), 2).as("v_disc"),
+            element_at(col("vec"), 3).as("v_tax"),
+            size(col("vec")).cast(LongType).as("dim"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      // values survive the string round-trip exactly: the doubles carry at
+      // most 2 decimals, and both engines parse shortest-decimal forms back
+      // to the identical double
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS v_qty, l_discount AS v_disc, l_tax AS v_tax,
+        |  CAST(3 AS BIGINT) AS dim
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "q16_monthly_revenue",
       (s, d) =>

@@ -177,3 +177,64 @@ object Spoke {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
   }
 }
+
+/** Per-pipeline statistics record flowing into [[StatsOperator]]
+  * (the reference's (String, Statistics) hub output, FlinkHub.scala:96-156).
+  */
+case class StatEvent(
+    pipelineId: Int,
+    modelsShipped: Long,
+    bytesShipped: Long,
+    blocks: Long,
+    fitted: Long,
+    score: Double,
+    eventTimeMs: Long)
+
+case class StatsState(
+    modelsShipped: Long, bytesShipped: Long, blocks: Long, fitted: Long,
+    score: Double, firstTsMs: Long, lastTsMs: Long)
+
+/** The reference's StatisticsOperator (StatisticsOperator.scala:21-150):
+  * merges per-hub statistics per pipeline and uses a quiescence timeout —
+  * no new statistics for `timeoutMs` — to emit the final JobStatistics with
+  * the pipeline makespan and clear state. Timers map onto
+  * GroupStateTimeout.ProcessingTimeTimeout.
+  */
+object StatsOperator {
+
+  def process(timeoutMs: Long)(
+      key: Int, it: Iterator[StatEvent], state: GroupState[StatsState]): Iterator[SpokeEvent] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      val makespan = st.lastTsMs - st.firstTsMs
+      Iterator.single(SpokeEvent(key, "job_statistics", -1, -1, st.score,
+        s"makespan=$makespan,models=${st.modelsShipped},bytes=${st.bytesShipped}," +
+          s"blocks=${st.blocks},fitted=${st.fitted}"))
+    } else {
+      var st = state.getOption.getOrElse(
+        StatsState(0, 0, 0, 0, 0.0, Long.MaxValue, Long.MinValue))
+      it.foreach { e =>
+        st = StatsState(
+          st.modelsShipped + e.modelsShipped,
+          st.bytesShipped + e.bytesShipped,
+          st.blocks + e.blocks,
+          st.fitted + e.fitted,
+          e.score, // latest score wins (reference keeps the newest curve point)
+          math.min(st.firstTsMs, e.eventTimeMs),
+          math.max(st.lastTsMs, e.eventTimeMs))
+      }
+      state.update(st)
+      state.setTimeoutDuration(timeoutMs)
+      Iterator.empty
+    }
+  }
+
+  def run(stats: Dataset[StatEvent], timeoutMs: Long = 30000L): Dataset[SpokeEvent] = {
+    import stats.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stats.groupByKey(_.pipelineId)
+      .flatMapGroupsWithState[StatsState, SpokeEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(process(timeoutMs))
+  }
+}

@@ -50,6 +50,63 @@ class StreamingSuite extends AnyFunSuite {
     assert(out2.head.info == "fitted=0")
   }
 
+  test("statistics operator merges per-pipeline stats and emits on quiescence timeout") {
+    val st = TestGroupState.create[StatsState](
+      org.apache.spark.api.java.Optional.empty[StatsState](),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = StatsOperator.process(30000L)(1, Iterator(
+      StatEvent(1, 4, 2048, 1, 100, 0.8, 1000L),
+      StatEvent(1, 4, 2048, 1, 120, 0.9, 6000L)), st).toSeq
+    assert(out1.isEmpty && st.exists)
+    // simulate the quiescence timer firing
+    val fired = TestGroupState.create[StatsState](
+      org.apache.spark.api.java.Optional.of(st.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 40000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out2 = StatsOperator.process(30000L)(1, Iterator.empty, fired).toSeq
+    assert(out2.length == 1)
+    val js = out2.head
+    assert(js.kind == "job_statistics")
+    assert(js.info.contains("makespan=5000"))
+    assert(js.info.contains("models=8"))
+    assert(js.info.contains("fitted=220"))
+    assert(!fired.exists)
+  }
+
+  test("spoke state survives a streaming-query restart from checkpoint") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val ck = s"$dir/_ckpt"
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[SpokeEvent]()
+    def start() = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/data").as[Envelope]
+      Spoke.run(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[SpokeEvent], _: Long) =>
+          df.collect().foreach(sink.add))
+        .start()
+    }
+    val batch1: Seq[Envelope] = Seq(ctl(0, "Create", "PA"),
+      data(1, 1, Some(1.0)), data(2, 2, Some(-1.0)), data(3, 3, Some(1.0)))
+    batch1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // second incarnation: only a Query arrives; fitted=3 proves the model
+    // state was recovered from the checkpointed state store
+    Thread.sleep(1100)
+    Seq(ctl(10, "Query", reqId = 77L)).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$dir/data")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val resp = sink.toArray(Array.empty[SpokeEvent]).find(_.kind == "response")
+    assert(resp.isDefined, s"no response in ${sink.size} events")
+    assert(resp.get.info == "fitted=3", resp.get.info)
+    assert(resp.get.requestId == 77L)
+  }
+
   test("within-trigger events replay in seq order regardless of iterator order") {
     val st = fresh()
     // Create has lower seq than the data — must apply first even though the
