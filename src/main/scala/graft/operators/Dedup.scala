@@ -83,19 +83,22 @@ object Dedup {
         val sh = shingles(s, d)
         val hs = sh.withColumn("h",
           expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
-        val perms = s.range(0, 16).select(
-          col("id").cast(IntegerType).as("i"),
-          (lit(100003L) + lit(7919L) * col("id")).as("a"),
-          (lit(12345L) + lit(104729L) * col("id")).as("b"))
-        val mh = hs.crossJoin(broadcast(perms))
-          .select(col("doc_id"), col("i"),
-            ((col("a") * col("h") + col("b")) % lit(2147483647L)).as("v"))
-          .groupBy("doc_id", "i").agg(min("v").as("mh"))
-        val bands = mh.withColumn("band", expr("i div 4"))
-          .groupBy("doc_id", "band")
-          .agg(expr(
-            "concat_ws(',', transform(sort_array(collect_list(struct(i, mh))), x -> cast(x.mh as string)))")
-            .as("sig"))
+        // All 16 permutation minima as columns of ONE aggregation: a single
+        // shuffle with map-side partial min, instead of crossJoin x16 (which
+        // would move 16x the shingle volume — the difference at 100 TB).
+        val mhCols = (0 until 16).map { i =>
+          min((lit(100003L + 7919L * i) * col("h") + lit(12345L + 104729L * i))
+            % lit(2147483647L)).as(s"m$i")
+        }
+        val sig = hs.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        val bandStructs = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast(StringType)): _*)
+              .as("sig"))
+        }
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

@@ -84,6 +84,64 @@ object StreamOps {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin)),
     // ------------------------------------------------------------------
+    // Continuous training: 4 staged files = 4 micro-batches = 4 protocol
+    // rounds, per-batch replica merge from the running global (the
+    // reference's continuous PS exchange, SURVEY §3.2/§3.4(b)). Output: the
+    // per-batch learning curve + shipping stats.
+    Op("st05_streaming_train", (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_train_").toString
+      val feat = T.embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("features"),
+        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
+      feat.repartitionByRange(4, col("vec_id"))
+        .select("features", "target")
+        .write.mode("append").parquet(dir)
+      val schema = StructType(Seq(
+        StructField("features", ArrayType(DoubleType)),
+        StructField("target", DoubleType)))
+      val fit = StreamingTrainer.fitStream(s, dir, schema,
+        graft.pipeline.PipelineSpec(11, "PA", Map("C" -> 0.01), Nil, "Synchronous"))
+      fit.curve.toDF().orderBy("batch")
+    }),
+    // ------------------------------------------------------------------
+    // Typed Aggregator statistics merge (SURVEY §4's custom Aggregator):
+    // per-pipeline totals with map-side partials, oracle-checked.
+    Op("st06_stats_aggregate", (s, d) => {
+      import s.implicits._
+      val evts = T.orders(s, d).select(
+        (col("o_custkey") % 4).cast(IntegerType).as("pipelineId"),
+        (col("o_orderkey") % 7).as("modelsShipped"),
+        (col("o_orderkey") % 1000).as("bytesShipped"),
+        lit(1L).as("blocks"),
+        (col("o_orderkey") % 13).as("fitted"),
+        (col("o_totalprice") / 1000000.0).as("score"),
+        unix_millis(col("o_orderdate").cast(TimestampType)).as("eventTimeMs"))
+        .as[StatEvent]
+      evts.groupByKey(_.pipelineId)
+        .agg(graft.functions.StatsMergeAggregator.toColumn.name("st"))
+        .select(col("key").as("pipeline_id"),
+          col("st.modelsShipped").as("models_shipped"),
+          col("st.bytesShipped").as("bytes_shipped"),
+          col("st.blocks").as("blocks"),
+          col("st.fitted").as("fitted"),
+          col("st.score").as("score"),
+          col("st.firstTsMs").as("first_ts_ms"),
+          col("st.lastTsMs").as("last_ts_ms"))
+        .orderBy("pipeline_id")
+    },
+      Some("""SELECT CAST(o_custkey % 4 AS INTEGER) AS pipeline_id,
+        |  CAST(SUM(o_orderkey % 7) AS BIGINT) AS models_shipped,
+        |  CAST(SUM(o_orderkey % 1000) AS BIGINT) AS bytes_shipped,
+        |  COUNT(*) AS blocks,
+        |  CAST(SUM(o_orderkey % 13) AS BIGINT) AS fitted,
+        |  MAX(o_totalprice / 1000000.0) AS score,
+        |  epoch_ms(min(o_orderdate)) AS first_ts_ms,
+        |  epoch_ms(max(o_orderdate)) AS last_ts_ms
+        |FROM orders
+        |GROUP BY 1 ORDER BY pipeline_id""".stripMargin)),
+    // ------------------------------------------------------------------
     // Keyed stateful spoke over a staged envelope stream: batch 1 delivers
     // 100 data points BEFORE the Create (exercising the pre-Create buffer,
     // SpokeLogic.scala:28-35) plus the Create; batch 2 delivers the rest,

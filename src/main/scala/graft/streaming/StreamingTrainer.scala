@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.ml._
+import graft.pipeline.PipelineSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Continuous training over a stream: every micro-batch trains
+  * partition-local replicas seeded from the current global model, and the
+  * protocol folds them into the next global — the reference's continuous
+  * parameter-server exchange (SURVEY §3.2) realized at micro-batch
+  * granularity via foreachBatch, with no Kafka feedback loop (design (b) of
+  * SURVEY §3.4). The prequential cumulative loss per batch is the learning
+  * curve the reference's statistics pipeline tracks (FlinkHub.scala:96-156).
+  */
+object StreamingTrainer {
+
+  final case class BatchPoint(batch: Long, fitted: Long, cumLoss: Double,
+      modelsShipped: Long, bytesShipped: Long)
+
+  final case class StreamFit(model: ModelState, learner: OnlineLearner,
+      protocolName: String, stats: ProtocolStats, curve: Seq[BatchPoint])
+
+  /** `dir` holds parquet files of (features: array<double>, target: double);
+    * each file becomes one micro-batch (one protocol round).
+    */
+  def fitStream(spark: SparkSession, dir: String, schema: StructType,
+      spec: PipelineSpec): StreamFit = {
+    val learner = Learners.create(spec.learner, spec.learnerHp)
+    var global: Option[ModelState] = None
+    var protocolName = spec.protocol
+    val stats = ProtocolStats()
+    var totalFitted = 0L
+    var totalCumLoss = 0.0
+    val curve = ArrayBuffer[BatchPoint]()
+
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_ckpt_train")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val rdd = df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        val protocol = Protocols.resolve(spec.protocol, spec.learner,
+          rdd.getNumPartitions, spec.protocolHp)
+        protocolName = protocol.name
+        val data = protocol.maxParallelism match {
+          case Some(p) if rdd.getNumPartitions > p => rdd.coalesce(p)
+          case _ => rdd
+        }
+        val bcGlobal = spark.sparkContext.broadcast(global)
+        val replicas = data.mapPartitions { it =>
+          var model: ModelState = bcGlobal.value.map(_.deepCopy).orNull
+          if (model != null) { model.n = 0L; model.cumLoss = 0.0 }
+          var any = false
+          it.foreach { case (x, y) =>
+            if (model == null) model = learner.init(x.length) // dim from data
+            any = true
+            learner.fit(model, x, y)
+          }
+          if (any) { learner.finish(model); Iterator.single(model) }
+          else Iterator.empty
+        }.collect().toSeq
+        if (replicas.nonEmpty) {
+          val merged = protocol.aggregate(replicas, global, learner, stats)
+          totalFitted += merged.n
+          totalCumLoss += merged.cumLoss
+          merged.n = totalFitted
+          merged.cumLoss = totalCumLoss
+          global = Some(merged)
+          curve += BatchPoint(batchId, totalFitted, totalCumLoss,
+            stats.modelsShipped, stats.bytesShipped)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    StreamFit(global.getOrElse(learner.init(1)), learner, protocolName,
+      stats, curve.toSeq)
+  }
+}

@@ -43,8 +43,8 @@ def sortkey(row):
 
 def table_rows(rel, cols_sorted):
     df = rel.fetchdf()
-    cols = list(df.columns)
-    rows = [tuple(norm_cell(r[cols.index(c)]) for c in cols_sorted)
+    lower = {c.lower(): i for i, c in enumerate(df.columns)}
+    rows = [tuple(norm_cell(r[lower[c]]) for c in cols_sorted)
             for r in df.itertuples(index=False, name=None)]
     rows.sort(key=sortkey)
     return rows
