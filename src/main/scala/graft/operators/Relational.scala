@@ -372,6 +372,55 @@ object Relational {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
     // ------------------------------------------------------------------
+    // Set operations beyond union: nations having customers INTERSECT/EXCEPT
+    // nations having suppliers.
+    Op(
+      "q20_setops",
+      (s, d) => {
+        val cn = T.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        val sn = T.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+        cn.intersect(sn).withColumn("op", lit("both"))
+          .unionByName(cn.except(sn).withColumn("op", lit("customer_only")))
+          .orderBy("op", "nationkey")
+      },
+      Some("""SELECT nationkey, 'both' AS op FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS op FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Skew-mitigation pattern proven correct: lineitem joined to supplier
+    // through an explicit 8-way salt (small side replicated per salt, big
+    // side salted by a deterministic hash) must produce exactly the plain
+    // join's aggregate. At 100 TB this is the manual fallback when AQE's
+    // skew-join splitting isn't available (e.g. bucketed inputs).
+    Op(
+      "q21_salted_skew_join",
+      (s, d) => {
+        val salts = 8
+        val li = T.lineitem(s, d)
+          .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        val su = T.supplier(s, d)
+          .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+        li.join(broadcast(su),
+            col("l_suppkey") === col("s_suppkey") && li("salt") === su("salt"))
+          .groupBy(col("s_name"))
+          .agg(
+            sum(dec2(col("l_extendedprice")) * disc(col("l_discount")))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("s_name")
+      },
+      Some(s"""SELECT s_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * $sqlDisc) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "q16_monthly_revenue",
       (s, d) =>

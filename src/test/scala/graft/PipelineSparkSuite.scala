@@ -102,6 +102,47 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(preds.columns.toSeq == Seq("id", "prediction"))
   }
 
+  test("prediction sink round-trips through to_json and the wire parser") {
+    import spark.implicits._
+    val preds = Seq(Prediction(1, 10L, 1.5), Prediction(1, 11L, -0.5)).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    Sinks.writeJson(preds, dir)
+    val back = spark.read.json(Sinks.readJson(spark, dir).select("value").as[String])
+    assert(back.count() == 2)
+    val row = back.filter($"pointId" === 10L).head()
+    assert(row.getAs[Double]("value") == 1.5)
+    assert(row.getAs[Long]("pipelineId") == 1L)
+  }
+
+  test("MLP regression head fits a linear target") {
+    val rows = synthetic(3000, 4, 131L)
+    val l = new graft.ml.MLP(8, 1, 42L, 0.02)
+    val m = l.init(4)
+    var s = 17L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val wStar = Array.fill(4)(next())
+    val data = rows.map { case (x, _) => (x, La.dot(wStar, x) + 0.5) }
+    for (_ <- 1 to 5; (x, y) <- data) l.fit(m, x, y)
+    val rmse = math.sqrt(data.map { case (x, y) =>
+      val e = l.predict(m, x) - y; e * e
+    }.sum / data.length)
+    assert(rmse < 0.15, s"rmse $rmse")
+  }
+
+  test("approx_count_distinct stays within 5% of exact on lineitem keys") {
+    val li = T.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+      org.apache.spark.sql.functions.approx_count_distinct("l_orderkey").as("approx"),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("exact")).head()
+    val approx = row.getAs[Long]("approx").toDouble
+    val exact = row.getAs[Long]("exact").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
+  }
+
   test("wire parsing drops EOS, malformed and featureless records") {
     import spark.implicits._
     val good =
