@@ -142,6 +142,51 @@ object StreamOps {
         |FROM orders
         |GROUP BY 1 ORDER BY pipeline_id""".stripMargin)),
     // ------------------------------------------------------------------
+    // K5 ResponseConstructor (ResponseConstructor.scala:13-69) redesigned as
+    // a proper aggregation (SURVEY §7 hard-part (c)): W worker-sharded
+    // spokes (control requests broadcast to every shard — the C2
+    // hub-broadcast expansion), each answering a Query with a partial
+    // response; partials merge by requestId with a count==W gate,
+    // dataFitted summed, losses averaged.
+    Op("st07_response_merge", (s, d) => {
+      import s.implicits._
+      val workers = 4
+      val dir = java.nio.file.Files.createTempDirectory("graft_rc_").toString
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("f"),
+          when(col("label") >= 5, 1.0).otherwise(-1.0).as("t"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      // composite key pipelineId*1024 + worker; Create/Query broadcast to all
+      def key(w: Int) = 1 * 1024 + w
+      val creates = (0 until workers).map(w =>
+        Envelope(w.toLong, key(w), "control", "Create", "PA", 1L, -1, Nil, None, ""))
+      val points = base.map { case (id, f, t) =>
+        Envelope(100 + id, key((id % workers).toInt), "data", "", "", -1L, id,
+          f, Some(t), "training")
+      }
+      val queries = (0 until workers).map(w =>
+        Envelope(1000000L + w, key(w), "control", "Query", "", 9L, -1, Nil, None, ""))
+      (creates ++ points ++ queries).toSeq.toDS()
+        .coalesce(1).write.mode("append").parquet(dir)
+      val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+        .parquet(dir).as[Envelope]
+      val q = Spoke.run(src).writeStream
+        .format("memory").queryName(uniq("st07")).outputMode("append")
+        .option("checkpointLocation", s"$dir/_ckpt").start()
+      q.processAllAvailable(); q.stop()
+      s.table(q.name)
+        .filter(col("kind") === "response")
+        .select(col("requestId"),
+          (col("pipelineId") - 1024).as("worker"),
+          regexp_extract(col("info"), "fitted=(\\d+)", 1).cast(LongType).as("fitted"),
+          col("value").as("cum_loss"))
+        .groupBy("requestId")
+        .agg(count(lit(1)).as("parts"), sum("fitted").as("data_fitted"),
+          (sum("cum_loss") / count(lit(1))).as("avg_cum_loss"))
+        .filter(col("parts") === workers) // the reference's exactly-p barrier
+        .orderBy("requestId")
+    }),
+    // ------------------------------------------------------------------
     // Keyed stateful spoke over a staged envelope stream: batch 1 delivers
     // 100 data points BEFORE the Create (exercising the pre-Create buffer,
     // SpokeLogic.scala:28-35) plus the Create; batch 2 delivers the rest,

@@ -100,24 +100,29 @@ case class SpokeState(
     modelBlob: Array[Byte],
     buffered: Seq[(Seq[Double], Option[Double])])
 
-object Spoke {
+/** The spoke state machine, shared by both stateful-API bindings
+  * ([[Spoke]]: flatMapGroupsWithState; [[TwsSpoke]]: Spark 4
+  * transformWithState): pure (events, state) -> (outputs, state).
+  */
+object SpokeCore {
   val BufferCap = 100000 // reference record-buffer cap (SpokeLogic.scala:32)
 
-  private def ser(m: ModelState): Array[Byte] = {
+  def ser(m: ModelState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val oos = new ObjectOutputStream(bos)
     oos.writeObject(m); oos.close()
     bos.toByteArray
   }
-  private def deser(b: Array[Byte]): ModelState = {
+  def deser(b: Array[Byte]): ModelState = {
     val ois = new ObjectInputStream(new ByteArrayInputStream(b))
     ois.readObject().asInstanceOf[ModelState]
   }
 
-  /** Keyed stateful core: one call per (pipelineId, trigger). */
-  def process(key: Int, it: Iterator[Envelope], state: GroupState[SpokeState]): Iterator[SpokeEvent] = {
-    val events = it.toArray.sortBy(_.seq)
-    var st = state.getOption.getOrElse(SpokeState("", created = false, null, Nil))
+  /** One trigger's worth of events for one pipeline. */
+  def step(key: Int, eventsIn: Iterator[Envelope], prev: Option[SpokeState])
+      : (Seq[SpokeEvent], Option[SpokeState]) = {
+    val events = eventsIn.toArray.sortBy(_.seq)
+    var st = prev.getOrElse(SpokeState("", created = false, null, Nil))
     var learner: OnlineLearner = if (st.created) Learners.create(st.learnerName) else null
     var model: ModelState = if (st.modelBlob != null) deser(st.modelBlob) else null
     var buffer = st.buffered.toVector
@@ -154,7 +159,7 @@ object Spoke {
         case _ => ()
       } else {
         if (learner == null) {
-          if (buffer.length < BufferCap) buffer :+= ((e.features, e.target))
+          if (buffer.length < SpokeCore.BufferCap) buffer :+= ((e.features, e.target))
         } else if (e.operation == "forecasting") {
           if (model != null)
             out += SpokeEvent(key, "prediction", -1, e.id,
@@ -162,9 +167,21 @@ object Spoke {
         } else train(e.features, e.target)
       }
     }
-    state.update(st.copy(
+    (out.toSeq, Some(st.copy(
       modelBlob = if (model == null) null else ser(model),
-      buffered = buffer))
+      buffered = buffer)))
+  }
+}
+
+/** flatMapGroupsWithState binding of [[SpokeCore]] (works with the default
+  * HDFS-backed state store).
+  */
+object Spoke {
+  val BufferCap: Int = SpokeCore.BufferCap
+
+  def process(key: Int, it: Iterator[Envelope], state: GroupState[SpokeState]): Iterator[SpokeEvent] = {
+    val (out, next) = SpokeCore.step(key, it, state.getOption)
+    next.foreach(state.update)
     out.iterator
   }
 
@@ -175,6 +192,40 @@ object Spoke {
     envelopes.groupByKey(_.pipelineId)
       .flatMapGroupsWithState[SpokeState, SpokeEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+}
+
+/** Spark 4 `transformWithState` binding of [[SpokeCore]] — the stateful API
+  * SURVEY §2.4 maps K1/K2 onto. Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`).
+  */
+class TwsSpokeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Envelope, SpokeEvent] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var state: ValueState[SpokeState] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[SpokeState]("spokeState",
+      Encoders.product[SpokeState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[Envelope],
+      timerValues: TimerValues): Iterator[SpokeEvent] = {
+    val prev = if (state.exists()) Some(state.get()) else None
+    val (out, next) = SpokeCore.step(key, rows, prev)
+    next.foreach(state.update)
+    out.iterator
+  }
+}
+
+object TwsSpoke {
+  def run(envelopes: Dataset[Envelope]): Dataset[SpokeEvent] = {
+    import envelopes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    envelopes.groupByKey(_.pipelineId)
+      .transformWithState(new TwsSpokeProcessor, TimeMode.None(), OutputMode.Append())
   }
 }
 

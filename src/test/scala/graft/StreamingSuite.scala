@@ -107,6 +107,37 @@ class StreamingSuite extends AnyFunSuite {
     assert(resp.get.requestId == 77L)
   }
 
+  test("transformWithState spoke (RocksDB state store) matches the fMGWS semantics") {
+    val spark = TestSession.spark
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_").toString
+    val batch1: Seq[Envelope] = Seq(
+      data(0, 1, Some(1.0)), data(1, 2, Some(-1.0)), // buffered pre-Create
+      ctl(5, "Create", "PA"))
+    val batch2: Seq[Envelope] = Seq(
+      data(10, 3, Some(1.0)),
+      data(11, 40, None, "forecasting"),
+      ctl(12, "Query", reqId = 5L))
+    batch1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    Thread.sleep(1200)
+    batch2.toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val src = s2.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/data").as[Envelope]
+    val q = TwsSpoke.run(src).writeStream
+      .format("memory").queryName("tws_spoke").outputMode("append")
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val rows = s2.table("tws_spoke").as[SpokeEvent].collect()
+    assert(rows.exists(e => e.kind == "log" && e.value == 2.0), "drain of 2 buffered")
+    assert(rows.exists(e => e.kind == "response" && e.info == "fitted=3"),
+      rows.mkString(";"))
+    assert(rows.count(_.kind == "prediction") == 1)
+  }
+
   test("within-trigger events replay in seq order regardless of iterator order") {
     val st = fresh()
     // Create has lower seq than the data — must apply first even though the
