@@ -66,6 +66,18 @@ object Wire {
       col("target"),
       coalesce(col("operation"), lit("training")).as("operation"))
 
+  /** Typed view of the lowered points (compile-time field checks for the
+    * training paths that want them; the relational surface keeps DataFrame).
+    */
+  def toTypedPoints(instances: DataFrame): Dataset[LearningPoint] = {
+    val spark = instances.sparkSession
+    import spark.implicits._
+    toPoints(instances)
+      .select(col("id"), col("features"), col("categoricals"),
+        col("target"), col("operation"))
+      .as[LearningPoint]
+  }
+
   /** Parse a column of Request JSON strings, dropping invalid ones. */
   def parseRequests(df: DataFrame, jsonCol: String): DataFrame =
     df.withColumn("__rq", from_json(col(jsonCol), requestSchema))

@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
@@ -141,6 +143,43 @@ class PipelineSparkSuite extends AnyFunSuite {
     val approx = row.getAs[Long]("approx").toDouble
     val exact = row.getAs[Long]("exact").toDouble
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
+  }
+
+  test("bucketed tables join co-located: no shuffle on the join keys") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.sql("DROP TABLE IF EXISTS b_orders")
+    s2.sql("DROP TABLE IF EXISTS b_lineitem")
+    T.orders(s2, "/root/testdata/sf0.001").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    T.lineitem(s2, "/root/testdata/sf0.001").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val j = s2.table("b_lineitem")
+      .join(s2.table("b_orders"),
+        s2.table("b_lineitem")("l_orderkey") === s2.table("b_orders")("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"), plan)
+    // bucketing co-locates the join: the only exchange left is the final
+    // aggregation's, not the join's
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (agg only), got $exchanges:\n$plan")
+    assert(j.collect().map(_.getLong(1)).sum == 6000L)
+  }
+
+  test("typed Dataset[LearningPoint] surface round-trips the wire format") {
+    import spark.implicits._
+    val df = Seq(
+      """{"id": 3, "operation": "training", "numericalFeatures": [0.5], "discreteFeatures": [2], "target": 1.0}""")
+      .toDF("value")
+    val ds = Wire.toTypedPoints(Wire.parseInstances(df, "value"))
+    val p = ds.head()
+    assert(p.id == 3L && p.isTraining)
+    assert(p.features.toSeq == Seq(0.5, 2.0))
+    assert(p.target.contains(1.0))
   }
 
   test("wire parsing drops EOS, malformed and featureless records") {
