@@ -57,6 +57,32 @@ object VectorOps {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Rabin–Karp rolling hashes of every k-char window: h_i = sum(c_j *
+    * B^(k-1-j)) mod P computed in O(n) by rolling. Equals the DuckDB
+    * per-position fold `(acc*257 + unicode(char)) % 1000000007` exactly
+    * (ASCII text; chars are UTF-16 units).
+    */
+  def rollingHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val B = 257L; val P = 1000000007L
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    var pow = 1L
+    var j = 0
+    while (j < k - 1) { pow = pow * B % P; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + str.charAt(i)) % P; i += 1 }
+    out(0) = h
+    while (i < n) {
+      h = (((h - str.charAt(i - k) * pow % P + P) % P) * B + str.charAt(i)) % P
+      out(i - k + 1) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
     * token multiplicity; bit set iff the vote sum is positive.
     */
@@ -106,6 +132,16 @@ case class DotFD(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** `rolling_hashes(string) -> array<long>` (k=8 windows), codegen'd. */
+case class RollingHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.rollingHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.rollingHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -135,5 +171,8 @@ object F {
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)),
+    (FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
+      (es: Seq[Expression]) => RollingHashes(es.head, 8)),
   )
 }

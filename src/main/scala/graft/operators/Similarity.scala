@@ -42,7 +42,52 @@ object Similarity {
       |         / CAST(2147483648 AS DOUBLE) - 0.5) AS r
       |  FROM (SELECT unnest(generate_series(0, 5)) AS p)""".stripMargin
 
+  /** IVF-style ANN (the brief's second scale path besides LSH): an online
+    * K-means coarse quantizer (trained through the engine's own distributed
+    * Trainer under SingleLearner semantics) partitions the corpus into
+    * inverted lists; queries probe the nprobe nearest centroids and rank
+    * candidates by exact cosine. Rows-only checked (centroids are not
+    * SQL-derivable); list assignment + probing logic is deterministic.
+    */
+  private val s03 = Op("s03_ann_ivf", (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val nlist = 16; val nprobe = 2
+    val feats = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("fd"),
+        col("embedding"))
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val quant = graft.pipeline.Trainer.fit(s,
+      graft.pipeline.PipelineSpec(21, "K-means", Map("k" -> nlist.toDouble), Nil,
+        "Asynchronous", rounds = 1),
+      feats.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
+    val km = quant.model.asInstanceOf[graft.ml.KMeansState]
+    val bcKm = s.sparkContext.broadcast(km)
+    val bucketOf = udf((v: Seq[Double]) => bcKm.value.nearest(v.toArray))
+    val listed = feats.withColumn("bucket", bucketOf(col("fd")))
+    // nprobe nearest centroids per query vector
+    val probeOf = udf { (v: Seq[Double]) =>
+      val x = v.toArray
+      val k = bcKm.value
+      (0 until k.filled).map(c =>
+        (c, graft.ml.La.sqdist(k.centroids.slice(c * k.dim, (c + 1) * k.dim), x)))
+        .sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val q = listed.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeOf(col("fd"))).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    listed.select(col("vec_id"), col("embedding"), col("bucket"))
+      .join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "bucket", "cos")
+      .orderBy("q_id", "rk")
+  })
+
   val ops: Seq[Op] = Seq(
+    s03,
     // ------------------------------------------------------------------
     Op(
       "s01_topk_bruteforce",

@@ -30,7 +30,39 @@ object TextAnalysis {
   private def sqlHit(ws: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(ws)})))"
 
+  private val t06 = Op(
+    "t06_rolling_fingerprint",
+    (s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      T.documents(s, d)
+        .select(col("doc_id"), (length(col("text")) - lit(7)).as("npos"),
+          call_function("rolling_hashes", col("text")).as("hs"))
+        .filter(col("npos") >= 4)
+        .select(col("doc_id"), col("npos"), posexplode(col("hs")).as(Seq("pos0", "h")))
+        .withColumn("pos", col("pos0") + 1)
+        .withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") <= col("npos") - 3)
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy("doc_id", "fp")
+    },
+    Some("""WITH base AS (
+      |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents
+      |  WHERE length(text) - 7 >= 4),
+      |pos AS (SELECT doc_id, npos, text,
+      |        unnest(generate_series(1, npos)) AS pos FROM base),
+      |h AS (SELECT doc_id, npos, pos,
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(0, 7),
+      |          j -> CAST(unicode(text[pos+j:pos+j]) AS BIGINT))),
+      |        (acc, c) -> (acc * 257 + c) % 1000000007) AS h FROM pos),
+      |wmin AS (SELECT doc_id, pos, npos,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h)
+      |SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= npos - 3
+      |ORDER BY doc_id, fp""".stripMargin))
+
   val ops: Seq[Op] = Seq(
+    t06,
     // ------------------------------------------------------------------
     Op(
       "t01_token_stats",
@@ -120,6 +152,27 @@ object TextAnalysis {
         |   + (0.3::DOUBLE * (CAST(long_cnt AS DOUBLE) / n_tokens)))
         |   + (0.3::DOUBLE * CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS quality
         |FROM m ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // BPE-ish regex tokenization (the brief's second tokenizer): lowercase
+    // runs, digit runs, and single non-alnum marks — a pattern both Java
+    // regex (Spark) and RE2 (DuckDB) interpret identically.
+    Op(
+      "t05_bpe_tokens",
+      (s, d) =>
+        T.documents(s, d).select(
+          col("doc_id"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .cast(LongType).as("n_tokens"),
+          expr("size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))")
+            .cast(LongType).as("n_uniq"),
+          expr("size(regexp_extract_all(text, '[0-9]+', 0))")
+            .cast(LongType).as("n_number_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_uniq,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // ------------------------------------------------------------------
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k=8-char shingles,
     // hash = md5 32-bit prefix, window w=4 minima, distinct per doc.
