@@ -15,7 +15,7 @@ object Sinks {
     * record shape (key optional).
     */
   def toJsonRecords(df: DataFrame, keyCol: Option[String] = None): DataFrame = {
-    val value = to_json(struct(df.columns.map(col): _*)).as("value")
+    val value = to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value")
     keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value)
       case None => df.select(value)

@@ -43,7 +43,7 @@ object AsOf {
       .withColumn("__r", struct(rightCols.map(col): _*))
       .select((Seq("__k", "__t", "__isLeft", "__r").map(col) ++
         left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val unioned = lTagged.select(rTagged.columns.map(col): _*).unionByName(rTagged)
+    val unioned = lTagged.select(rTagged.columns.toIndexedSeq.map(col): _*).unionByName(rTagged)
     // Right rows sort before left rows at equal time (<= semantics); among
     // right rows with equal time the greatest tieBreak lands nearest the
     // left row, so `last(ignoreNulls)` picks it. Left rows carry a null
@@ -54,7 +54,7 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__isLeft") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col("__match").getField(c).as(c)): _*)
   }
 

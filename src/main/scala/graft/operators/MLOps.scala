@@ -74,6 +74,25 @@ object MLOps {
       PipelineSpec(8, "HT", Map("classes" -> 10.0, "grace" -> 50.0), Nil,
         "Asynchronous")),
     // ------------------------------------------------------------------
+    // Training at the largest fixture volume (600k lineitem rows at sf0.1):
+    // demonstrates the ingest+train path at scale, not learner quality.
+    Op("ml11_volume_train", (s, d) => {
+      import s.implicits._
+      val df = T.lineitem(s, d).select(
+        array(col("l_quantity"), col("l_extendedprice") / lit(1000.0),
+          col("l_discount") * lit(10.0), col("l_tax") * lit(10.0)).as("features"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(-1.0).as("target"))
+      val fitted = Trainer.fit(s,
+        PipelineSpec(12, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous",
+          rounds = 2),
+        df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1))))
+      fitted.responses(requestId = 2L).toDF()
+        .select(col("responseId"), col("id"), col("mlpId"), col("learner"),
+          col("protocol"), col("dataFitted"), col("loss"), col("cumulativeLoss"),
+          col("score"), col("paramsCount"))
+        .orderBy("id")
+    }),
+    // ------------------------------------------------------------------
     Op("ml09_predictions", (s, d) => {
       val df = binary(features(s, d))
       val fitted = Trainer.fit(s,

@@ -39,7 +39,7 @@ object Streaming {
     */
   def stageEvents(spark: SparkSession, events: DataFrame, nFiles: Int): (String, StructType, Long) = {
     val dir = Files.createTempDirectory("graft_stream_").toString
-    val maxTs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
     events.repartitionByRange(nFiles, col("ts"))
       .write.mode("append").parquet(dir)
     // sentinel: one far-future row per schema, closes all real windows
