@@ -145,6 +145,14 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
   }
 
+  test("training tolerates empty partitions and tiny data") {
+    val data = spark.sparkContext.parallelize(synthetic(5, 3, 137L), 16)
+    val fitted = Trainer.fit(spark,
+      PipelineSpec(4, "PA", Map("C" -> 0.05), Nil, "Synchronous", rounds = 2), data)
+    assert(fitted.model.n > 0)
+    assert(fitted.responses(1L).nonEmpty)
+  }
+
   test("bucketed tables join co-located: no shuffle on the join keys") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ

@@ -138,6 +138,21 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows.count(_.kind == "prediction") == 1)
   }
 
+  test("two pipelines in one envelope stream keep isolated models") {
+    val st1 = fresh(); val st2 = fresh()
+    def forPipeline(p: Int)(e: Envelope) = e.copy(pipelineId = p)
+    val create = ctl(0, "Create", "PA")
+    Spoke.process(1, Iterator(create, data(1, 1, Some(1.0)), data(2, 2, Some(1.0))), st1)
+      .foreach(_ => ())
+    Spoke.process(2, Iterator(forPipeline(2)(create),
+      data(1, 9, Some(-1.0))), st2).foreach(_ => ())
+    val r1 = Spoke.process(1, Iterator(ctl(10, "Query")), st1).toSeq.head
+    val r2 = Spoke.process(2, Iterator(forPipeline(2)(ctl(10, "Query"))), st2).toSeq.head
+    assert(r1.info == "fitted=2")
+    assert(r2.info == "fitted=1")
+    assert(r1.pipelineId == 1 && r2.pipelineId == 2)
+  }
+
   test("within-trigger events replay in seq order regardless of iterator order") {
     val st = fresh()
     // Create has lower seq than the data — must apply first even though the
