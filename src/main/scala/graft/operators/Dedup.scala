@@ -18,6 +18,22 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Near-dup pairs at Jaccard >= 0.1 over word-5-gram shingles (the d02
+    * pipeline without the reporting columns) — shared by d02 and d06.
+    */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")) >= 0.1)
+      .select("doc_a", "doc_b")
+  }
+
   /** Distinct word 5-gram shingles per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -158,6 +174,59 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Connected-components clustering of the near-dup pair graph — the step
+    // a real dedup pipeline runs after pair generation (keep one doc per
+    // component). Iterative min-label propagation over the (tiny) pair
+    // graph: each iteration is one join + aggregate; at corpus scale this is
+    // the standard O(log n)-round CC (cluster diameters here are far below
+    // the 10-round cap, so the fixpoint is reached; oracle computes the true
+    // transitive closure with a recursive CTE).
+    Op(
+      "d06_dedup_clusters",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).cache()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .cache()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        for (_ <- 1 to 10) {
+          val prop = edges.join(labels, col("dst") === col("node"))
+            .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+          labels = labels.join(prop, col("node") === col("src"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+            // truncate lineage: 10 stacked joins would otherwise send the
+            // analyzer/optimizer superlinear (iterative algorithms always
+            // checkpoint — same rule as GraphX/ALS)
+            .localCheckpoint()
+        }
+        labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("size"),
+            expr("concat_ws(',', transform(sort_array(collect_list(node)), x -> cast(x as string)))")
+              .as("members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS ($sqlShingles),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM pr
+        |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.t),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+        |SELECT label AS cluster_id, COUNT(*) AS size,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+        |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
     // ------------------------------------------------------------------
     Op(
       "d05_embed_neardup",

@@ -422,6 +422,72 @@ object Relational {
         |ORDER BY s_name""".stripMargin)),
     // ------------------------------------------------------------------
     Op(
+      "q22_cube",
+      (s, d) =>
+        T.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("revenue"))
+          .orderBy("status", "priority"),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Correlated aggregate subquery (TPC-H Q17 shape): lineitems under 40%
+    // of their part's average quantity. Decorrelates to an aggregate + join.
+    Op(
+      "q23_correlated_avg",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val partAvg = li.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+            .cast(DoubleType).as("avg_qty"))
+        li.join(partAvg, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.4) * col("avg_qty"))
+          .agg(
+            sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("total_price"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice")} AS total_price, COUNT(*) AS n_items
+        |FROM lineitem l
+        |WHERE l_quantity < 0.4 * (
+        |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin)),
+    // ------------------------------------------------------------------
+    // lag/lead + centered moving average per customer order history.
+    Op(
+      "q24_lag_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        T.orders(s, d)
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("ma3",
+            (sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-1, 1)).cast(DoubleType) /
+              count(lit(1)).over(w.rowsBetween(-1, 1))).cast(DoubleType))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("prev_price"), col("next_price"), col("ma3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS ma3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
       "q16_monthly_revenue",
       (s, d) =>
         T.orders(s, d)
