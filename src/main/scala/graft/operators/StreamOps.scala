@@ -142,6 +142,49 @@ object StreamOps {
         |FROM orders
         |GROUP BY 1 ORDER BY pipeline_id""".stripMargin)),
     // ------------------------------------------------------------------
+    // Stream-stream inner join with a time-range condition: purchases
+    // joined to the same user's signups within the following 7 days. Both
+    // sides watermarked; the range condition bounds the join state.
+    Op("st08_stream_stream_join", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEvents(s, T.events(s, d), 4)
+      def side(name: String, tsAlias: String, idAlias: String) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") === name)
+          .select(col("user_id"), col("ts").as(tsAlias), col("event_id").as(idAlias))
+          .withWatermark(tsAlias, "35 days")
+      val signups = side("signup", "s_ts", "signup_event")
+      val purchases = side("purchase", "p_ts", "purchase_event")
+      val joined = signups.join(purchases,
+        signups("user_id") === purchases("user_id") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+        .select(signups("user_id"), col("signup_event"), col("purchase_event"),
+          (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
+      val q = joined.writeStream.format("memory").queryName(uniq("st08"))
+        .outputMode("append").option("checkpointLocation", s"$dir/_ckpt_ssj").start()
+      q.processAllAvailable(); q.stop()
+      s.table(q.name).orderBy("user_id", "signup_event", "purchase_event")
+    },
+      Some("""SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS delay_us
+        |FROM events s JOIN events p
+        |  ON p.user_id = s.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        |ORDER BY s.user_id, signup_event, purchase_event""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming deduplication: distinct (user_id, event_type) keys over the
+    // stream (dropDuplicates keyed state).
+    Op("st09_stream_distinct", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val res = Streaming.runStream(s, dir, schema, uniq("st09"), src =>
+        src.select(col("user_id"), col("event_type")).dropDuplicates())
+      res.filter(col("user_id") >= 0)
+        .orderBy("user_id", "event_type")
+    },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)),
+    // ------------------------------------------------------------------
     // K5 ResponseConstructor (ResponseConstructor.scala:13-69) redesigned as
     // a proper aggregation (SURVEY §7 hard-part (c)): W worker-sharded
     // spokes (control requests broadcast to every shard — the C2

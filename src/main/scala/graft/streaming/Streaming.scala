@@ -46,6 +46,7 @@ object Streaming {
     val sentinel = events.limit(1)
       .withColumn("ts", timestamp_micros(lit(maxTs + 40L * 86400L * 1000000L)))
       .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
       .withColumn("value", lit(0.0))
     sentinel.coalesce(1).write.mode("append").parquet(dir)
     (dir, events.schema, maxTs)
