@@ -487,6 +487,67 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     // ------------------------------------------------------------------
+    // Exact interpolated percentiles (both engines use the linear
+    // interpolation definition on the same doubles).
+    Op(
+      "q25_percentiles",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("med_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS med_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Array-function surface over the embeddings vectors.
+    Op(
+      "q26_array_funcs",
+      (s, d) =>
+        T.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("size(embedding)").cast(LongType).as("dim"),
+            expr("array_max(embedding)").cast(DoubleType).as("vmax"),
+            expr("array_min(embedding)").cast(DoubleType).as("vmin"),
+            expr("size(filter(embedding, x -> x > cast(0 as float)))")
+              .cast(LongType).as("n_pos"),
+            expr("cast(element_at(embedding, 1) as double)").as("first"),
+            expr("cast(element_at(embedding, -1) as double)").as("last"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(embedding[1] AS DOUBLE) AS first,
+        |  CAST(embedding[-1] AS DOUBLE) AS last
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // JSON extraction from the events.props payload column.
+    Op(
+      "q27_json_props",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            countDistinct(col("k")).as("n_distinct_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "q16_monthly_revenue",
       (s, d) =>

@@ -190,6 +190,43 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(p.target.contains(1.0))
   }
 
+  test("as-of join semantics: <=, tie-break on greatest key, null for no match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, 10L), // user 1 at t=10
+      (2L, 2L, 5L),  // user 2 at t=5: only rt<=5 rows qualify
+      (3L, 3L, 99L)  // user 3: no right rows -> nulls
+    ).toDF("lid", "user", "t")
+    val right = Seq(
+      (100L, 1L, 7L), // tie at rt=7 with 101
+      (101L, 1L, 7L),
+      (102L, 1L, 9L), // latest <= 10 -> wins for user 1
+      (200L, 2L, 5L), // exactly at left t -> included (<= semantics)
+      (201L, 2L, 6L)  // after left t=5 -> excluded
+    ).toDF("rid", "user", "rt")
+    val out = graft.operators.AsOf.asofJoin(
+      left, right, "user", "user",
+      org.apache.spark.sql.functions.col("t").cast("timestamp"),
+      org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+      Seq("rid"), "rid")
+      .orderBy("lid").collect()
+    assert(out(0).getAs[Long]("rid") == 102L)
+    assert(out(1).getAs[Long]("rid") == 200L)
+    assert(out(2).isNullAt(out(2).fieldIndex("rid"))) // no match
+  }
+
+  test("as-of join tie-break picks the greatest tie-break key at equal times") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("lid", "user", "t")
+    val right = Seq((100L, 1L, 7L), (101L, 1L, 7L)).toDF("rid", "user", "rt")
+    val out = graft.operators.AsOf.asofJoin(
+      left, right, "user", "user",
+      org.apache.spark.sql.functions.col("t").cast("timestamp"),
+      org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+      Seq("rid"), "rid").collect()
+    assert(out.head.getAs[Long]("rid") == 101L)
+  }
+
   test("wire parsing drops EOS, malformed and featureless records") {
     import spark.implicits._
     val good =
