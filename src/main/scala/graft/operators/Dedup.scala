@@ -228,6 +228,49 @@ object Dedup {
         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
         |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
     // ------------------------------------------------------------------
+    // SimHash near-dup pairs at Hamming distance <= 3, found by 4x8-bit
+    // banding: 3 differing bits can dirty at most 3 of the 4 bands, so every
+    // qualifying pair collides on at least one band — the banding is
+    // LOSSLESS, and the oracle proves it by scanning all O(n^2) pairs
+    // directly. Spark only ever joins within bands (scale path).
+    Op(
+      "d07_simhash_pairs",
+      (s, d) => {
+        val sh = T.documents(s, d)
+          .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
+        val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
+            .as("bb"))
+          .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |    FROM (
+        |      SELECT doc_id, unnest(generate_series(0, 31)) AS b, h FROM (
+        |        SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)))
+        |    GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "d05_embed_neardup",
       (s, d) => {
