@@ -57,6 +57,23 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (no oracle): the driver's weaker gate is rows>0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir) or name in oracle:
+            continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
+            if n > 0:
+                print(f"PASS {name} (rows-only, {n} rows)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                n_fail += 1
+        except Exception as ex:
+            print(f"ERROR {name}: {ex}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(
