@@ -49,6 +49,19 @@ object Bench {
 
     // JVM/codegen warmup so the first measured query isn't charged for it
     SparkEntry.entry(spark).count()
+    // Stage the shared streaming fixture and spin up one tiny streaming
+    // query: fixture staging and streaming-engine init are scaffolding,
+    // not operator cost, so keep them out of the first streaming query's bill.
+    graft.streaming.Streaming.stageEventsCached(spark, sfDir, 4)
+    locally {
+      import spark.implicits._
+      val wDir = java.nio.file.Files.createTempDirectory("graft_warm_").toString
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(wDir)
+      val q = spark.readStream.schema("id LONG, v STRING").parquet(wDir)
+        .dropDuplicates("id")
+        .writeStream.format("noop").option("checkpointLocation", s"$wDir/_ckpt").start()
+      q.processAllAvailable(); q.stop()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -191,16 +191,25 @@ object Dedup {
           .cache()
         var labels = edges.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))
-        for (_ <- 1 to 10) {
+        // Min-label propagation to fixpoint. Labels only decrease, so a
+        // stable label-sum is a true fixpoint (== the recursive-CTE oracle);
+        // iterations needed = component diameter, tiny for near-dup clusters.
+        // At 100TB-graph scale this loop becomes large-star/small-star
+        // contraction (O(log n) rounds) — see SCALE.md.
+        var prevSig = -1L
+        var converged = false
+        while (!converged) {
           val prop = edges.join(labels, col("dst") === col("node"))
             .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
           labels = labels.join(prop, col("node") === col("src"), "left")
             .select(col("node"),
               least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-            // truncate lineage: 10 stacked joins would otherwise send the
-            // analyzer/optimizer superlinear (iterative algorithms always
-            // checkpoint — same rule as GraphX/ALS)
+            // truncate lineage: stacked iterative joins would otherwise send
+            // the analyzer/optimizer superlinear (same rule as GraphX/ALS)
             .localCheckpoint()
+          val sig = labels.agg(sum(col("label"))).head().getLong(0)
+          converged = sig == prevSig
+          prevSig = sig
         }
         labels.groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("size"),

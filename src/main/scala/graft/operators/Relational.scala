@@ -445,9 +445,11 @@ object Relational {
       "q23_correlated_avg",
       (s, d) => {
         val li = T.lineitem(s, d)
-        val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        // ~1 row per part key (|part| ≈ SF·200k) — broadcast the aggregate
+        // side so the probe over lineitem stays shuffle-free.
+        val partAvg = broadcast(li.groupBy(col("l_partkey").as("pk"))
           .agg((sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
-            .cast(DoubleType).as("avg_qty"))
+            .cast(DoubleType).as("avg_qty")))
         li.join(partAvg, col("l_partkey") === col("pk"))
           .filter(col("l_quantity") < lit(0.4) * col("avg_qty"))
           .agg(

@@ -21,7 +21,7 @@ object StreamOps {
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
     Op("st01_tumbling_window", (s, d) => {
-      val (dir, schema, maxTs) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 4)
       val res = Streaming.runStream(s, dir, schema, uniq("st01"), src =>
         src.withWatermark("ts", "35 days")
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -38,7 +38,7 @@ object StreamOps {
         |ORDER BY window_start_us, event_type""".stripMargin)),
     // ------------------------------------------------------------------
     Op("st02_sliding_window", (s, d) => {
-      val (dir, schema, maxTs) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 4)
       val res = Streaming.runStream(s, dir, schema, uniq("st02"), src =>
         src.withWatermark("ts", "35 days")
           .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
@@ -61,7 +61,7 @@ object StreamOps {
         |ORDER BY window_start_us, event_type""".stripMargin)),
     // ------------------------------------------------------------------
     Op("st03_session_window", (s, d) => {
-      val (dir, schema, maxTs) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 4)
       val res = Streaming.runStream(s, dir, schema, uniq("st03"), src =>
         src.withWatermark("ts", "35 days")
           .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -146,7 +146,7 @@ object StreamOps {
     // joined to the same user's signups within the following 7 days. Both
     // sides watermarked; the range condition bounds the join state.
     Op("st08_stream_stream_join", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
       def side(name: String, tsAlias: String, idAlias: String) =
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
           .filter(col("event_type") === name)
@@ -160,10 +160,13 @@ object StreamOps {
           col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
         .select(signups("user_id"), col("signup_event"), col("purchase_event"),
           (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
-      val q = joined.writeStream.format("memory").queryName(uniq("st08"))
-        .outputMode("append").option("checkpointLocation", s"$dir/_ckpt_ssj").start()
-      q.processAllAvailable(); q.stop()
-      s.table(q.name).orderBy("user_id", "signup_event", "purchase_event")
+      Streaming.withStreamShuffle(s) {
+        val name = uniq("st08")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q.processAllAvailable(); q.stop()
+        s.table(name).orderBy("user_id", "signup_event", "purchase_event")
+      }
     },
       Some("""SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
         |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS delay_us
@@ -176,7 +179,7 @@ object StreamOps {
     // Streaming deduplication: distinct (user_id, event_type) keys over the
     // stream (dropDuplicates keyed state).
     Op("st09_stream_distinct", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEvents(s, T.events(s, d), 4)
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
       val res = Streaming.runStream(s, dir, schema, uniq("st09"), src =>
         src.select(col("user_id"), col("event_type")).dropDuplicates())
       res.filter(col("user_id") >= 0)
@@ -213,10 +216,12 @@ object StreamOps {
         .coalesce(1).write.mode("append").parquet(dir)
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .parquet(dir).as[Envelope]
-      val q = Spoke.run(src).writeStream
-        .format("memory").queryName(uniq("st07")).outputMode("append")
-        .option("checkpointLocation", s"$dir/_ckpt").start()
-      q.processAllAvailable(); q.stop()
+      val q = Streaming.withStreamShuffle(s) {
+        val q0 = Spoke.run(src).writeStream
+          .format("memory").queryName(uniq("st07")).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt").start()
+        q0.processAllAvailable(); q0.stop(); q0
+      }
       s.table(q.name)
         .filter(col("kind") === "response")
         .select(col("requestId"),
@@ -257,14 +262,21 @@ object StreamOps {
           dataEnv(base.takeRight(50).map(x => x.copy(_1 = x._1 + 300000L)).toSeq, "forecasting") :+
           Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")
       batch1.toDS().coalesce(1).write.mode("append").parquet(dir)
-      Thread.sleep(1500) // distinct mtimes: file source orders by mod time
+      // Distinct mtimes (file source orders by mod time): back-date batch 1
+      // instead of sleeping between the writes.
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, past))
       batch2.toDS().coalesce(1).write.mode("append").parquet(dir)
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope]
-      val q = Spoke.run(src).writeStream
-        .format("memory").queryName(uniq("st04")).outputMode("append")
-        .option("checkpointLocation", s"$dir/_ckpt").start()
-      q.processAllAvailable(); q.stop()
+      val q = Streaming.withStreamShuffle(s) {
+        val q0 = Spoke.run(src).writeStream
+          .format("memory").queryName(uniq("st04")).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt").start()
+        q0.processAllAvailable(); q0.stop(); q0
+      }
       s.table(q.name).orderBy("kind", "id", "requestId")
     }),
   )
