@@ -14,6 +14,7 @@ object SparkEntry {
   /** All operator registrations, in evaluation-cost order. */
   def allOps: Seq[Op] =
     operators.Relational.ops ++
+    operators.Relational2.ops ++
     operators.AsOf.ops ++
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++

@@ -299,5 +299,39 @@ object Dedup {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${VecSql.cos("a.embedding", "b.embedding")} >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Asymmetric n-gram containment (catches subset/quote duplication that
+    // symmetric Jaccard misses): |A∩B| / min(|A|,|B|) over the same shingle
+    // inverted index as d02 — one equi-join on shingle, no cross product.
+    Op(
+      "d08_containment",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("containment",
+            (col("inter").cast(DoubleType) / least(col("na"), col("nb")))
+              .cast(DoubleType))
+          .filter(col("containment") >= 0.5)
+          .select("doc_a", "doc_b", "inter", "containment")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS ($sqlShingles),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(inter AS DOUBLE) / least(na.n, nb.n) AS containment
+        |FROM pr
+        |JOIN sz na ON na.doc_id = doc_a
+        |JOIN sz nb ON nb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / least(na.n, nb.n) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

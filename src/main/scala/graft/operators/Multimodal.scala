@@ -97,5 +97,26 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
         |  CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS feat0
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Frame sampling over a media payload: treat every 100-char slice as a
+    // "frame" and keep every 2nd frame (the video frame-sample pattern:
+    // explode frame index, slice, fingerprint). The slice+hash stands in for
+    // a frame decode; the explode/slice plumbing is the real operator and is
+    // fully parallel per document.
+    Op("mm03_frame_sample", (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          expr("CAST(length(text) AS BIGINT) div 100").as("max_frame"))
+        .withColumn("f",
+          explode(expr("sequence(CAST(0 AS BIGINT), max_frame, CAST(2 AS BIGINT))")))
+        .select(col("doc_id"), col("f").as("frame_idx"),
+          md5(expr("substring(text, f * 100 + 1, 100)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""SELECT doc_id, f AS frame_idx,
+        |  md5(substring(text, CAST(f * 100 + 1 AS INT), 100)) AS frame_md5
+        |FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(0, CAST(length(text) // 100 AS BIGINT), 2)) AS f)
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{Op, T}
+import graft.Num._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational surface, part 2: pivot/unpivot, grouping sets, higher-order
+  * array functions, range-band join, window frames, date/regexp function
+  * families, and deterministic hash sampling. Same design rules as
+  * [[Relational]] — declarative Catalyst plans, decimal-exact numerics,
+  * broadcast hints where a side is provably small.
+  */
+object Relational2 {
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    // Pivot: order counts + revenue per priority, statuses as columns.
+    // Spark's pivot is a regular aggregate with a known value set (no extra
+    // pass); the oracle is the equivalent conditional aggregation.
+    Op(
+      "q28_pivot",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+          .select(col("priority"),
+            col("F_n").as("f_n"), col("F_rev").as("f_rev"),
+            col("O_n").as("o_n"), col("O_rev").as("o_rev"),
+            col("P_n").as("p_n"), col("P_rev").as("p_rev"))
+          .orderBy("priority"),
+      Some(s"""SELECT o_orderpriority AS priority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS f_rev,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS o_rev,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS p_rev
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Unpivot (stack): lineitem measure columns to (component, value) rows —
+    // one scan, no shuffle beyond the final aggregate.
+    Op(
+      "q29_unpivot",
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(expr(
+            """stack(4,
+              |  'quantity', l_quantity,
+              |  'extendedprice', l_extendedprice,
+              |  'discount', l_discount,
+              |  'tax', l_tax) AS (component, v)""".stripMargin))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+          .orderBy("component"),
+      Some("""WITH u AS (
+        |  SELECT 'quantity' AS component, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |SELECT component, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY component ORDER BY component""".stripMargin)),
+    // ------------------------------------------------------------------
+    // GROUPING SETS (finer than q22's full cube): (status, priority),
+    // (status), () — exercised through Spark SQL over a temp view.
+    Op(
+      "q30_grouping_sets",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+        s.sql(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS priority,
+          |  COUNT(1) AS n_orders,
+          |  ${sqlDsum("o_totalprice")} AS revenue
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY status, priority""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  ${sqlDsum("o_totalprice")} AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Higher-order array functions over the embedding vectors: transform /
+    // filter / aggregate (sequential index-order folds are bit-identical to
+    // DuckDB's list_reduce — the leading 0.0+x is exact) / array_sort.
+    Op(
+      "q31_higher_order",
+      (s, d) =>
+        T.embeddings(s, d)
+          .withColumn("el", expr("transform(embedding, x -> cast(x as double))"))
+          .select(col("vec_id"),
+            expr("aggregate(el, cast(0 as double), (a, x) -> a + x * x)").as("norm_sq"),
+            expr("""CASE WHEN size(filter(el, x -> x > 0)) = 0 THEN cast(0 as double)
+              |  ELSE aggregate(filter(el, x -> x > 0), cast(0 as double), (a, x) -> a + x) END"""
+              .stripMargin).as("pos_sum"),
+            expr("size(filter(el, x -> abs(x) > cast(0.2 as double)))")
+              .cast(LongType).as("n_large"),
+            expr("cast(element_at(array_sort(embedding), 1) as double)").as("sorted_first"),
+            expr("aggregate(zip_with(el, el, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
+              .as("self_dot"))
+          .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS el, embedding FROM embeddings)
+        |SELECT vec_id,
+        |  list_reduce(list_transform(el, x -> x * x), (a, b) -> a + b) AS norm_sq,
+        |  CASE WHEN len(list_filter(el, x -> x > 0)) = 0 THEN 0.0
+        |       ELSE list_reduce(list_filter(el, x -> x > 0), (a, b) -> a + b) END AS pos_sum,
+        |  CAST(len(list_filter(el, x -> abs(x) > 0.2)) AS BIGINT) AS n_large,
+        |  CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_first,
+        |  list_reduce(list_transform(el, x -> x * x), (a, b) -> a + b) AS self_dot
+        |FROM e ORDER BY vec_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Range/band join: orders matched to irregular literal price bands via
+    // an inequality predicate. The band table is tiny and broadcast, so the
+    // physical plan is a broadcast nested-loop probe — the right shape at any
+    // fact-table scale (never shuffle the big side for a band lookup).
+    Op(
+      "q32_band_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          (0L, 0.0, 50000.0), (1L, 50000.0, 120000.0), (2L, 120000.0, 210000.0),
+          (3L, 210000.0, 330000.0), (4L, 330000.0, 600000.0))
+          .toDF("band", "lo", "hi")
+        T.orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+            min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+          .orderBy("band")
+      },
+      Some(s"""SELECT band, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS revenue,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders JOIN (VALUES
+        |    (CAST(0 AS BIGINT), 0.0, 50000.0), (1, 50000.0, 120000.0),
+        |    (2, 120000.0, 210000.0), (3, 210000.0, 330000.0),
+        |    (4, 330000.0, 600000.0)) b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Window frame families: numeric RANGE frame, ntile, percent_rank,
+    // cume_dist (total order within each partition makes ranks deterministic).
+    Op(
+      "q33_window_frames",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        val wr = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+          .rangeBetween(-1000L, Window.currentRow)
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            sum(dec2(col("o_totalprice"))).over(wr).cast(DoubleType).as("range_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Date/time function family (dayofweek aligned: Spark is 1=Sunday,
+    // DuckDB 0=Sunday).
+    Op(
+      "q34_date_funcs",
+      (s, d) =>
+        T.orders(s, d)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("y"),
+            quarter(col("o_orderdate")).cast(LongType).as("q"),
+            month(col("o_orderdate")).cast(LongType).as("m"),
+            weekofyear(col("o_orderdate")).cast(LongType).as("iso_week"),
+            (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow0"),
+            dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
+            last_day(col("o_orderdate")).cast(DateType).as("month_end"),
+            date_trunc("quarter", col("o_orderdate")).cast(DateType).as("q_start"),
+            datediff(lit("2000-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+              .cast(LongType).as("days_to_2000"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_2000
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Regexp function family over document text (ASCII-safe patterns keep
+    // Java regex and RE2 semantics identical).
+    Op(
+      "q35_regexp",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+            regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("n_numbers"),
+            length(regexp_replace(col("text"), "[aeiou]", "")).cast(LongType)
+              .as("len_novowels"),
+            col("text").rlike("data").as("mentions_data"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowels,
+        |  regexp_matches(text, 'data') AS mentions_data
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Deterministic hash sampling (the scale-safe way to sample: a pure
+    // function of the key, no RNG state, stable across retries/partitions):
+    // keep ~1/8 of documents by md5 prefix.
+    Op(
+      "q36_hash_sample",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) < "20")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+  )
+}

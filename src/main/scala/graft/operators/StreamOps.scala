@@ -176,6 +176,61 @@ object StreamOps {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
         |ORDER BY s.user_id, signup_event, purchase_event""".stripMargin)),
     // ------------------------------------------------------------------
+    // Late-data handling: on-time data arrives as two time-ordered files
+    // (days 6..mid, mid..30); the third file carries days 0-6 and arrives
+    // after the watermark has long passed them — entirely late, entirely
+    // dropped. The oracle aggregates only the on-time rows. Two on-time
+    // files are needed because Spark filters late records with the PREVIOUS
+    // batch's watermark (SPARK-40925 chained-stateful-operator semantics):
+    // the filter lags eviction by one trigger. This is the §2.7 capability
+    // the reference lacks (ingestion-time only) and Spark watermarks provide.
+    Op("st10_late_data", (s, d) => {
+      import scala.jdk.CollectionConverters._
+      val ev = T.events(s, d)
+      val minTs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff = minTs + 6L * 86400L * 1000000L
+      val mid = (cutoff + maxTs) / 2
+      val dir = java.nio.file.Files.createTempDirectory("graft_late_").toString
+      def ls() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSet
+      def backdate(fs: Set[java.nio.file.Path], ageMs: Long): Unit = {
+        val t = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs)
+        fs.foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+      }
+      ev.filter(unix_micros(col("ts")) >= cutoff && unix_micros(col("ts")) < mid)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val fa1 = ls(); backdate(fa1, 180000)
+      ev.filter(unix_micros(col("ts")) >= mid)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val fa2 = ls(); backdate(fa2 -- fa1, 120000)
+      ev.filter(unix_micros(col("ts")) < cutoff)
+        .coalesce(1).write.mode("append").parquet(dir)
+      backdate(ls() -- fa2, 60000)
+      ev.limit(1)
+        .select(timestamp_micros(lit(maxTs + 40L * 86400L * 1000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), col("event_id"), col("props"))
+        .select(ev.columns.map(col).toSeq: _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val res = Streaming.runStream(s, dir, ev.schema, uniq("st10"), src =>
+        src.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value")))
+      res.filter(col("window_start_us") <= maxTs)
+        .orderBy("window_start_us", "event_type")
+    },
+      Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |c AS (SELECT min(ts) + INTERVAL 6 DAY AS cutoff FROM e)
+        |SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS window_start_us,
+        |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM e, c WHERE ts >= cutoff
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin)),
+    // ------------------------------------------------------------------
     // Streaming deduplication: distinct (user_id, event_type) keys over the
     // stream (dropDuplicates keyed state).
     Op("st09_stream_distinct", (s, d) => {

@@ -203,5 +203,50 @@ object TextAnalysis {
         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h)
         |SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= npos - 3
         |ORDER BY doc_id, fp""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Corpus-level term frequency top-k: explode tokens, count, rank.
+    // Partial (map-side) aggregation collapses the token stream before the
+    // shuffle; the final top-k is a single-partition sort of distinct-term
+    // counts only.
+    Op(
+      "t07_term_topk",
+      (s, d) =>
+        T.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term"))
+          .limit(20),
+      Some("""SELECT term, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Bigram co-occurrence counts: adjacent token pairs per document (the
+    // n-gram statistics pass of a corpus-analysis pipeline).
+    Op(
+      "t08_bigrams",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+            .as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+          .groupBy("w1", "w2")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 10)
+          .orderBy(col("n").desc, col("w1"), col("w2")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i))
+        |SELECT w1, w2, COUNT(*) AS n FROM bg
+        |WHERE w1 <> '' AND w2 <> ''
+        |GROUP BY w1, w2 HAVING COUNT(*) >= 10
+        |ORDER BY n DESC, w1, w2""".stripMargin)),
   )
 }
