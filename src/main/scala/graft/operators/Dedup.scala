@@ -34,6 +34,40 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected pair list: min-label
+    * propagation to fixpoint, returning (node, label) with label = the
+    * component's minimum node id.
+    *
+    * Labels only decrease, so a stable label-sum is a true fixpoint (== a
+    * recursive-CTE transitive closure); iterations needed = component
+    * diameter, tiny for near-dup graphs. Each iteration truncates lineage
+    * with localCheckpoint — stacked iterative joins would otherwise send the
+    * analyzer/optimizer superlinear (same rule as GraphX/ALS). At
+    * 100TB-graph scale the loop becomes large-star/small-star contraction
+    * (O(log n) rounds of the same join/agg primitives) — see SCALE.md.
+    */
+  def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevSig = -1L
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      labels = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sig = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = sig == prevSig
+      prevSig = sig
+    }
+    labels
+  }
+
   /** Distinct word 5-gram shingles per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -186,31 +220,7 @@ object Dedup {
       "d06_dedup_clusters",
       (s, d) => {
         val pairs = neardupPairs(s, d).cache()
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .cache()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-        // Min-label propagation to fixpoint. Labels only decrease, so a
-        // stable label-sum is a true fixpoint (== the recursive-CTE oracle);
-        // iterations needed = component diameter, tiny for near-dup clusters.
-        // At 100TB-graph scale this loop becomes large-star/small-star
-        // contraction (O(log n) rounds) — see SCALE.md.
-        var prevSig = -1L
-        var converged = false
-        while (!converged) {
-          val prop = edges.join(labels, col("dst") === col("node"))
-            .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-          labels = labels.join(prop, col("node") === col("src"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-            // truncate lineage: stacked iterative joins would otherwise send
-            // the analyzer/optimizer superlinear (same rule as GraphX/ALS)
-            .localCheckpoint()
-          val sig = labels.agg(sum(col("label"))).head().getLong(0)
-          converged = sig == prevSig
-          prevSig = sig
-        }
+        val labels = connectedComponents(pairs, "doc_a", "doc_b")
         labels.groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("size"),
             expr("concat_ws(',', transform(sort_array(collect_list(node)), x -> cast(x as string)))")

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level golden tests beyond the DuckDB oracle gate. */
+class OperatorSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+
+  test("connected components converges past any fixed iteration budget") {
+    import spark.implicits._
+    // A 40-edge path (diameter 40) plus a disjoint triangle and a singleton
+    // pair: min-label propagation must run to the true fixpoint, not a
+    // fixed round budget.
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val edges = (path ++ tri ++ pair).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 40L).forall(labels(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
+    assert(Seq(200L, 201L).forall(labels(_) == 200L))
+  }
+
+  test("bench short ids are unique and parse-safe for the full inventory") {
+    val names = SparkEntry.queries.keys.toSeq
+    val ids = Bench.shortIds(names)
+    assert(ids.values.toSet.size == names.size, "short-id collision")
+    // every id is the pre-underscore prefix (no fallbacks triggered)
+    assert(ids.forall { case (n, id) => id == n.takeWhile(_ != '_') })
+  }
+
+  test("every query has either an oracle or a documented rows-only check") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(qs))
+    // rows-only set is exactly the iterative-ML / stateful-lifecycle ops
+    val rowsOnly = qs -- oracles
+    assert(rowsOnly.forall(n =>
+      n.startsWith("ml") || n == "s03_ann_ivf" ||
+        Set("st04_spoke_lifecycle", "st05_streaming_train",
+          "st07_response_merge").contains(n)),
+      s"new query without oracle: ${rowsOnly.mkString(",")}")
+  }
+}
