@@ -237,5 +237,24 @@ object Relational2 {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Approximate sketches — the constant-memory substitutes for exact
+    // distinct/quantiles at 100 TB: HyperLogLog++ (approx_count_distinct,
+    // one pass, mergeable partials) and Greenwald-Khanna quantile sketches
+    // (approx_percentile). Sketch outputs are engine-specific, so the driver
+    // applies the rows-only check; OperatorSuite bounds the error vs exact
+    // (HLL++ rsd default 5%, GK accuracy 1/10000).
+    Op(
+      "q37_approx_sketches",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.99))")
+              .as("approx_p50_p99"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")),
   )
 }

@@ -32,19 +32,21 @@ object TextAnalysis {
 
   private val t06 = Op(
     "t06_rolling_fingerprint",
-    (s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    (s, d) =>
+      // Winnowing entirely in the array domain: the w=4 window minima and
+      // the per-document distinct are per-row expressions over the hash
+      // array, so the whole fingerprint computation is shuffle-free (the
+      // old explode→Window.partitionBy(doc_id) shape sorted ~200 rows/doc
+      // through an exchange first). Only the final presentation sort moves
+      // data.
       T.documents(s, d)
         .select(col("doc_id"), (length(col("text")) - lit(7)).as("npos"),
           call_function("rolling_hashes", col("text")).as("hs"))
         .filter(col("npos") >= 4)
-        .select(col("doc_id"), col("npos"), posexplode(col("hs")).as(Seq("pos0", "h")))
-        .withColumn("pos", col("pos0") + 1)
-        .withColumn("fp", min(col("h")).over(w))
-        .filter(col("pos") <= col("npos") - 3)
-        .select(col("doc_id"), col("fp")).distinct()
-        .orderBy("doc_id", "fp")
-    },
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, npos - 3), i -> array_min(slice(hs, i, 4))))"))
+          .as("fp"))
+        .orderBy("doc_id", "fp"),
     Some("""WITH base AS (
       |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents
       |  WHERE length(text) - 7 >= 4),
@@ -178,19 +180,17 @@ object TextAnalysis {
     // hash = md5 32-bit prefix, window w=4 minima, distinct per doc.
     Op(
       "t04_fingerprint",
-      (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      (s, d) =>
+        // Array-domain winnowing (no explode→window shuffle) — see t06.
         T.documents(s, d)
           .select(col("doc_id"), col("text"), (length(col("text")) - lit(7)).as("npos"))
           .filter(col("npos") >= 4)
-          .withColumn("pos", explode(expr("sequence(1, npos)")))
-          .withColumn("h",
-            expr("cast(conv(substring(md5(substring(text, pos, 8)), 1, 8), 16, 10) as bigint)"))
-          .withColumn("fp", min(col("h")).over(w))
-          .filter(col("pos") <= col("npos") - 3)
-          .select(col("doc_id"), col("fp")).distinct()
-          .orderBy("doc_id", "fp")
-      },
+          .withColumn("hs", expr(
+            "transform(sequence(1, npos), p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10) as bigint))"))
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, npos - 3), i -> array_min(slice(hs, i, 4))))"))
+            .as("fp"))
+          .orderBy("doc_id", "fp"),
       Some("""WITH base AS (
         |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents
         |  WHERE length(text) - 7 >= 4),

@@ -39,9 +39,21 @@ class OperatorSuite extends AnyFunSuite {
     // rows-only set is exactly the iterative-ML / stateful-lifecycle ops
     val rowsOnly = qs -- oracles
     assert(rowsOnly.forall(n =>
-      n.startsWith("ml") || n == "s03_ann_ivf" ||
+      n.startsWith("ml") || n == "s03_ann_ivf" || n == "q37_approx_sketches" ||
         Set("st04_spoke_lifecycle", "st05_streaming_train",
           "st07_response_merge").contains(n)),
       s"new query without oracle: ${rowsOnly.mkString(",")}")
+  }
+
+  test("approximate sketches stay within error bounds of exact answers") {
+    val rows = SparkEntry.queries("q37_approx_sketches")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"HLL++ off by ${math.abs(approx - exact) / exact}")
+    }
   }
 }
