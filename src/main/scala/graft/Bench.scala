@@ -77,21 +77,25 @@ object Bench {
 
     // ingest+train rows/s: stream the events table through feature
     // extraction into a 1-round distributed PA fit (BASELINE.md metric).
-    val trainT0 = System.nanoTime()
-    val pts = T.events(spark, sfDir)
-      .select(
-        array(
-          col("value"),
-          hour(col("ts")).cast("double"),
-          dayofweek(col("ts")).cast("double"),
-          (col("user_id") % 16).cast("double")).as("features"),
-        when(col("event_type") === "purchase", 1.0).otherwise(-1.0).as("target"))
-      .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-    val fitted = Trainer.fit(spark,
-      PipelineSpec(99, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous",
-        rounds = 1), pts)
-    val trainSec = (System.nanoTime() - trainT0) / 1e9
-    val rowsPerSec = fitted.model.n / trainSec
+    // Same min-of-two policy as the queries.
+    def trainOnce(): (Double, Double) = {
+      val trainT0 = System.nanoTime()
+      val pts = T.events(spark, sfDir)
+        .select(
+          array(
+            col("value"),
+            hour(col("ts")).cast("double"),
+            dayofweek(col("ts")).cast("double"),
+            (col("user_id") % 16).cast("double")).as("features"),
+          when(col("event_type") === "purchase", 1.0).otherwise(-1.0).as("target"))
+        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      val fitted = Trainer.fit(spark,
+        PipelineSpec(99, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous",
+          rounds = 1), pts)
+      val sec = (System.nanoTime() - trainT0) / 1e9
+      (sec, fitted.model.n / sec)
+    }
+    val (trainSec, rowsPerSec) = Seq(trainOnce(), trainOnce()).minBy(_._1)
 
     val ids = shortIds(results.map(_._1))
     val total = results.map(_._2).sum

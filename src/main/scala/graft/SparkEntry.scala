@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Similarity.ops ++
     operators.MLOps.ops ++
     operators.StreamOps.ops ++
+    operators.SourceOps.ops ++
     operators.Multimodal.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{Op, T}
+import graft.Num.{dsum, sqlDsum}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format breadth: lossless roundtrips through JSON-lines and CSV
+  * file sources (schema-first reads — never schema inference, which costs an
+  * extra full pass at scale). Each op writes the fixture out in the target
+  * format, reads it back with an explicit schema, and aggregates with a
+  * content checksum; the oracle computes the same from the parquet fixture,
+  * so any roundtrip corruption breaks the hash-match.
+  */
+object SourceOps {
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    Op(
+      "w03_json_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_json_").toString
+        T.documents(s, d).write.mode("overwrite").json(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+            sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+              .as("content_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+        |  SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    Op(
+      "w04_csv_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", StringType),
+          StructField("o_orderpriority", StringType)))
+        s.read.schema(schema).option("header", "true").csv(dir)
+          .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+            min("o_orderdate").as("first_order"), max("o_orderdate").as("last_order"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        |  ${sqlDsum("o_totalprice")} AS revenue,
+        |  date_trunc('second', MIN(o_orderdate)) AS first_order,
+        |  date_trunc('second', MAX(o_orderdate)) AS last_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+  )
+}

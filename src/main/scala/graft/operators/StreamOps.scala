@@ -243,6 +243,48 @@ object StreamOps {
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)),
     // ------------------------------------------------------------------
+    // Stream-static join: the streaming enrichment pattern — events stream
+    // joined per micro-batch against a static broadcast dimension
+    // (customer). Stateless (no join state, no watermark needed): each
+    // trigger probes the broadcast table, so at scale this costs exactly one
+    // broadcast + per-batch probe.
+    Op("st11_stream_static_join", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val cust = broadcast(T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+      val res = Streaming.runStream(s, dir, schema, uniq("st11"), src =>
+        src.join(cust, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+            col("c_nationkey"), col("value")))
+      res.orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, c_mktsegment, c_nationkey, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Complete output mode: an unwindowed running aggregation re-emitted in
+    // full every trigger; the final emission equals the batch aggregate.
+    // (Append mode + watermark is the scale path — complete mode keeps all
+    // groups in state and re-emits them, right only for small cardinality.)
+    Op("st12_complete_agg", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      Streaming.withStreamShuffle(s) {
+        val name = uniq("st12")
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val q = src.filter(col("event_type") =!= "sentinel")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q.processAllAvailable(); q.stop()
+        s.table(name).orderBy("event_type")
+      }
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
     // K5 ResponseConstructor (ResponseConstructor.scala:13-69) redesigned as
     // a proper aggregation (SURVEY §7 hard-part (c)): W worker-sharded
     // spokes (control requests broadcast to every shard — the C2
