@@ -142,6 +142,20 @@ case class RollingHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `md5_prefix32(string) -> long`: first 4 MD5 bytes as an unsigned 32-bit
+  * value, codegen'd. The native form of the cross-engine hash idiom
+  * `cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)` — one digest, no
+  * hex-string materialization or radix parse.
+  */
+case class Md5Prefix32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.md5Prefix32(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.md5Prefix32($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -174,5 +188,54 @@ object F {
     (FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
       (es: Seq[Expression]) => RollingHashes(es.head, 8)),
+    (FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      (es: Seq[Expression]) => Md5Prefix32(es.head)),
   )
+}
+
+/** Optimizer strength reduction: rewrite the cross-engine md5-prefix idiom
+  * `cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)` to the native
+  * [[Md5Prefix32]] — one digest instead of digest → hex string → substring →
+  * radix parse. The idiom sits in the hottest per-char loops (winnowing
+  * fingerprints evaluate it once per document position), including inside
+  * higher-order-function lambdas, which `transformAllExpressions` reaches.
+  * Injected by [[graft.GraftExtensions]] via `injectOptimizerRule`.
+  */
+object Md5PrefixStrengthReduction
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case cast: Cast if cast.dataType == LongType && isConvMd5(cast.child) =>
+        Md5Prefix32(strArg(cast.child))
+    }
+
+  private def isConvMd5(e: Expression): Boolean = e match {
+    case conv: Conv => conv.children match {
+      case Seq(sub: Substring, Literal(16, IntegerType), Literal(10, IntegerType)) =>
+        sub.children match {
+          case Seq(m: Md5, Literal(1, IntegerType), Literal(8, IntegerType)) =>
+            m.child match {
+              case c: Cast => c.dataType == BinaryType && c.child.dataType == StringType
+              case other => other.dataType == StringType
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def strArg(e: Expression): Expression = {
+    val m = e.asInstanceOf[Conv].children.head.asInstanceOf[Substring]
+      .children.head.asInstanceOf[Md5]
+    m.child match {
+      case c: Cast if c.dataType == BinaryType => c.child
+      case other => other
+    }
+  }
 }

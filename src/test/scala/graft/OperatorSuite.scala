@@ -45,6 +45,23 @@ class OperatorSuite extends AnyFunSuite {
       s"new query without oracle: ${rowsOnly.mkString(",")}")
   }
 
+  test("md5-prefix idiom is strength-reduced to the native expression") {
+    // spark.range (not a LocalRelation — ConvertToLocalRelation would
+    // evaluate a literal projection before user rules are inspected)
+    val df = spark.range(3).selectExpr("concat('doc_', id) AS s")
+      .selectExpr("s", "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) AS h")
+    assert(df.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.Md5Prefix32])),
+      "optimizer rule did not fire")
+    df.collect().foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(r.getString(0).getBytes("UTF-8"))
+      val expect = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      assert(r.getLong(1) == expect)
+    }
+  }
+
   test("approximate sketches stay within error bounds of exact answers") {
     val rows = SparkEntry.queries("q37_approx_sketches")(spark, "/root/testdata/sf0.001")
       .collect()
