@@ -118,5 +118,43 @@ object Multimodal {
         |FROM documents,
         |  LATERAL (SELECT unnest(generate_series(0, CAST(length(text) // 100 AS BIGINT), 2)) AS f)
         |ORDER BY doc_id, frame_idx""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Resize: deterministic 4:1 stride subsample of the payload (the 1-D
+    // stand-in for image downscaling — a real kernel would swap in here);
+    // output checksummed. Pure per-row expressions, shuffle-free.
+    Op("mm04_resize", (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          expr("concat_ws('', transform(sequence(1, length(text), 4), p -> substring(text, p, 1)))")
+            .as("resized"))
+        .select(col("doc_id"), md5(col("resized")).as("resized_md5"),
+          length(col("resized")).cast(LongType).as("n_px"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, md5(string_agg(text[p:p], '' ORDER BY p)) AS resized_md5,
+        |  CAST(count(*) AS BIGINT) AS n_px
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text), 4)) AS p)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Audio-style frame energy: per 100-unit frame, the sum of sample
+    // values (code points as the deterministic stand-in for PCM samples).
+    // The per-frame fold runs inside the row — no per-sample explode.
+    Op("mm05_audio_energy", (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST((length(text) - 1) div 100 AS BIGINT))"))
+            .as("frame"))
+        .select(col("doc_id"), col("frame"),
+          expr("""aggregate(
+            |  sequence(frame * 100 + 1, least(CAST(length(text) AS BIGINT), (frame + 1) * 100)),
+            |  CAST(0 AS BIGINT),
+            |  (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1)))""".stripMargin)
+            .as("energy"))
+        .orderBy("doc_id", "frame")
+    },
+      Some("""SELECT doc_id, (p - 1) // 100 AS frame,
+        |  CAST(SUM(unicode(text[p:p])) AS BIGINT) AS energy
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS p)
+        |GROUP BY 1, 2 ORDER BY doc_id, frame""".stripMargin)),
   )
 }
