@@ -22,7 +22,7 @@ object Dedup {
     * pipeline without the reporting columns) — shared by d02 and d06.
     */
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = shingles(s, d).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -99,7 +99,7 @@ object Dedup {
     Op(
       "d02_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d)
+        val sh = shingles(s, d).cache()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pr = sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -130,7 +130,7 @@ object Dedup {
     Op(
       "d03_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d)
+        val sh = shingles(s, d).cache()
         val hs = sh.withColumn("h",
           expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
         // All 16 permutation minima as columns of ONE aggregation: a single
@@ -316,7 +316,7 @@ object Dedup {
     Op(
       "d08_containment",
       (s, d) => {
-        val sh = shingles(s, d)
+        val sh = shingles(s, d).cache()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
