@@ -51,8 +51,16 @@ object VectorOps {
     * to `('0x' || substr(md5(s), 1, 8))::BIGINT` in DuckDB and
     * `conv(substring(md5(s), 1, 8), 16, 10)` in Spark SQL.
     */
+  // One digest instance per task thread — getInstance() allocation would
+  // otherwise dominate in per-position loops (winnowing runs this ~200x per
+  // document).
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def md5Prefix32(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
