@@ -146,7 +146,11 @@ object StreamOps {
     // joined to the same user's signups within the following 7 days. Both
     // sides watermarked; the range condition bounds the join state.
     Op("st08_stream_stream_join", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      // 2 data files (3 triggers with the sentinel): the join runs BOTH
+      // sides' file sources per trigger, so trigger count is twice as
+      // expensive here as in the single-source window queries (which keep
+      // the 4-file staging).
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       def side(name: String, tsAlias: String, idAlias: String) =
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
           .filter(col("event_type") === name)
