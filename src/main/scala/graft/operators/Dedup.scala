@@ -68,6 +68,66 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round algorithm for 100TB-scale graphs where
+    * label propagation's diameter-bound round count is unacceptable.
+    * Returns (node, label) like [[connectedComponents]].
+    *
+    * Each round is two self-contained map/reduce steps over the edge list:
+    *  - large-star: every node attaches its larger neighbors to its current
+    *    minimum neighbor (incl. itself);
+    *  - small-star: every node attaches its smaller-or-equal neighbors to
+    *    the minimum.
+    * The edge multiset converges to a star forest; roots are the labels.
+    */
+  def connectedComponentsStar(pairs: DataFrame, a: String, b: String): DataFrame = {
+    var edges = pairs.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: map emits both orientations (full neighborhoods); for each
+    // u, m = min(N(u) ∪ {u}); reduce emits (v, m) for v ∈ N(u), v > u.
+    def largeStar(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
+        .withColumn("m", least(col("u"), array_min(col("nbrs"))))
+        .select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+    // small-star: map orients each edge (max; min); for each u,
+    // m = min(N≤(u) ∪ {u}); reduce emits (v, m) for v ∈ N≤(u) ∪ {u}, v ≠ m.
+    def smallStar(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
+        .withColumn("m", least(col("u"), array_min(col("nbrs"))))
+        .select(col("m"), explode(concat(col("nbrs"), array(col("u")))).as("v"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // signature: edge count + sum of endpoints (monotone toward the fixed
+      // star forest)
+      val sig = next.agg(count(lit(1)), sum(col("u") + col("v"))).head()
+      val prev = edges.agg(count(lit(1)), sum(col("u") + col("v"))).head()
+      converged = sig == prev
+      edges = next
+    }
+    // star forest: every (u, v) has v = root(u); add roots' self rows
+    val nodes = pairs.select(col(a).as("node"))
+      .unionByName(pairs.select(col(b).as("node"))).distinct()
+    nodes.join(edges.select(col("u").as("node"), col("v").as("root")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("label"))
+  }
+
   /** Distinct word 5-gram shingles per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -221,6 +281,42 @@ object Dedup {
       (s, d) => {
         val pairs = neardupPairs(s, d).cache()
         val labels = connectedComponents(pairs, "doc_a", "doc_b")
+        labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("size"),
+            expr("concat_ws(',', transform(sort_array(collect_list(node)), x -> cast(x as string)))")
+              .as("members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS ($sqlShingles),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM pr
+        |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.t),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+        |SELECT label AS cluster_id, COUNT(*) AS size,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+        |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Same clusters as d06 but via large-star/small-star contraction — the
+    // O(log n)-round CC that replaces label propagation at 100TB graph
+    // scale. Shares d06's recursive-CTE oracle (identical output proves the
+    // two algorithms agree on the fixture, on top of the randomized
+    // equivalence tests in OperatorSuite).
+    Op(
+      "d09_dedup_clusters_star",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).cache()
+        val labels = connectedComponentsStar(pairs, "doc_a", "doc_b")
         labels.groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("size"),
             expr("concat_ws(',', transform(sort_array(collect_list(node)), x -> cast(x as string)))")

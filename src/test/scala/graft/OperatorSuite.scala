@@ -24,6 +24,23 @@ class OperatorSuite extends AnyFunSuite {
     assert(Seq(200L, 201L).forall(labels(_) == 200L))
   }
 
+  test("large-star/small-star CC agrees with label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242)
+    for (trial <- 1 to 4) {
+      val n = 60 + trial * 25
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (x, y) => x != y }
+      val df = edges.toDF("doc_a", "doc_b")
+      val lp = Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ls = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ls == lp, s"trial $trial: star-contraction disagrees")
+    }
+  }
+
   test("bench short ids are unique and parse-safe for the full inventory") {
     val names = SparkEntry.queries.keys.toSeq
     val ids = Bench.shortIds(names)
