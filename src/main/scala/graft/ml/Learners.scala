@@ -108,6 +108,12 @@ trait OnlineLearner extends Serializable {
     * additive information form (ORR) use it to subtract the shared prior and
     * stay exact across rounds. */
   def merge(ms: Seq[ModelState], prev: Option[ModelState] = None): ModelState
+  /** true when pairwise `merge(Seq(a, b))` folds are equivalent to one flat
+    * `merge(replicas)` (weight-carrying averages are; ORR's information form
+    * is NOT — its merge must see the replica count to de-duplicate the
+    * shared prior). Enables the log-depth treeReduce merge path in
+    * [[graft.pipeline.Trainer]]. */
+  def mergeIsAssociative: Boolean = true
   /** true when `predict` emits a class label (score = accuracy), false for
     * regression (score = -RMSE) / clustering (score = -distortion). */
   def isClassifier: Boolean
@@ -199,6 +205,7 @@ class PARegressor(val c: Double, val eps: Double) extends OnlineLearner {
 class ORR(val lambda: Double) extends OnlineLearner {
   def name = "ORR"
   def isClassifier = false
+  override def mergeIsAssociative: Boolean = false // prior de-dup needs k
   def init(dim: Int): ModelState = {
     val d = dim + 1
     val a = new Array[Double](d * d); val p = new Array[Double](d * d)

@@ -18,7 +18,14 @@ case class PipelineSpec(
     protocol: String = "Asynchronous",
     protocolHp: Map[String, Double] = Map.empty,
     rounds: Int = 3,
-    testCap: Int = 256)
+    testCap: Int = 256,
+    /** Replica-merge strategy switchover: above this many training
+      * partitions, plain-averaging protocols merge replicas with a log-depth
+      * `treeReduce` instead of a driver `collect` (SCALE.md — at 1000
+      * executors the driver would otherwise hold W models at once). Local
+      * gate runs stay below it, so both paths are equivalence-tested
+      * explicitly in PipelineSparkSuite. */
+    treeMergeThreshold: Int = 64)
 
 final class FittedPipeline(
     val spec: PipelineSpec,
@@ -98,9 +105,18 @@ object Trainer {
       var totalCumLoss = 0.0
       val curve = mutable.ArrayBuffer[Double]()
 
+      // Log-depth tree merge applies when the protocol is a plain weighted
+      // average (Synchronous family), the learner's pairwise merge is
+      // associative, and there are enough partitions that a driver collect
+      // of W models would be the bottleneck (SCALE.md).
+      val useTreeMerge =
+        Set("Synchronous", "Asynchronous", "SSP").contains(protocol.name) &&
+          learner.mergeIsAssociative &&
+          tdata.getNumPartitions > spec.treeMergeThreshold
+
       for (_ <- 1 to spec.rounds) {
         val bcGlobal = sc.broadcast(global)
-        val replicas = tdata.mapPartitions { it =>
+        val replRdd = tdata.mapPartitions { it =>
           val m = bcGlobal.value.map(_.deepCopy).getOrElse(learner.init(dim))
           m.n = 0L; m.cumLoss = 0.0 // per-round counters; totals tracked outside
           val ring = new Array[(Array[Double], Double)](testCap)
@@ -118,9 +134,27 @@ object Trainer {
           }
           learner.finish(m)
           if (cnt == 0) Iterator.empty else Iterator.single(m)
-        }.collect().toSeq
-        if (replicas.nonEmpty) {
-          val merged = protocol.aggregate(replicas, global, learner, stats)
+        }
+        val mergedOpt: Option[ModelState] =
+          if (useTreeMerge) {
+            if (replRdd.isEmpty()) None
+            else {
+              val (m, k, bytes) = replRdd
+                .map(r => (r, 1L, r.params.length.toLong * 8L))
+                .treeReduce { case ((ma, ka, ba), (mb, kb, bb)) =>
+                  (learner.merge(Seq(ma, mb)), ka + kb, ba + bb)
+                }
+              stats.modelsShipped += k
+              stats.bytesShipped += bytes
+              stats.blocks += 1
+              Some(m)
+            }
+          } else {
+            val replicas = replRdd.collect().toSeq
+            if (replicas.isEmpty) None
+            else Some(protocol.aggregate(replicas, global, learner, stats))
+          }
+        mergedOpt.foreach { merged =>
           totalFitted += merged.n
           totalCumLoss += merged.cumLoss
           merged.n = totalFitted

@@ -145,6 +145,26 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
   }
 
+  test("treeReduce merge path matches the collect merge path") {
+    val data = spark.sparkContext.parallelize(synthetic(6000, 5, 77L), 8)
+    val collectFit = Trainer.fit(spark,
+      PipelineSpec(41, "PA", Map("C" -> 0.01), Nil, "Synchronous",
+        rounds = 2, treeMergeThreshold = 1000), data)
+    val treeFit = Trainer.fit(spark,
+      PipelineSpec(41, "PA", Map("C" -> 0.01), Nil, "Synchronous",
+        rounds = 2, treeMergeThreshold = 2), data)
+    assert(treeFit.model.n == collectFit.model.n)
+    val a = collectFit.model.params
+    val b = treeFit.model.params
+    assert(a.length == b.length)
+    // same weighted average up to float re-association in the tree fold
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+        s"param drift: $x vs $y")
+    }
+    assert(math.abs(treeFit.score - collectFit.score) < 1e-6)
+  }
+
   test("training tolerates empty partitions and tiny data") {
     val data = spark.sparkContext.parallelize(synthetic(5, 3, 137L), 16)
     val fitted = Trainer.fit(spark,
