@@ -23,9 +23,21 @@ sealed trait Protocol extends Serializable {
   def name: String
   /** Number of training partitions this protocol allows (None = any). */
   def maxParallelism: Option[Int] = None
-  /** Fold replicas + previous global into the next global. */
+  /** Map-side ship decision: whether a trained replica is sent to the merge
+    * at all. Default: always. DriftGated overrides — replicas inside the
+    * drift threshold never leave their executor (the reference's
+    * communication-skipping made actually communication-free; the driver
+    * sees one boolean instead of O(params) per skipped replica).
+    */
+  def ships(replica: ModelState, prev: Option[ModelState]): Boolean = true
+  /** Fold shipped replicas + previous global into the next global.
+    * `totalReplicas` is the number of replicas trained this round (>=
+    * `replicas.length` when the caller pre-filtered with [[ships]]); -1
+    * means "no map-side filtering happened".
+    */
   def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
-      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
+      learner: OnlineLearner, stats: ProtocolStats,
+      totalReplicas: Long = -1L): ModelState = {
     val merged = learner.merge(replicas, prev)
     stats.modelsShipped += replicas.length
     stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
@@ -66,7 +78,8 @@ case object SingleLearner extends Protocol {
 final case class EASGD(alpha: Double) extends Protocol {
   def name = "EASGD"
   override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
-      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
+      learner: OnlineLearner, stats: ProtocolStats,
+      totalReplicas: Long = -1L): ModelState = {
     val avg = learner.merge(replicas, prev)
     stats.modelsShipped += replicas.length
     stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
@@ -92,26 +105,30 @@ final case class EASGD(alpha: Double) extends Protocol {
   */
 final case class DriftGated(override val name: String, threshold: Double)
     extends Protocol {
-  override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
-      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
-    val prevParams = prev.map(_.params)
-    val shipped = prevParams match {
-      case None => replicas
-      case Some(pp) =>
-        replicas.filter { r =>
-          val rp = r.params
-          var s = 0.0; var i = 0
-          val n = math.min(rp.length, pp.length)
-          while (i < n) { val d = rp(i) - pp(i); s += d * d; i += 1 }
-          math.sqrt(s) > threshold
-        }
+  override def ships(replica: ModelState, prev: Option[ModelState]): Boolean =
+    prev match {
+      case None => true // round one: everyone ships
+      case Some(pm) =>
+        val rp = replica.params; val pp = pm.params
+        var s = 0.0; var i = 0
+        val n = math.min(rp.length, pp.length)
+        while (i < n) { val d = rp(i) - pp(i); s += d * d; i += 1 }
+        math.sqrt(s) > threshold
     }
+
+  override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats,
+      totalReplicas: Long = -1L): ModelState = {
+    // Input may or may not be pre-filtered map-side; re-applying the ship
+    // predicate is idempotent either way.
+    val shipped = replicas.filter(ships(_, prev))
+    val total = if (totalReplicas >= 0) totalReplicas else replicas.length.toLong
     stats.blocks += 1
     if (shipped.isEmpty) prev.getOrElse(learner.merge(replicas, prev))
     else {
       stats.modelsShipped += shipped.length
       stats.bytesShipped += shipped.map(_.params.length.toLong * 8L).sum
-      val base = prev.toSeq.filterNot(_ => shipped.length == replicas.length)
+      val base = prev.toSeq.filterNot(_ => shipped.length.toLong == total)
       learner.merge(base ++ shipped, prev)
     }
   }

@@ -150,9 +150,16 @@ object Trainer {
               Some(m)
             }
           } else {
-            val replicas = replRdd.collect().toSeq
-            if (replicas.isEmpty) None
-            else Some(protocol.aggregate(replicas, global, learner, stats))
+            // Map-side ship gate: drift-gated protocols drop non-drifted
+            // replicas on their executors — the driver receives a 1-row
+            // marker instead of O(params) for every skipped replica.
+            val flagged = replRdd
+              .map(m => if (protocol.ships(m, bcGlobal.value)) Some(m) else None)
+              .collect()
+            val shipped = flagged.flatten.toSeq
+            if (flagged.isEmpty) None
+            else Some(protocol.aggregate(shipped, global, learner, stats,
+              totalReplicas = flagged.length.toLong))
           }
         mergedOpt.foreach { merged =>
           totalFitted += merged.n
