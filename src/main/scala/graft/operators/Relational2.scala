@@ -238,6 +238,45 @@ object Relational2 {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |GROUP BY lang ORDER BY lang""".stripMargin)),
     // ------------------------------------------------------------------
+    // Multi-CTE SQL surface: chained WITH clauses (per-nation revenue and
+    // return rate joined against the national average) — the full SQL-string
+    // entry path through Spark's parser/Catalyst, same plan quality as the
+    // DataFrame API.
+    Op(
+      "q38_cte_chain",
+      (s, d) => {
+        T.lineitem(s, d).createOrReplaceTempView("graft_li_cte")
+        T.supplier(s, d).createOrReplaceTempView("graft_su_cte")
+        T.nation(s, d).createOrReplaceTempView("graft_na_cte")
+        s.sql(s"""WITH rev AS (
+          |  SELECT s_nationkey, ${sqlDsum("l_extendedprice")} AS revenue,
+          |    COUNT(1) AS n_items,
+          |    COUNT(1) FILTER (WHERE l_returnflag = 'R') AS n_returned
+          |  FROM graft_li_cte JOIN graft_su_cte ON l_suppkey = s_suppkey
+          |  GROUP BY s_nationkey),
+          |avgrev AS (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_revenue FROM rev)
+          |SELECT n_name,
+          |  revenue,
+          |  CAST(n_returned AS DOUBLE) / n_items AS return_rate,
+          |  revenue > avg_revenue AS above_avg
+          |FROM rev JOIN graft_na_cte ON s_nationkey = n_nationkey
+          |CROSS JOIN avgrev
+          |ORDER BY n_name""".stripMargin)
+      },
+      Some(s"""WITH rev AS (
+        |  SELECT s_nationkey, ${sqlDsum("l_extendedprice")} AS revenue,
+        |    COUNT(*) AS n_items,
+        |    COUNT(*) FILTER (l_returnflag = 'R') AS n_returned
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey),
+        |avgrev AS (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_revenue FROM rev)
+        |SELECT n_name, revenue,
+        |  CAST(n_returned AS DOUBLE) / n_items AS return_rate,
+        |  revenue > avg_revenue AS above_avg
+        |FROM rev JOIN nation ON s_nationkey = n_nationkey
+        |CROSS JOIN avgrev
+        |ORDER BY n_name""".stripMargin)),
+    // ------------------------------------------------------------------
     // Approximate sketches — the constant-memory substitutes for exact
     // distinct/quantiles at 100 TB: HyperLogLog++ (approx_count_distinct,
     // one pass, mergeable partials) and Greenwald-Khanna quantile sketches

@@ -51,7 +51,9 @@ object StreamingTrainer {
           case _ => rdd
         }
         val bcGlobal = spark.sparkContext.broadcast(global)
-        val replicas = data.mapPartitions { it =>
+        // Same map-side ship gate as the batch Trainer: drift-gated
+        // protocols keep non-drifted replicas on their executors.
+        val flagged = data.mapPartitions { it =>
           var model: ModelState = bcGlobal.value.map(_.deepCopy).orNull
           if (model != null) { model.n = 0L; model.cumLoss = 0.0 }
           var any = false
@@ -60,11 +62,15 @@ object StreamingTrainer {
             any = true
             learner.fit(model, x, y)
           }
-          if (any) { learner.finish(model); Iterator.single(model) }
-          else Iterator.empty
-        }.collect().toSeq
-        if (replicas.nonEmpty) {
-          val merged = protocol.aggregate(replicas, global, learner, stats)
+          if (any) {
+            learner.finish(model)
+            Iterator.single(if (protocol.ships(model, bcGlobal.value)) Some(model) else None)
+          } else Iterator.empty
+        }.collect()
+        val replicas = flagged.flatten.toSeq
+        if (flagged.nonEmpty) {
+          val merged = protocol.aggregate(replicas, global, learner, stats,
+            totalReplicas = flagged.length.toLong)
           totalFitted += merged.n
           totalCumLoss += merged.cumLoss
           merged.n = totalFitted
