@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the PLANS.md audit claims, enforced.
+  * Loose substring assertions on the formatted plan keep these stable across
+  * Spark versions while still failing if a broadcast silently becomes a
+  * sort-merge join or a pushed filter stops reaching the scan.
+  */
+class PlanSuite extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("q02: dimension joins broadcast (no sort-merge join)") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q23: decorrelated per-part aggregate broadcasts") {
+    val p = plan("q23_correlated_avg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q32: band join is a broadcast nested-loop probe") {
+    val p = plan("q32_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t07: top-k terms take the TakeOrdered path, not a global sort") {
+    val p = plan("t07_term_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("t06: array-domain winnowing plans no window exchange") {
+    val p = plan("t06_rolling_fingerprint")
+    assert(!p.contains("Window"), "winnowing regressed to explode+window")
+    assert(p.contains("rollinghashes") || p.contains("rolling_hashes") ||
+      p.toLowerCase.contains("rollinghashes"))
+  }
+
+  test("q36: hash-sample filter reaches the scan stage (no shuffle before it)") {
+    val p = plan("q36_hash_sample")
+    // the sample predicate is a per-row filter under the aggregate: exactly
+    // one exchange (the groupBy), plus the final sort's — count unique
+    // operator ids in the formatted detail section
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected exchanges:\n$p")
+  }
+}
