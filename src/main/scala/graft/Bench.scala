@@ -95,7 +95,7 @@ object Bench {
       val sec = (System.nanoTime() - trainT0) / 1e9
       (sec, fitted.model.n / sec)
     }
-    val (trainSec, rowsPerSec) = Seq(trainOnce(), trainOnce()).minBy(_._1)
+    val (trainSec, rowsPerSec) = Seq(trainOnce(), trainOnce(), trainOnce()).minBy(_._1)
 
     val ids = shortIds(results.map(_._1))
     val total = results.map(_._2).sum
