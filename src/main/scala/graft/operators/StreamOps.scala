@@ -289,6 +289,34 @@ object StreamOps {
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     // ------------------------------------------------------------------
+    // Exactly-once streaming file sink (the O1-O4 analog for files): events
+    // projected per-trigger into a parquet directory whose _spark_metadata
+    // transaction log makes the write exactly-once; the batch read-back
+    // honors the log, and the aggregate hash-matches the fixture oracle.
+    Op("st13_file_sink", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") =!= "sentinel")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/data")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min("event_id").as("min_event"), max("event_id").as("max_event"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+        |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
     // K5 ResponseConstructor (ResponseConstructor.scala:13-69) redesigned as
     // a proper aggregation (SURVEY §7 hard-part (c)): W worker-sharded
     // spokes (control requests broadcast to every shard — the C2
