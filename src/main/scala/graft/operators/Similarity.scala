@@ -86,8 +86,61 @@ object Similarity {
       .orderBy("q_id", "rk")
   })
 
+  /** The IVF layout made physical (SCALE.md's "inverted lists become the
+    * partitioning scheme"): the index is written `partitionBy(bucket)`, and
+    * a probe reads ONLY the nprobe matching partitions — the scan shows
+    * `PartitionFilters: [bucket IN (...)]` (enforced by PlanSuite), so at
+    * corpus scale a query touches nprobe/nlist of the data. Rows-only
+    * checked (centroids are not SQL-derivable); deterministic end-to-end.
+    */
+  private val s04 = Op("s04_ann_ivf_pruned", (s, d) => {
+    val nlist = 16; val nprobe = 2
+    val feats = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("fd"),
+        col("embedding"))
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val quant = graft.pipeline.Trainer.fit(s,
+      graft.pipeline.PipelineSpec(22, "K-means", Map("k" -> nlist.toDouble), Nil,
+        "Asynchronous", rounds = 1),
+      feats.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
+    val km = quant.model.asInstanceOf[graft.ml.KMeansState]
+    val bcKm = s.sparkContext.broadcast(km)
+    val bucketOf = udf((v: Seq[Double]) => bcKm.value.nearest(v.toArray))
+    // materialize the index bucketed by inverted list
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    feats.withColumn("bucket", bucketOf(col("fd")))
+      .select("vec_id", "embedding", "bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    // queries + their nprobe nearest lists (tiny, driver/broadcast side)
+    val probeOf = udf { (v: Seq[Double]) =>
+      val x = v.toArray
+      val k = bcKm.value
+      (0 until k.filled).map(c =>
+        (c, graft.ml.La.sqdist(k.centroids.slice(c * k.dim, (c + 1) * k.dim), x)))
+        .sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val q = feats.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeOf(col("fd"))).as("bucket"))
+    val probedLists = q.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    index
+      // static partition filter: only the probed inverted lists are read
+      .filter(col("bucket").isin(probedLists: _*))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "bucket", "cos")
+      .orderBy("q_id", "rk")
+  })
+
   val ops: Seq[Op] = Seq(
     s03,
+    s04,
     // ------------------------------------------------------------------
     Op(
       "s01_topk_bruteforce",

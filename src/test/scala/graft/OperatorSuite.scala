@@ -56,7 +56,8 @@ class OperatorSuite extends AnyFunSuite {
     // rows-only set is exactly the iterative-ML / stateful-lifecycle ops
     val rowsOnly = qs -- oracles
     assert(rowsOnly.forall(n =>
-      n.startsWith("ml") || n == "s03_ann_ivf" || n == "q37_approx_sketches" ||
+      n.startsWith("ml") || n == "s03_ann_ivf" || n == "s04_ann_ivf_pruned" ||
+        n == "q37_approx_sketches" ||
         Set("st04_spoke_lifecycle", "st05_streaming_train",
           "st07_response_merge").contains(n)),
       s"new query without oracle: ${rowsOnly.mkString(",")}")

@@ -52,6 +52,12 @@ class PlanSuite extends AnyFunSuite {
       p.toLowerCase.contains("rollinghashes"))
   }
 
+  test("s04: IVF probe is a partition-pruned read of the bucketed index") {
+    val p = plan("s04_ann_ivf_pruned")
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+  }
+
   test("q36: hash-sample filter reaches the scan stage (no shuffle before it)") {
     val p = plan("q36_hash_sample")
     // the sample predicate is a per-row filter under the aggregate: exactly
