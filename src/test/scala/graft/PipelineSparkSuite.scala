@@ -165,6 +165,19 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(math.abs(treeFit.score - collectFit.score) < 1e-6)
   }
 
+  test("map-side drift gate: non-drifted replicas never reach the driver merge") {
+    val data = spark.sparkContext.parallelize(synthetic(4000, 4, 55L), 8)
+    // round 1 ships everything (no prev); with an enormous threshold rounds
+    // 2-3 ship nothing and the global model survives unchanged
+    val fitted = Trainer.fit(spark,
+      PipelineSpec(42, "PA", Map("C" -> 0.01), Nil, "GM",
+        protocolHp = Map("threshold" -> 1e12), rounds = 3), data)
+    assert(fitted.stats.modelsShipped == 8, // 8 partitions, round 1 only
+      s"shipped=${fitted.stats.modelsShipped}")
+    assert(fitted.stats.blocks == 3)
+    assert(fitted.model.n > 0)
+  }
+
   test("training tolerates empty partitions and tiny data") {
     val data = spark.sparkContext.parallelize(synthetic(5, 3, 137L), 16)
     val fitted = Trainer.fit(spark,
