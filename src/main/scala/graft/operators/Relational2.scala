@@ -321,6 +321,40 @@ object Relational2 {
         |  COUNT(t_buy) AS n_purchased_after_click
         |FROM b""".stripMargin)),
     // ------------------------------------------------------------------
+    // Cohort retention: users grouped by signup week, activity counted per
+    // (cohort, weeks-since-signup) cell. Two user_id-keyed aggregations and
+    // one broadcastable join of per-user cohorts back onto activity — the
+    // standard retention matrix with no row explosion. All-integer outputs.
+    Op(
+      "q40_cohort_retention",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast(DateType).as("cohort_week"))
+        val activity = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("week"))
+          .distinct()
+        activity.join(cohort, "user_id")
+          .filter(col("week") >= col("cohort_week"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast(LongType).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "weeks_since")
+      },
+      Some("""WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS weeks_since,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM activity JOIN cohort USING (user_id)
+        |WHERE week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin)),
+    // ------------------------------------------------------------------
     // Approximate sketches — the constant-memory substitutes for exact
     // distinct/quantiles at 100 TB: HyperLogLog++ (approx_count_distinct,
     // one pass, mergeable partials) and Greenwald-Khanna quantile sketches
