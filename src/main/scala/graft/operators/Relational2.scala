@@ -355,6 +355,30 @@ object Relational2 {
         |WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin)),
     // ------------------------------------------------------------------
+    // Keep-latest-per-key: the workhorse of incremental ingestion (CDC
+    // compaction, snapshot-over-append). row_number over (key, recency) lets
+    // Spark's WindowGroupLimit prune per partition before the shuffle
+    // completes — never a full sort of the history.
+    Op(
+      "q41_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        T.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+            col("o_orderdate").cast(DateType).as("latest_date"),
+            col("o_totalprice").as("latest_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey AS latest_order,
+        |  CAST(o_orderdate AS DATE) AS latest_date,
+        |  o_totalprice AS latest_price
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+    // ------------------------------------------------------------------
     // Approximate sketches — the constant-memory substitutes for exact
     // distinct/quantiles at 100 TB: HyperLogLog++ (approx_count_distinct,
     // one pass, mergeable partials) and Greenwald-Khanna quantile sketches
