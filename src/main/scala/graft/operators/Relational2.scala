@@ -233,7 +233,7 @@ object Relational2 {
           .groupBy("lang")
           .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
           .orderBy("lang"),
-      Some("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+      Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |GROUP BY lang ORDER BY lang""".stripMargin)),
@@ -393,8 +393,10 @@ object Relational2 {
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"),
-            expr("approx_percentile(l_extendedprice, array(0.5, 0.99))")
-              .as("approx_p50_p99"),
+            // Scalar columns (not one array) so downstream tools can sort
+            // and compare rows without array-typed cells.
+            expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"),
+            expr("approx_percentile(l_extendedprice, 0.99)").as("approx_p99"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")),
   )

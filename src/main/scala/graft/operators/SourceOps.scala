@@ -32,8 +32,8 @@ object SourceOps {
               .as("content_sum"))
           .orderBy("lang")
       },
-      Some("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
-        |  SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS content_sum
+      Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
     // ------------------------------------------------------------------
     Op(
