@@ -22,7 +22,7 @@ object Dedup {
     * pipeline without the reporting columns) — shared by d02 and d06.
     */
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = cappedShingles(s, d).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -128,6 +128,30 @@ object Dedup {
       .select(col("node"), coalesce(col("root"), col("node")).as("label"))
   }
 
+  /** Document-frequency cap for join-side shingles. A shingle shared by df
+    * documents contributes df^2 rows to the shingle self-join; one
+    * "stop-shingle" (boilerplate, license headers) with df=10^6 is a
+    * quadratic hot key that no amount of parallelism absorbs. Dropping
+    * shingles with df > cap before the join bounds every join key at cap^2
+    * candidate rows, and loses nothing useful: a shingle present in >cap
+    * documents carries no near-duplicate signal (it fails the
+    * inverse-document-frequency test by construction). Fixture max df is 4,
+    * so capped and uncapped results coincide there (asserted in
+    * OperatorSuite); at web-corpus scale the cap is what keeps d02/d03/d08
+    * linear in corpus size.
+    */
+  val ShingleDfCap = 64
+
+  /** Drop shingles whose document frequency exceeds cap. One extra
+    * map-side-combinable count per shingle + a left-anti join — both shuffle
+    * on `sh`, the same key the caller's self-join shuffles on.
+    */
+  def capShingleDf(sh: DataFrame, cap: Int): DataFrame = {
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sh")
+    sh.join(hot, Seq("sh"), "left_anti")
+  }
+
   /** Distinct word 5-gram shingles per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -137,11 +161,23 @@ object Dedup {
       .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
       .distinct()
 
+  /** Join-side shingles: DF-capped (see [[ShingleDfCap]]). */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame =
+    capShingleDf(shingles(s, d), ShingleDfCap)
+
   private val sqlShingles =
     """SELECT DISTINCT doc_id, array_to_string(t[p:p+4], ' ') AS sh FROM (
       |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p FROM (
       |      SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |    WHERE len(t) >= 5)""".stripMargin
+
+  /** Oracle mirror of [[cappedShingles]]: `sh0` = raw shingles, `sh` =
+    * DF-capped shingles. Splice as the head of a WITH list.
+    */
+  private val sqlCappedCtes =
+    s"""sh0 AS ($sqlShingles),
+      |sh AS (SELECT sh0.* FROM sh0 WHERE sh NOT IN (
+      |       SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $ShingleDfCap))""".stripMargin
 
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
@@ -159,7 +195,7 @@ object Dedup {
     Op(
       "d02_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        val sh = cappedShingles(s, d).cache()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pr = sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -174,7 +210,7 @@ object Dedup {
           .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS ($sqlShingles),
+      Some(s"""WITH $sqlCappedCtes,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -190,7 +226,7 @@ object Dedup {
     Op(
       "d03_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        val sh = cappedShingles(s, d).cache()
         val hs = sh.withColumn("h",
           expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
         // All 16 permutation minima as columns of ONE aggregation: a single
@@ -230,7 +266,7 @@ object Dedup {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS ($sqlShingles),
+      Some(s"""WITH $sqlCappedCtes,
         |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
         |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
         |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
@@ -287,7 +323,7 @@ object Dedup {
               .as("members"))
           .orderBy("cluster_id")
       },
-      Some(s"""WITH RECURSIVE sh AS ($sqlShingles),
+      Some(s"""WITH RECURSIVE $sqlCappedCtes,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -323,7 +359,7 @@ object Dedup {
               .as("members"))
           .orderBy("cluster_id")
       },
-      Some(s"""WITH RECURSIVE sh AS ($sqlShingles),
+      Some(s"""WITH RECURSIVE $sqlCappedCtes,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -412,7 +448,7 @@ object Dedup {
     Op(
       "d08_containment",
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        val sh = cappedShingles(s, d).cache()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -427,7 +463,7 @@ object Dedup {
           .select("doc_a", "doc_b", "inter", "containment")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS ($sqlShingles),
+      Some(s"""WITH $sqlCappedCtes,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -80,6 +80,35 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("shingle DF cap is a no-op on the fixture but bounds a hot-shingle corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (a) fixture invariance: no fixture shingle exceeds the cap, so the
+    // capped set is identical and d02/d03/d08 results are unchanged.
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+      .distinct().cache()
+    val n = docs.count()
+    assert(Dedup.capShingleDf(docs, Dedup.ShingleDfCap).count() == n,
+      "cap dropped fixture shingles — d02/d03/d08 results would change")
+    // (b) hot-shingle corpus: 200 docs sharing one boilerplate shingle.
+    // Uncapped, that single key contributes 200*199/2 candidate pairs; the
+    // cap removes it entirely, leaving zero candidates.
+    val hot = (0L until 200L).map(i => (i, "the same five word header"))
+    val uniq = (0L until 200L).flatMap(i => (0 until 3).map(j => (i, s"unique $i $j shingle body")))
+    val sh = (hot ++ uniq).toDF("doc_id", "sh").cache()
+    def candidates(x: org.apache.spark.sql.DataFrame): Long =
+      x.as("a").join(x.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+    assert(candidates(sh) == 200L * 199L / 2)
+    assert(candidates(Dedup.capShingleDf(sh, Dedup.ShingleDfCap)) == 0L,
+      "hot shingle survived the DF cap")
+  }
+
   test("approximate sketches stay within error bounds of exact answers") {
     val rows = SparkEntry.queries("q37_approx_sketches")(spark, "/root/testdata/sf0.001")
       .collect()
