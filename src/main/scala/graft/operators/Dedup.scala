@@ -442,6 +442,56 @@ object Dedup {
         |WHERE ${VecSql.cos("a.embedding", "b.embedding")} >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)),
     // ------------------------------------------------------------------
+    // The d05 scale path: embedding near-dup blocked on LSH band buckets
+    // instead of a low-cardinality label. 32 deterministic sign-hyperplanes
+    // grouped into 4 bands x 8 bits; a pair is a candidate iff it collides
+    // in at least one band (recall is tunable via bands x bits — more bits
+    // per band shrink buckets, more bands recover recall), then candidates
+    // are verified with the exact codegen'd cosine. The join key is
+    // (band, bkey) — never all-pairs, never label-wide: bucket population
+    // is controlled by bits-per-band regardless of label skew, which is
+    // what survives a 100 TB corpus. Same LCG plane scheme as s02, so the
+    // oracle reproduces bucket assignment bit-exactly.
+    Op(
+      "d10_embed_neardup_lsh",
+      (s, d) => {
+        import s.implicits._
+        val e = T.embeddings(s, d)
+        val planes = (0 until 32).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
+        val bands = e.crossJoin(broadcast(planes))
+          .withColumn("dp", F.dotFD(col("embedding"), col("r")))
+          .groupBy(col("vec_id"), expr("p div 8").as("band"))
+          .agg(sum(when(col("dp") > 0,
+            expr("shiftleft(cast(1 as bigint), p % 8)")).otherwise(0L)).as("bkey"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+          .withColumn("cos", F.cosineSim(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.4)
+          .select("vec_a", "vec_b", "cos")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH pl AS (${Similarity.sqlPlanesUpTo(31)}),
+        |dt AS (SELECT e.vec_id, pl.p, ${VecSql.dot("e.embedding", "pl.r")} AS dp
+        |       FROM embeddings e CROSS JOIN pl),
+        |bd AS (SELECT vec_id, p // 8 AS band,
+        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS BIGINT) AS bkey
+        |       FROM dt GROUP BY vec_id, p // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |         FROM bd x JOIN bd y
+        |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+        |SELECT vec_a, vec_b, ${VecSql.cos("a.embedding", "b.embedding")} AS cos
+        |FROM cand JOIN embeddings a ON a.vec_id = vec_a
+        |JOIN embeddings b ON b.vec_id = vec_b
+        |WHERE ${VecSql.cos("a.embedding", "b.embedding")} >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)),
+    // ------------------------------------------------------------------
     // Asymmetric n-gram containment (catches subset/quote duplication that
     // symmetric Jaccard misses): |A∩B| / min(|A|,|B|) over the same shingle
     // inverted index as d02 — one equi-join on shingle, no cross product.

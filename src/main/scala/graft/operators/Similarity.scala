@@ -36,11 +36,14 @@ object Similarity {
     (0 until 64).map(i =>
       ((1103515245L * (p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5)
 
-  private val sqlPlanes =
-    """SELECT p, list_transform(generate_series(0, 63),
+  /** Oracle mirror of [[planeVec]] for planes 0..maxP. */
+  private[operators] def sqlPlanesUpTo(maxP: Int): String =
+    s"""SELECT p, list_transform(generate_series(0, 63),
       |    i -> CAST((CAST(1103515245 AS BIGINT) * (p*64 + i) + 12345) % 2147483648 AS DOUBLE)
       |         / CAST(2147483648 AS DOUBLE) - 0.5) AS r
-      |  FROM (SELECT unnest(generate_series(0, 5)) AS p)""".stripMargin
+      |  FROM (SELECT unnest(generate_series(0, $maxP)) AS p)""".stripMargin
+
+  private val sqlPlanes = sqlPlanesUpTo(5)
 
   /** IVF-style ANN (the brief's second scale path besides LSH): an online
     * K-means coarse quantizer (trained through the engine's own distributed

@@ -58,6 +58,13 @@ class PlanSuite extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
   }
 
+  test("d10: embedding near-dup joins on LSH band buckets, never label") {
+    val p = plan("d10_embed_neardup_lsh")
+    assert(p.contains("band") && p.contains("bkey"),
+      "candidate join lost its band-bucket keys")
+    assert(!p.contains("label"), "near-dup pair join regressed to label blocking")
+  }
+
   test("q36: hash-sample filter reaches the scan stage (no shuffle before it)") {
     val p = plan("q36_hash_sample")
     // the sample predicate is a per-row filter under the aggregate: exactly
