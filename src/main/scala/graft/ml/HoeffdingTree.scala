@@ -61,6 +61,9 @@ final class HTNode(val numClasses: Int, val dim: Int) extends Serializable {
 final class HTModel(val root: HTNode) extends ModelState {
   def deepCopy: ModelState = new HTModel(root.deepCopy).copyCountersFrom(this)
   def params: Array[Double] = Array(root.countNodes.toDouble)
+  /** Tree structure has no flat wire form; HT is SingleLearner-forced, so at
+    * most one replica ever ships (whole). */
+  override def wireSupported: Boolean = false
 }
 
 class HoeffdingTreeLearner(val delta: Double, val tau: Double, val grace: Int,

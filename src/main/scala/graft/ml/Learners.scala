@@ -15,6 +15,29 @@ trait ModelState extends Serializable {
   var cumLoss: Double = 0.0 // prequential cumulative loss
   def deepCopy: ModelState
   def params: Array[Double] // flattened snapshot for QueryResponse
+  /** Whether the full merge-relevant state has a flat wire form (so shipped
+    * replicas can be split into maxMsgParams-bounded blocks, reference
+    * DefaultJobParameters.scala:6). Structural models (HT) and buffer-holding
+    * models (K-means) return false and ship whole — both are
+    * SingleLearner-forced, so at most one replica ever ships.
+    */
+  def wireSupported: Boolean = true
+  /** Flat wire payload for chunked shipping. Default = params; models whose
+    * merge state is richer than their public params override (RLS ships its
+    * information form, not just the solved weights).
+    */
+  def wireParams: Array[Double] = params
+  /** Rebuild a same-shape model from a wire payload (inverse of
+    * [[wireParams]]); called on a freshly init'd skeleton of the right shape.
+    */
+  def loadWire(ps: Array[Double]): ModelState =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no flat wire form")
+  /** Input dimension this model was init'd with — rides the wire so the
+    * receiver can rebuild a skeleton via `learner.init(dim)`. -1 when not
+    * meaningful (whole-shipped models).
+    */
+  def wireDim: Int = -1
   protected def copyCountersFrom(o: ModelState): this.type = {
     n = o.n; cumLoss = o.cumLoss; this
   }
@@ -23,6 +46,9 @@ trait ModelState extends Serializable {
 final class LinearModel(val w: Array[Double], var b: Double) extends ModelState {
   def deepCopy: ModelState = new LinearModel(w.clone(), b).copyCountersFrom(this)
   def params: Array[Double] = w :+ b
+  override def loadWire(ps: Array[Double]): ModelState =
+    new LinearModel(ps.init, ps.last)
+  override def wireDim: Int = w.length
   def margin(x: Array[Double]): Double = La.dot(w, x) + b
 }
 
@@ -30,6 +56,9 @@ final class MultiClassModel(val k: Int, val dim: Int, val w: Array[Double])
     extends ModelState {
   def deepCopy: ModelState = new MultiClassModel(k, dim, w.clone()).copyCountersFrom(this)
   def params: Array[Double] = w.clone()
+  override def loadWire(ps: Array[Double]): ModelState =
+    new MultiClassModel(k, dim, ps.clone())
+  override def wireDim: Int = dim
   /** score of class r: w_r . x + b_r (bias stored at index dim). */
   def score(r: Int, x: Array[Double]): Double = {
     var s = w(r * (dim + 1) + dim); var i = 0
@@ -59,6 +88,19 @@ final class RlsModel(val d: Int, val lambda: Double,
     new RlsModel(d, lambda, a.clone(), bvec.clone(), p.clone(), w.clone())
       .copyCountersFrom(this)
   def params: Array[Double] = w.clone()
+  /** RLS must ship its information form (a, bvec) — the exact-merge state —
+    * not just the solved weights; p rides along so the replica resumes O(d^2)
+    * updates without re-inverting.
+    */
+  override def wireParams: Array[Double] =
+    Array.concat(a, bvec, p, w)
+  override def loadWire(ps: Array[Double]): ModelState = {
+    val dd = d * d
+    new RlsModel(d, lambda, ps.slice(0, dd), ps.slice(dd, dd + d),
+      ps.slice(dd + d, 2 * dd + d), ps.slice(2 * dd + d, 2 * dd + 2 * d))
+  }
+  // ORR.init adds the bias slot (d = dim + 1); wireDim is the INPUT dim
+  override def wireDim: Int = d - 1
 }
 
 final class KMeansState(val k: Int, val dim: Int, val centroids: Array[Double],
@@ -73,6 +115,10 @@ final class KMeansState(val k: Int, val dim: Int, val centroids: Array[Double],
     o
   }
   def params: Array[Double] = centroids.clone()
+  /** Ships whole: the farthest-point init buffer is not flat-representable,
+    * and K-means is SingleLearner-forced (at most one replica ever ships).
+    */
+  override def wireSupported: Boolean = false
   def nearest(x: Array[Double]): Int = {
     var best = -1; var bestD = Double.MaxValue; var c = 0
     while (c < filled) {
@@ -94,6 +140,9 @@ final class MlpModel(val dim: Int, val hidden: Int, val classes: Int,
   def deepCopy: ModelState =
     new MlpModel(dim, hidden, classes, w1.clone(), w2.clone()).copyCountersFrom(this)
   def params: Array[Double] = w1 ++ w2
+  override def loadWire(ps: Array[Double]): ModelState =
+    new MlpModel(dim, hidden, classes, ps.take(w1.length), ps.drop(w1.length))
+  override def wireDim: Int = dim
 }
 
 trait OnlineLearner extends Serializable {

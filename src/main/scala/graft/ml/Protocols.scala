@@ -14,6 +14,10 @@ package graft.ml
   * GM/FGM keep their communication-skipping semantics via the drift
   * threshold (replicas that moved less than the threshold don't ship).
   */
+/** `blocks` counts maxMsgParams-bounded parameter blocks shipped to the
+  * merge (see [[ModelWire]]) — the reference's message count, not a round
+  * count.
+  */
 final case class ProtocolStats(
     var modelsShipped: Long = 0L,
     var bytesShipped: Long = 0L,
@@ -41,7 +45,6 @@ sealed trait Protocol extends Serializable {
     val merged = learner.merge(replicas, prev)
     stats.modelsShipped += replicas.length
     stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
-    stats.blocks += 1
     merged
   }
 }
@@ -83,7 +86,6 @@ final case class EASGD(alpha: Double) extends Protocol {
     val avg = learner.merge(replicas, prev)
     stats.modelsShipped += replicas.length
     stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
-    stats.blocks += 1
     prev match {
       case Some(center: LinearModel) =>
         val a = avg.asInstanceOf[LinearModel]
@@ -123,7 +125,6 @@ final case class DriftGated(override val name: String, threshold: Double)
     // predicate is idempotent either way.
     val shipped = replicas.filter(ships(_, prev))
     val total = if (totalReplicas >= 0) totalReplicas else replicas.length.toLong
-    stats.blocks += 1
     if (shipped.isEmpty) prev.getOrElse(learner.merge(replicas, prev))
     else {
       stats.modelsShipped += shipped.length

@@ -25,7 +25,12 @@ case class PipelineSpec(
       * executors the driver would otherwise hold W models at once). Local
       * gate runs stay below it, so both paths are equivalence-tested
       * explicitly in PipelineSparkSuite. */
-    treeMergeThreshold: Int = 64)
+    treeMergeThreshold: Int = 64,
+    /** Message cap on shipped model payloads, in doubles (reference
+      * `maxMsgParams`, DefaultJobParameters.scala:6): every shipped replica
+      * is split into <=maxMsgParams-double [[graft.ml.ParamBlock]]s and
+      * reassembled before the merge — see [[graft.ml.ModelWire]]. */
+    maxMsgParams: Int = 2000)
 
 final class FittedPipeline(
     val spec: PipelineSpec,
@@ -146,20 +151,38 @@ object Trainer {
                 }
               stats.modelsShipped += k
               stats.bytesShipped += bytes
-              stats.blocks += 1
+              // each replica enters the merge tree once, as
+              // ceil(payload/maxMsgParams) transport blocks
+              stats.blocks +=
+                k * ((m.wireParams.length.toLong + spec.maxMsgParams - 1) /
+                  spec.maxMsgParams).max(1L)
               Some(m)
             }
           } else {
-            // Map-side ship gate: drift-gated protocols drop non-drifted
-            // replicas on their executors — the driver receives a 1-row
-            // marker instead of O(params) for every skipped replica.
-            val flagged = replRdd
-              .map(m => if (protocol.ships(m, bcGlobal.value)) Some(m) else None)
-              .collect()
-            val shipped = flagged.flatten.toSeq
-            if (flagged.isEmpty) None
+            // Chunked ship path: the map-side gate drops non-drifted
+            // replicas on their executors (the driver receives a 1-row
+            // marker instead of O(params) per skipped replica); shipped
+            // replicas are split into <=maxMsgParams-double blocks so no
+            // single collected record exceeds the message cap, then
+            // reassembled before the protocol merge.
+            val maxP = spec.maxMsgParams
+            val collected = replRdd.mapPartitions { it =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              it.flatMap { m =>
+                if (protocol.ships(m, bcGlobal.value))
+                  ModelWire.chunk(m, maxP, pid).iterator.map(Option(_))
+                else Iterator.single(Option.empty[ParamBlock])
+              }
+            }.collect()
+            val blocks = collected.flatten.toSeq
+            val shipped = ModelWire.reassemble(blocks,
+              (bdim, ps) => learner.init(bdim).loadWire(ps))
+            stats.blocks += blocks.length
+            val totalReplicas =
+              collected.count(_.isEmpty).toLong + blocks.count(_.idx == 0)
+            if (collected.isEmpty) None
             else Some(protocol.aggregate(shipped, global, learner, stats,
-              totalReplicas = flagged.length.toLong))
+              totalReplicas = totalReplicas))
           }
         mergedOpt.foreach { merged =>
           totalFitted += merged.n

@@ -51,9 +51,13 @@ object StreamingTrainer {
           case _ => rdd
         }
         val bcGlobal = spark.sparkContext.broadcast(global)
-        // Same map-side ship gate as the batch Trainer: drift-gated
-        // protocols keep non-drifted replicas on their executors.
-        val flagged = data.mapPartitions { it =>
+        // Same map-side ship gate + chunked ship path as the batch Trainer:
+        // drift-gated protocols keep non-drifted replicas on their
+        // executors, and shipped payloads travel as <=maxMsgParams-double
+        // ParamBlocks (block.dim carries the data-discovered input dim).
+        val maxP = spec.maxMsgParams
+        val collected = data.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
           var model: ModelState = bcGlobal.value.map(_.deepCopy).orNull
           if (model != null) { model.n = 0L; model.cumLoss = 0.0 }
           var any = false
@@ -64,13 +68,19 @@ object StreamingTrainer {
           }
           if (any) {
             learner.finish(model)
-            Iterator.single(if (protocol.ships(model, bcGlobal.value)) Some(model) else None)
+            if (protocol.ships(model, bcGlobal.value))
+              ModelWire.chunk(model, maxP, pid).iterator.map(Option(_))
+            else Iterator.single(Option.empty[ParamBlock])
           } else Iterator.empty
         }.collect()
-        val replicas = flagged.flatten.toSeq
-        if (flagged.nonEmpty) {
+        val blocks = collected.flatten.toSeq
+        val replicas = ModelWire.reassemble(blocks,
+          (bdim, ps) => learner.init(bdim).loadWire(ps))
+        stats.blocks += blocks.length
+        if (collected.nonEmpty) {
           val merged = protocol.aggregate(replicas, global, learner, stats,
-            totalReplicas = flagged.length.toLong)
+            totalReplicas =
+              collected.count(_.isEmpty).toLong + blocks.count(_.idx == 0))
           totalFitted += merged.n
           totalCumLoss += merged.cumLoss
           merged.n = totalFitted

@@ -174,8 +174,57 @@ class PipelineSparkSuite extends AnyFunSuite {
         protocolHp = Map("threshold" -> 1e12), rounds = 3), data)
     assert(fitted.stats.modelsShipped == 8, // 8 partitions, round 1 only
       s"shipped=${fitted.stats.modelsShipped}")
-    assert(fitted.stats.blocks == 3)
+    // blocks counts shipped param blocks: 8 one-block replicas in round 1
+    // (5-double payloads << maxMsgParams), none in rounds 2-3
+    assert(fitted.stats.blocks == 8)
     assert(fitted.model.n > 0)
+  }
+
+  test("maxMsgParams: big models ship in ceil(params/2000) blocks, weights unchanged") {
+    // ml05 shape: MultiClassPA over PolynomialFeatures(64 dims) -> >21k
+    // params per replica, far beyond the reference's 2000-param message cap
+    // (DefaultJobParameters.scala:6)
+    val spec = PipelineSpec(51, "MultiClassPA",
+      Map("C" -> 0.05, "classes" -> 10.0), Seq("PolynomialFeatures"),
+      "Synchronous", rounds = 1)
+    val data = spark.sparkContext.parallelize(
+      synthetic(600, 64, 109L).map { case (x, y) => (x, if (y > 0) 1.0 else 0.0) }, 4)
+    val fitted = Trainer.fit(spark, spec, data)
+    val paramsLen = fitted.model.wireParams.length
+    assert(paramsLen > 21000, s"expected ml05-sized model, got $paramsLen")
+    val perReplica = (paramsLen + spec.maxMsgParams - 1) / spec.maxMsgParams
+    assert(perReplica > 1)
+    assert(fitted.stats.blocks == 4L * perReplica,
+      s"blocks=${fitted.stats.blocks}, expected ${4L * perReplica}")
+    // chunk->reassemble is lossless: an effectively-uncapped run merges to
+    // bit-identical weights
+    val uncapped = Trainer.fit(spark, spec.copy(maxMsgParams = Int.MaxValue), data)
+    assert(uncapped.stats.blocks == 4L)
+    assert(java.util.Arrays.equals(fitted.model.params, uncapped.model.params),
+      "chunked ship changed the merged weights")
+  }
+
+  test("ParamBlock round-trip preserves every wire model family's merge state") {
+    val lin = new LinearModel(Array(1.5, -2.5, 3.0), 0.25)
+    lin.n = 7L; lin.cumLoss = 1.25
+    val mc = new MultiClassModel(3, 2, Array.tabulate(9)(_ * 0.5))
+    mc.n = 11L
+    val rls = new RlsModel(2, 0.1, Array(1.0, 0.0, 0.0, 1.0), Array(0.5, -0.5),
+      Array(2.0, 0.1, 0.1, 2.0), Array(0.25, 0.75))
+    rls.cumLoss = 0.5
+    val learners = Seq[(ModelState, OnlineLearner)](
+      (lin, new PAClassifier(0.1)),
+      (mc, new MultiClassPA(0.1, 3)),
+      (rls, new ORR(0.1)))
+    for ((m, learner) <- learners) {
+      val blocks = ModelWire.chunk(m, 2, 0) // force multi-block
+      assert(blocks.length == (m.wireParams.length + 1) / 2)
+      val back = ModelWire.reassemble(blocks,
+        (bdim, ps) => learner.init(bdim).loadWire(ps)).head
+      assert(java.util.Arrays.equals(back.wireParams, m.wireParams),
+        s"${m.getClass.getSimpleName} wire round-trip drifted")
+      assert(back.n == m.n && back.cumLoss == m.cumLoss)
+    }
   }
 
   test("training tolerates empty partitions and tiny data") {
