@@ -280,9 +280,14 @@ case class StatsState(
 
 /** The reference's StatisticsOperator (StatisticsOperator.scala:21-150):
   * merges per-hub statistics per pipeline and uses a quiescence timeout —
-  * no new statistics for `timeoutMs` — to emit the final JobStatistics with
-  * the pipeline makespan and clear state. Timers map onto
-  * GroupStateTimeout.ProcessingTimeTimeout.
+  * no new statistics for `timeoutMs` of EVENT time — to emit the final
+  * JobStatistics with the pipeline makespan and clear state. The reference
+  * registers `lastTimestamp + timeout` event-time timers
+  * (StatisticsOperator.scala:91,135-142); here that maps onto
+  * GroupStateTimeout.EventTimeTimeout with the timer keyed off watermark
+  * progress — quiescence is decided by the data's own clock, so replay and
+  * backfill behave identically to live ingestion (a processing-time timer
+  * would fire mid-backfill on wall-clock pauses).
   */
 object StatsOperator {
 
@@ -296,29 +301,60 @@ object StatsOperator {
         s"makespan=$makespan,models=${st.modelsShipped},bytes=${st.bytesShipped}," +
           s"blocks=${st.blocks},fitted=${st.fitted}"))
     } else {
-      var st = state.getOption.getOrElse(
-        StatsState(0, 0, 0, 0, 0.0, Long.MaxValue, Long.MinValue))
-      it.foreach { e =>
-        st = StatsState(
-          st.modelsShipped + e.modelsShipped,
-          st.bytesShipped + e.bytesShipped,
-          st.blocks + e.blocks,
-          st.fitted + e.fitted,
-          e.score, // latest score wins (reference keeps the newest curve point)
-          math.min(st.firstTsMs, e.eventTimeMs),
-          math.max(st.lastTsMs, e.eventTimeMs))
+      // Late-data guard: a record at/below the watermark arrives after the
+      // quiescence decision for its epoch is sealed — processing it would
+      // resurrect state the timer already cleared (the reference's
+      // event-time timers give the same guarantee: a post-timer record
+      // re-opens nothing retroactively).
+      val wm = scala.util.Try(state.getCurrentWatermarkMs).getOrElse(0L)
+      val live = it.filter(_.eventTimeMs >= wm).toSeq
+      if (live.isEmpty) Iterator.empty
+      else {
+        var st = state.getOption.getOrElse(
+          StatsState(0, 0, 0, 0, 0.0, Long.MaxValue, Long.MinValue))
+        live.foreach { e =>
+          st = StatsState(
+            st.modelsShipped + e.modelsShipped,
+            st.bytesShipped + e.bytesShipped,
+            st.blocks + e.blocks,
+            st.fitted + e.fitted,
+            e.score, // latest score wins (reference keeps the newest curve point)
+            math.min(st.firstTsMs, e.eventTimeMs),
+            math.max(st.lastTsMs, e.eventTimeMs))
+        }
+        state.update(st)
+        // the reference's timer instant, clamped above the current watermark
+        // (Spark rejects timers at or below it)
+        state.setTimeoutTimestamp(math.max(st.lastTsMs + timeoutMs, wm + 1))
+        Iterator.empty
       }
-      state.update(st)
-      state.setTimeoutDuration(timeoutMs)
-      Iterator.empty
     }
   }
 
-  def run(stats: Dataset[StatEvent], timeoutMs: Long = 30000L): Dataset[SpokeEvent] = {
+  /** Wire the processor over a stats stream. The input's `eventTimeMs`
+    * drives both the watermark and the quiescence timers. The watermarked
+    * timestamp column must reach the stateful operator, so the event rides
+    * inside a [[StatEnvelope]] next to it.
+    */
+  def run(stats: Dataset[StatEvent], timeoutMs: Long = 30000L,
+      watermarkDelay: String = "0 seconds"): Dataset[SpokeEvent] = {
     import stats.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    stats.groupByKey(_.pipelineId)
+    val cols = stats.columns.map(col)
+    stats
+      .withColumn("eventTime", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(struct(cols: _*).as("e"), col("eventTime"))
+      .as[StatEnvelope]
+      .groupByKey(_.e.pipelineId)
       .flatMapGroupsWithState[StatsState, SpokeEvent](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(process(timeoutMs))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Int, it: Iterator[StatEnvelope], state: GroupState[StatsState]) =>
+          process(timeoutMs)(key, it.map(_.e), state))
   }
 }
+
+/** Carrier keeping the watermarked timestamp column alongside the stats
+  * record through the stateful operator (see [[StatsOperator.run]]).
+  */
+case class StatEnvelope(e: StatEvent, eventTime: java.sql.Timestamp)

@@ -51,19 +51,22 @@ class StreamingSuite extends AnyFunSuite {
   }
 
   test("statistics operator merges per-pipeline stats and emits on quiescence timeout") {
+    // event-time timers: watermark at 500ms when the stats arrive
     val st = TestGroupState.create[StatsState](
       org.apache.spark.api.java.Optional.empty[StatsState](),
-      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
-      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+      GroupStateTimeout.EventTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.of(500L), hasTimedOut = false)
     val out1 = StatsOperator.process(30000L)(1, Iterator(
       StatEvent(1, 4, 2048, 1, 100, 0.8, 1000L),
       StatEvent(1, 4, 2048, 1, 120, 0.9, 6000L)), st).toSeq
     assert(out1.isEmpty && st.exists)
-    // simulate the quiescence timer firing
+    // the timer was registered at lastTs + timeout (event time, not wall)
+    assert(st.getTimeoutTimestampMs.get() == 36000L)
+    // simulate the watermark passing the timer instant
     val fired = TestGroupState.create[StatsState](
       org.apache.spark.api.java.Optional.of(st.get),
-      GroupStateTimeout.ProcessingTimeTimeout, 40000L,
-      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+      GroupStateTimeout.EventTimeTimeout, 40000L,
+      org.apache.spark.api.java.Optional.of(36001L), hasTimedOut = true)
     val out2 = StatsOperator.process(30000L)(1, Iterator.empty, fired).toSeq
     assert(out2.length == 1)
     val js = out2.head
@@ -72,6 +75,69 @@ class StreamingSuite extends AnyFunSuite {
     assert(js.info.contains("models=8"))
     assert(js.info.contains("fitted=220"))
     assert(!fired.exists)
+    // a LATE stats record (below the watermark) after the timeout must not
+    // resurrect the cleared state
+    val late = TestGroupState.create[StatsState](
+      org.apache.spark.api.java.Optional.empty[StatsState](),
+      GroupStateTimeout.EventTimeTimeout, 50000L,
+      org.apache.spark.api.java.Optional.of(36001L), hasTimedOut = false)
+    val out3 = StatsOperator.process(30000L)(1,
+      Iterator(StatEvent(1, 1, 64, 1, 5, 0.1, 2000L)), late).toSeq
+    assert(out3.isEmpty && !late.exists, "late record resurrected stats state")
+  }
+
+  test("stats quiescence is driven by the watermark end-to-end, not wall clock") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[SpokeEvent]()
+    def writeFile(evts: Seq[StatEvent], mtime: Long): Unit = {
+      val sub = new java.io.File(dir, "data")
+      evts.toDS().coalesce(1).write.mode("append").parquet(sub.toString)
+      // distinct mtimes keep the file-source trigger order deterministic
+      sub.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(mtime))
+    }
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StatEvent]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/data").as[StatEvent]
+      val q = StatsOperator.run(src, timeoutMs = 30000L).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[SpokeEvent], _: Long) =>
+          df.collect().foreach(sink.add))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // pipeline 1's stats end at ts=6000; the timer is due at 36000
+    writeFile(Seq(
+      StatEvent(1, 4, 2048, 1, 100, 0.8, 1000L),
+      StatEvent(1, 4, 2048, 1, 120, 0.9, 6000L)), 1000000L)
+    drain()
+    assert(!sink.iterator().hasNext, "emitted before the watermark reached the timer")
+    // a fresh pipeline-99 record pushes the watermark past 36000 -> pipeline
+    // 1's timer fires on data time alone (no 30s wall-clock wait happened)
+    writeFile(Seq(StatEvent(99, 1, 64, 1, 5, 0.5, 1000000L)), 2000000L)
+    drain()
+    val emitted = sink.iterator()
+    assert(emitted.hasNext)
+    val js = sink.peek()
+    assert(js.pipelineId == 1 && js.kind == "job_statistics" &&
+      js.info.contains("makespan=5000"), js.toString)
+    assert(sink.size() == 1)
+    // a late pipeline-1 record (ts far below the watermark) cannot resurrect
+    // the cleared state: advancing the watermark again emits nothing new for
+    // pipeline 1
+    writeFile(Seq(StatEvent(1, 9, 99, 1, 9, 0.9, 2000L)), 3000000L)
+    drain()
+    writeFile(Seq(StatEvent(99, 1, 64, 1, 5, 0.5, 9000000L)), 4000000L)
+    drain()
+    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      sink.iterator()).asScala.toSeq
+    assert(all.count(e => e.pipelineId == 1) == 1,
+      s"late record resurrected pipeline-1 state: $all")
   }
 
   test("spoke state survives a streaming-query restart from checkpoint") {
