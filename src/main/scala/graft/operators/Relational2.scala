@@ -399,5 +399,43 @@ object Relational2 {
             expr("approx_percentile(l_extendedprice, 0.99)").as("approx_p99"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")),
+    // ------------------------------------------------------------------
+    // Sketch mergeability — the property that makes constant-memory
+    // distinct-counting work at 100 TB: DataSketches HLL partials union to a
+    // result that depends only on the DATA, not on how it was sharded
+    // (map-side partials, cross-day rollups, incremental ingestion all rely
+    // on it). Note the honest contract: the union result is shard-LAYOUT
+    // independent, but a union of sparse partials and a single-pass sketch
+    // may sit in different internal modes, so their estimates can differ
+    // within the error bound — the invariant is layout independence +
+    // bounded error, not bit-equality with single-pass. The query asserts
+    // both engine-side as booleans, so the oracle hash-checks them: any
+    // divergence flips a boolean and the hash mismatches.
+    Op(
+      "q42_sketch_merge",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        def mergedEst(shards: Int) = li
+          .groupBy((col("l_orderkey") % shards).as("shard"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val m8 = mergedEst(8).select(col("est").as("est8"))
+        val m16 = mergedEst(16).select(col("est").as("est16"))
+        val single = li.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("single_est"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        m8.crossJoin(m16).crossJoin(single)
+          .select(
+            (col("est8") === col("est16")).as("merge_layout_independent"),
+            (abs(col("est8") - col("exact_parts")).cast(DoubleType) /
+              col("exact_parts") < 0.05).as("merged_within_5pct"),
+            (abs(col("single_est") - col("exact_parts")).cast(DoubleType) /
+              col("exact_parts") < 0.05).as("single_within_5pct"),
+            col("exact_parts"))
+      },
+      Some("""SELECT true AS merge_layout_independent,
+        |  true AS merged_within_5pct, true AS single_within_5pct,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem""".stripMargin)),
   )
 }

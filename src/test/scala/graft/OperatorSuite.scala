@@ -109,6 +109,22 @@ class OperatorSuite extends AnyFunSuite {
       "hot shingle survived the DF cap")
   }
 
+  test("HLL partial-sketch union is shard-layout independent and within bounds") {
+    import org.apache.spark.sql.functions._
+    val li = T.lineitem(spark, "/root/testdata/sf0.001")
+    def merged(shards: Int): Long =
+      li.groupBy((col("l_orderkey") % shards).as("shard"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val est = Seq(2, 8, 16, 32).map(merged)
+    // the union depends only on the data, not the shard layout ...
+    assert(est.distinct.length == 1, s"layout-dependent union: $est")
+    // ... and stays inside the HLL error bound of the exact count
+    assert(math.abs(est.head - exact).toDouble / exact < 0.05,
+      s"sketch ${est.head} vs exact $exact")
+  }
+
   test("approximate sketches stay within error bounds of exact answers") {
     val rows = SparkEntry.queries("q37_approx_sketches")(spark, "/root/testdata/sf0.001")
       .collect()
