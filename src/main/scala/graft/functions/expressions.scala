@@ -91,6 +91,45 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Indexes of the `nprobe` nearest centroids to `v` by squared euclidean
+    * distance, ascending (ties break toward the lower index — the same order
+    * a stable sort over (distance, index) yields). `cents` is the flattened
+    * row-major centroid matrix; the centroid count is cents.length/dim.
+    * Selection is O(k*nprobe) insertion into a bounded prefix — nprobe is
+    * 1-4 in practice, so no full sort.
+    */
+  def nearestCentroids(v: ArrayData, cents: ArrayData, dim: Int, nprobe: Int): ArrayData = {
+    val k = cents.numElements() / dim
+    val take = math.min(nprobe, k)
+    val bestIdx = new Array[Int](take)
+    val bestD = new Array[Double](take)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = cents.getDouble(c * dim + i) - v.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      // insert (s, c) into the sorted prefix; strict < keeps ties on the
+      // earlier (lower) centroid index
+      var pos = filled
+      while (pos > 0 && s < bestD(pos - 1)) pos -= 1
+      if (pos < take) {
+        val end = math.min(filled, take - 1)
+        var j = end
+        while (j > pos) { bestD(j) = bestD(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1 }
+        bestD(pos) = s; bestIdx(pos) = c
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
   /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
     * token multiplicity; bit set iff the vote sum is positive.
     */
@@ -164,6 +203,24 @@ case class Md5Prefix32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `nearest_centroids(array<double> v, array<double> flat_centroids, dim,
+  * nprobe) -> array<int>`: the IVF coarse-quantizer probe as a codegen'd
+  * expression — replaces a per-row Scala UDF closing over a broadcast
+  * K-means model, keeping the probe inside whole-stage codegen.
+  */
+case class NearestCentroids(left: Expression, right: Expression,
+    dim: Int, nprobe: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorOps.nearestCentroids(
+      v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], dim, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.VectorOps.nearestCentroids($v, $c, $dim, $nprobe);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -182,6 +239,9 @@ object F {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotFD(a: Column, b: Column): Column = call_function("dot_fd", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+  def nearestCentroids(v: Column, flatCentroids: Column, dim: Int, nprobe: Int): Column =
+    call_function("nearest_centroids", v, flatCentroids,
+      org.apache.spark.sql.functions.lit(dim), org.apache.spark.sql.functions.lit(nprobe))
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -199,6 +259,10 @@ object F {
     (FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
       (es: Seq[Expression]) => Md5Prefix32(es.head)),
+    (FunctionIdentifier("nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "nearest_centroids"),
+      (es: Seq[Expression]) => NearestCentroids(es(0), es(1),
+        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])),
   )
 }
 

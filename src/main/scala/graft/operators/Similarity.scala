@@ -64,20 +64,15 @@ object Similarity {
         "Asynchronous", rounds = 1),
       feats.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
     val km = quant.model.asInstanceOf[graft.ml.KMeansState]
-    val bcKm = s.sparkContext.broadcast(km)
-    val bucketOf = udf((v: Seq[Double]) => bcKm.value.nearest(v.toArray))
-    val listed = feats.withColumn("bucket", bucketOf(col("fd")))
+    // centroids as a plan literal (8 KB at nlist=16 x 64 dims): the probe is
+    // the codegen'd nearest_centroids expression, not a per-row UDF closure
+    val centsLit = lit(km.centroids.slice(0, km.filled * km.dim))
+    val listed = feats.withColumn("bucket",
+      element_at(F.nearestCentroids(col("fd"), centsLit, km.dim, 1), 1))
     // nprobe nearest centroids per query vector
-    val probeOf = udf { (v: Seq[Double]) =>
-      val x = v.toArray
-      val k = bcKm.value
-      (0 until k.filled).map(c =>
-        (c, graft.ml.La.sqdist(k.centroids.slice(c * k.dim, (c + 1) * k.dim), x)))
-        .sortBy(_._2).take(nprobe).map(_._1)
-    }
     val q = listed.filter(col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(probeOf(col("fd"))).as("bucket"))
+        explode(F.nearestCentroids(col("fd"), centsLit, km.dim, nprobe)).as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     listed.select(col("vec_id"), col("embedding"), col("bucket"))
       .join(q, Seq("bucket"))
@@ -107,25 +102,20 @@ object Similarity {
         "Asynchronous", rounds = 1),
       feats.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
     val km = quant.model.asInstanceOf[graft.ml.KMeansState]
-    val bcKm = s.sparkContext.broadcast(km)
-    val bucketOf = udf((v: Seq[Double]) => bcKm.value.nearest(v.toArray))
+    // centroids as a plan literal; list assignment + probe run through the
+    // codegen'd nearest_centroids expression (no per-row UDF closure)
+    val centsLit = lit(km.centroids.slice(0, km.filled * km.dim))
     // materialize the index bucketed by inverted list
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-    feats.withColumn("bucket", bucketOf(col("fd")))
+    feats.withColumn("bucket",
+        element_at(F.nearestCentroids(col("fd"), centsLit, km.dim, 1), 1))
       .select("vec_id", "embedding", "bucket")
       .write.partitionBy("bucket").mode("overwrite").parquet(idxDir)
     val index = s.read.parquet(idxDir)
     // queries + their nprobe nearest lists (tiny, driver/broadcast side)
-    val probeOf = udf { (v: Seq[Double]) =>
-      val x = v.toArray
-      val k = bcKm.value
-      (0 until k.filled).map(c =>
-        (c, graft.ml.La.sqdist(k.centroids.slice(c * k.dim, (c + 1) * k.dim), x)))
-        .sortBy(_._2).take(nprobe).map(_._1)
-    }
     val q = feats.filter(col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(probeOf(col("fd"))).as("bucket"))
+        explode(F.nearestCentroids(col("fd"), centsLit, km.dim, nprobe)).as("bucket"))
     val probedLists = q.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))

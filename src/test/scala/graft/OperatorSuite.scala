@@ -109,6 +109,27 @@ class OperatorSuite extends AnyFunSuite {
       "hot shingle survived the DF cap")
   }
 
+  test("nearest_centroids selection matches a full sort, ties to lower index") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    val dim = 4
+    for (trial <- 1 to 20) {
+      val k = 1 + rnd.nextInt(12)
+      val cents = Array.fill(k * dim)(math.floor(rnd.nextDouble() * 4) / 2.0)
+      val v = Array.fill(dim)(math.floor(rnd.nextDouble() * 4) / 2.0)
+      val nprobe = 1 + rnd.nextInt(4)
+      val got = graft.functions.VectorOps.nearestCentroids(
+        new GenericArrayData(v), new GenericArrayData(cents), dim, nprobe)
+        .toIntArray().toSeq
+      val expect = (0 until k).map { c =>
+        var s = 0.0
+        for (i <- 0 until dim) { val d = cents(c * dim + i) - v(i); s += d * d }
+        (s, c)
+      }.sortBy(identity).take(math.min(nprobe, k)).map(_._2)
+      assert(got == expect, s"trial $trial k=$k nprobe=$nprobe: $got vs $expect")
+    }
+  }
+
   test("HLL partial-sketch union is shard-layout independent and within bounds") {
     import org.apache.spark.sql.functions._
     val li = T.lineitem(spark, "/root/testdata/sf0.001")

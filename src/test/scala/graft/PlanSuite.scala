@@ -58,6 +58,16 @@ class PlanSuite extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
   }
 
+  test("s03/s04: IVF bucket/probe assignment is a native expression, not a UDF") {
+    for (name <- Seq("s03_ann_ivf", "s04_ann_ivf_pruned")) {
+      val p = plan(name)
+      assert(p.toLowerCase.contains("nearestcentroids") ||
+        p.contains("nearest_centroids"), s"$name lost the native probe")
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+        s"$name still plans a UDF")
+    }
+  }
+
   test("d10: embedding near-dup joins on LSH band buckets, never label") {
     val p = plan("d10_embed_neardup_lsh")
     assert(p.contains("band") && p.contains("bkey"),
