@@ -437,5 +437,27 @@ object Relational2 {
         |  true AS merged_within_5pct, true AS single_within_5pct,
         |  COUNT(DISTINCT l_partkey) AS exact_parts
         |FROM lineitem""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Stratified deterministic sampling — the training-data-pipeline form of
+    // q36: per-stratum keep rates (downsample the over-represented 'en'
+    // stratum less aggressively than the tail) as pure functions of the key,
+    // so the sample is stable across retries, partitions and engines; no RNG
+    // state to coordinate at 1000 executors.
+    Op(
+      "q43_stratified_sample",
+      (s, d) =>
+        T.documents(s, d)
+          .withColumn("bucket", substring(md5(col("doc_id").cast(StringType)), 1, 2))
+          .filter(when(col("lang") === "en", col("bucket") < "40")
+            .otherwise(col("bucket") < "10"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' END
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

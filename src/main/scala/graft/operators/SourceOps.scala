@@ -36,6 +36,29 @@ object SourceOps {
         |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
     // ------------------------------------------------------------------
+    // ORC roundtrip (columnar-format breadth beyond parquet): same
+    // checksum-aggregation contract as w03, so any corruption in the ORC
+    // writer/reader path breaks the hash-match against the parquet oracle.
+    Op(
+      "w05_orc_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+        T.documents(s, d).write.mode("overwrite").orc(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).orc(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+            sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+              .as("content_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "w04_csv_source",
       (s, d) => {

@@ -327,21 +327,23 @@ object StreamOps {
       import s.implicits._
       val workers = 4
       val dir = java.nio.file.Files.createTempDirectory("graft_rc_").toString
-      val base = T.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("f"),
-          when(col("label") >= 5, 1.0).otherwise(-1.0).as("t"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      // composite key pipelineId*1024 + worker; Create/Query broadcast to all
+      // composite key pipelineId*1024 + worker; Create/Query broadcast to all.
+      // Data envelopes are staged with a distributed write — only the O(W)
+      // control envelopes are driver-built (no collect of the data path).
       def key(w: Int) = 1 * 1024 + w
+      val points = T.embeddings(s, d).select(
+        (col("vec_id") + 100L).as("seq"),
+        (lit(1 * 1024) + (col("vec_id") % workers).cast(IntegerType)).as("pipelineId"),
+        lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+        lit(-1L).as("requestId"), col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("features"),
+        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"),
+        lit("training").as("operation")).as[Envelope]
       val creates = (0 until workers).map(w =>
         Envelope(w.toLong, key(w), "control", "Create", "PA", 1L, -1, Nil, None, ""))
-      val points = base.map { case (id, f, t) =>
-        Envelope(100 + id, key((id % workers).toInt), "data", "", "", -1L, id,
-          f, Some(t), "training")
-      }
       val queries = (0 until workers).map(w =>
         Envelope(1000000L + w, key(w), "control", "Query", "", 9L, -1, Nil, None, ""))
-      (creates ++ points ++ queries).toSeq.toDS()
+      (creates ++ queries).toDS().unionByName(points)
         .coalesce(1).write.mode("append").parquet(dir)
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .parquet(dir).as[Envelope]
@@ -371,33 +373,40 @@ object StreamOps {
     Op("st04_spoke_lifecycle", (s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft_spoke_").toString
-      val base = T.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("f"),
-          col("label").cast(DoubleType).as("t"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-        .sortBy(_._1)
-      def dataEnv(rows: Seq[(Long, Seq[Double], Double)], op: String): Seq[Envelope] =
-        rows.map { case (id, f, t) =>
-          Envelope(id, 1, "data", "", "", -1L, id,
-            f, if (op == "training") Some(if (t >= 5.0) 1.0 else -1.0) else None, op)
-        }
-      val n = base.length
-      val batch1: Seq[Envelope] =
-        dataEnv(base.take(100).toSeq, "training") :+
-          Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")
-      val batch2: Seq[Envelope] =
-        dataEnv(base.slice(100, n - 50).map(x => x.copy(_1 = x._1 + 200000L)).toSeq, "training") ++
-          dataEnv(base.takeRight(50).map(x => x.copy(_1 = x._1 + 300000L)).toSeq, "forecasting") :+
-          Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")
-      batch1.toDS().coalesce(1).write.mode("append").parquet(dir)
+      // Data envelopes are staged with distributed writes keyed on the
+      // contiguous vec_id (0..n-1), reproducing the positional batching
+      // without collecting the data path; only the 2 control envelopes are
+      // driver-built.
+      val feats = T.embeddings(s, d)
+      val n = feats.count()
+      def env(rows: org.apache.spark.sql.DataFrame, idOff: Long, op: String) =
+        rows.select(
+          (col("vec_id") + idOff).as("seq"),
+          lit(1).as("pipelineId"),
+          lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+          lit(-1L).as("requestId"), (col("vec_id") + idOff).as("id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("features"),
+          (if (op == "training")
+            when(col("label").cast(DoubleType) >= 5.0, 1.0).otherwise(-1.0)
+          else lit(null).cast(DoubleType)).as("target"),
+          lit(op).as("operation")).as[Envelope]
+      val batch1 = env(feats.filter(col("vec_id") < 100), 0L, "training")
+        .unionByName(Seq(
+          Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")).toDS())
+      val batch2 = env(
+          feats.filter(col("vec_id") >= 100 && col("vec_id") < n - 50),
+          200000L, "training")
+        .unionByName(env(feats.filter(col("vec_id") >= n - 50), 300000L, "forecasting"))
+        .unionByName(Seq(
+          Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")).toDS())
+      batch1.coalesce(1).write.mode("append").parquet(dir)
       // Distinct mtimes (file source orders by mod time): back-date batch 1
       // instead of sleeping between the writes.
       val past = java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 60000)
       java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
         java.nio.file.Files.setLastModifiedTime(p, past))
-      batch2.toDS().coalesce(1).write.mode("append").parquet(dir)
+      batch2.coalesce(1).write.mode("append").parquet(dir)
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope]
       val q = Streaming.withStreamShuffle(s) {

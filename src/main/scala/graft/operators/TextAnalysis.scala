@@ -248,5 +248,51 @@ object TextAnalysis {
         |WHERE w1 <> '' AND w2 <> ''
         |GROUP BY w1, w2 HAVING COUNT(*) >= 10
         |ORDER BY n DESC, w1, w2""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TF-IDF top terms per document. The idf is the RATIO N/df, not
+    // log(N/df): natural-log implementations are not guaranteed bit-identical
+    // across engines, while IEEE-754 multiply/divide are — the ranking is
+    // order-equivalent (log is monotone) and the scores hash-match exactly.
+    // Shape at scale: one token explode, two keyed aggregations, a term-keyed
+    // join (df side is vocabulary-sized — AQE broadcasts it when small), and
+    // a per-doc top-k window.
+    Op(
+      "t09_tfidf_topk",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val idf = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(idf, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+        |        GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |       CAST(tf AS DOUBLE) * n_docs / df AS score
+        |       FROM tf JOIN idf USING (term) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, score,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |      FROM sc)
+        |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin)),
   )
 }
