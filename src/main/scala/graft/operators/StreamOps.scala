@@ -235,6 +235,77 @@ object StreamOps {
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin)),
     // ------------------------------------------------------------------
+    // Stream-stream LEFT OUTER join: same key + time-range condition as
+    // st08, but unmatched signups must ALSO emit (null-extended) — and they
+    // can only do so once the watermark proves no matching purchase can
+    // still arrive. This is a different state-eviction path than the inner
+    // join: null rows are produced by watermark progress, not by matches;
+    // the far-future sentinel flushes the tail. The reference has no
+    // watermark machinery at all (§2.7) — this is the Spark-native surface.
+    Op("st15_stream_outer_join", (s, d) => {
+      // Private staging with a +120-day sentinel: null-extended rows flush
+      // only when watermark > s_ts + 7d, so the sentinel must clear
+      // maxTs + 35d (delay) + 7d (range); the shared +40d one cannot. The
+      // sentinel must also reach the watermark node on BOTH sides — a
+      // pre-watermark event_type filter would drop it (and the optimizer
+      // pushes post-watermark filters down anyway), so each side keeps its
+      // own events PLUS the sentinel (user_id -1, removed from the output).
+      val (dir, schema, _) =
+        Streaming.stageEvents(s, graft.T.events(s, d), 2, sentinelDays = 120)
+      def side(name: String, tsAlias: String, idAlias: String) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") === name || col("event_type") === "sentinel")
+          .select(col("user_id"), col("ts").as(tsAlias), col("event_id").as(idAlias))
+          .withWatermark(tsAlias, "35 days")
+      val signups = side("signup", "s_ts", "signup_event")
+      val purchases = side("purchase", "p_ts", "purchase_event")
+      val joined = signups.join(purchases,
+        signups("user_id") === purchases("user_id") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
+        "leftOuter")
+        .select(signups("user_id"), col("signup_event"), col("purchase_event"),
+          (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
+      Streaming.withStreamShuffle(s) {
+        val name = uniq("st15")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q.processAllAvailable(); q.stop()
+        s.table(name).filter(col("user_id") >= 0)
+          .orderBy("user_id", "signup_event", "purchase_event")
+      }
+    },
+      Some("""SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS delay_us
+        |FROM events s LEFT JOIN events p
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        |WHERE s.event_type = 'signup'
+        |ORDER BY s.user_id, signup_event, purchase_event""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark):
+    // unlike st09's dropDuplicates — whose key state grows forever — this
+    // keeps a key's state only until the watermark passes it, which is the
+    // only dedup that survives an unbounded 100 TB stream. Key includes the
+    // event day (at-most-one-event-per-user/type/day ingestion dedup).
+    Op("st14_dedup_within_watermark", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val res = Streaming.runStream(s, dir, schema, uniq("st14"), src =>
+        src.withWatermark("ts", "35 days")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("DAY", col("ts")).as("day"), col("ts"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("day")).as("day_us")))
+      res.filter(col("user_id") >= 0)
+        .orderBy("user_id", "event_type", "day_us")
+    },
+      Some("""SELECT DISTINCT user_id, event_type,
+        |  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us
+        |FROM events
+        |ORDER BY user_id, event_type, day_us""".stripMargin)),
+    // ------------------------------------------------------------------
     // Streaming deduplication: distinct (user_id, event_type) keys over the
     // stream (dropDuplicates keyed state).
     Op("st09_stream_distinct", (s, d) => {

@@ -66,16 +66,19 @@ object Streaming {
   }
 
   /** Stage a batch DataFrame as n time-ranged parquet files + a sentinel
-    * file; returns (dir, schema, maxTs-in-micros).
+    * file; returns (dir, schema, maxTs-in-micros). `sentinelDays` must
+    * exceed watermarkDelay + any join/window range the query needs flushed
+    * (outer joins hold unmatched rows until watermark > ts + range).
     */
-  def stageEvents(spark: SparkSession, events: DataFrame, nFiles: Int): (String, StructType, Long) = {
+  def stageEvents(spark: SparkSession, events: DataFrame, nFiles: Int,
+      sentinelDays: Int = 40): (String, StructType, Long) = {
     val dir = Files.createTempDirectory("graft_stream_").toString
     val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
     events.repartitionByRange(nFiles, col("ts"))
       .write.mode("append").parquet(dir)
     // sentinel: one far-future row per schema, closes all real windows
     val sentinel = events.limit(1)
-      .withColumn("ts", timestamp_micros(lit(maxTs + 40L * 86400L * 1000000L)))
+      .withColumn("ts", timestamp_micros(lit(maxTs + sentinelDays.toLong * 86400L * 1000000L)))
       .withColumn("user_id", lit(-1L))
       .withColumn("event_type", lit("sentinel"))
       .withColumn("value", lit(0.0))
