@@ -459,5 +459,36 @@ object Relational2 {
         |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' END
         |GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Bucketed-table co-located join — the storage layout that removes the
+    // join shuffle entirely at 100 TB: both fact tables written bucketBy
+    // the join key, so the sort-merge join reads co-located buckets and the
+    // only exchange left is the final aggregation's (the no-shuffle plan is
+    // asserted by `bucketed tables join co-located` in PipelineSparkSuite;
+    // here the RESULT is oracle-gated through the same layout).
+    Op(
+      "q44_bucketed_join",
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        val (to, tl) = (s"graft_bo_$tag", s"graft_bl_$tag")
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tl")
+        T.orders(s, d).write
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+        T.lineitem(s, d).write
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+        s.table(tl)
+          .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  ${sqlDsum("l_extendedprice")} AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
   )
 }

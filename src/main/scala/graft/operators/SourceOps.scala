@@ -59,6 +59,40 @@ object SourceOps {
         |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
     // ------------------------------------------------------------------
+    // Corrupt-record quarantine: a real ingestion feed always carries some
+    // malformed lines; PERMISSIVE parsing routes them to _corrupt_record
+    // instead of failing the job (fail-fast would kill a 100 TB backfill on
+    // one bad line). A deterministic subset (doc_id % 10 == 3) is corrupted
+    // at staging so the oracle reproduces the quarantine counts exactly.
+    Op(
+      "w06_corrupt_records",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bad_").toString
+        T.documents(s, d).select(
+          when(col("doc_id") % 10 === 3,
+            concat(lit("{broken "), col("doc_id").cast(StringType)))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+            .as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(dir)
+          .agg(count(lit(1)).as("n_total"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            count(col("doc_id")).as("n_parsed"),
+            sum("n_chars").as("sum_chars_parsed"))
+      },
+      Some("""SELECT COUNT(*) AS n_total,
+        |  COUNT(*) FILTER (doc_id % 10 = 3) AS n_corrupt,
+        |  COUNT(*) FILTER (doc_id % 10 <> 3) AS n_parsed,
+        |  CAST(SUM(n_chars) FILTER (doc_id % 10 <> 3) AS BIGINT) AS sum_chars_parsed
+        |FROM documents""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "w04_csv_source",
       (s, d) => {
