@@ -243,15 +243,14 @@ object StreamOps {
     // the far-future sentinel flushes the tail. The reference has no
     // watermark machinery at all (§2.7) — this is the Spark-native surface.
     Op("st15_stream_outer_join", (s, d) => {
-      // Private staging with a +120-day sentinel: null-extended rows flush
-      // only when watermark > s_ts + 7d, so the sentinel must clear
-      // maxTs + 35d (delay) + 7d (range); the shared +40d one cannot. The
-      // sentinel must also reach the watermark node on BOTH sides — a
-      // pre-watermark event_type filter would drop it (and the optimizer
-      // pushes post-watermark filters down anyway), so each side keeps its
-      // own events PLUS the sentinel (user_id -1, removed from the output).
-      val (dir, schema, _) =
-        Streaming.stageEvents(s, graft.T.events(s, d), 2, sentinelDays = 120)
+      // Null-extended rows flush only when watermark > s_ts + 7d, so the
+      // shared +120-day sentinel must clear maxTs + 35d (delay) + 7d
+      // (range) — it does. The sentinel must also reach the watermark node
+      // on BOTH sides — a pre-watermark event_type filter would drop it
+      // (and the optimizer pushes post-watermark filters down anyway), so
+      // each side keeps its own events PLUS the sentinel (user_id -1,
+      // removed from the output).
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       def side(name: String, tsAlias: String, idAlias: String) =
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
           .filter(col("event_type") === name || col("event_type") === "sentinel")

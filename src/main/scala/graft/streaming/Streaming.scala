@@ -68,10 +68,13 @@ object Streaming {
   /** Stage a batch DataFrame as n time-ranged parquet files + a sentinel
     * file; returns (dir, schema, maxTs-in-micros). `sentinelDays` must
     * exceed watermarkDelay + any join/window range the query needs flushed
-    * (outer joins hold unmatched rows until watermark > ts + range).
+    * (outer joins hold unmatched rows until watermark > ts + range); 120
+    * covers the 35-day delays + 7-day ranges used across the streaming set,
+    * and a farther sentinel is always safe (it only closes windows sooner
+    * relative to the data).
     */
   def stageEvents(spark: SparkSession, events: DataFrame, nFiles: Int,
-      sentinelDays: Int = 40): (String, StructType, Long) = {
+      sentinelDays: Int = 120): (String, StructType, Long) = {
     val dir = Files.createTempDirectory("graft_stream_").toString
     val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
     events.repartitionByRange(nFiles, col("ts"))
