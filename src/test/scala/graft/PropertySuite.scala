@@ -55,6 +55,52 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("ModelWire chunking: block count is exact, round-trip is lossless") {
+    import graft.ml._
+    val gen = for {
+      len <- Gen.choose(1, 5000)
+      maxP <- Gen.choose(1, 3000)
+    } yield (len, maxP)
+    samples(gen, 100).foreach { case (len, maxP) =>
+      // LinearModel with len-1 weights + bias -> wireParams length == len
+      val w = Array.tabulate(len - 1)(i => i * 0.5 - 7.0)
+      val m = new LinearModel(w, 42.25)
+      m.n = len.toLong; m.cumLoss = len * 0.125
+      val blocks = ModelWire.chunk(m, maxP, replica = 3)
+      assert(blocks.length == (len + maxP - 1) / maxP, s"len=$len maxP=$maxP")
+      assert(blocks.forall(_.payload.length <= maxP))
+      assert(blocks.map(_.payload.length).sum == len)
+      val back = ModelWire.reassemble(blocks,
+        (dim, ps) => new PAClassifier(0.1).init(dim).loadWire(ps)).head
+      assert(java.util.Arrays.equals(back.wireParams, m.wireParams))
+      assert(back.n == m.n && back.cumLoss == m.cumLoss)
+    }
+  }
+
+  test("capShingleDf: subset of input, df bound holds, low-df shingles intact") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      nDocs <- Gen.choose(2, 30)
+      nShingles <- Gen.choose(1, 15)
+      cap <- Gen.choose(1, 10)
+      pairs <- Gen.listOfN(80,
+        Gen.zip(Gen.choose(0, nDocs - 1), Gen.choose(0, nShingles - 1)))
+    } yield (cap, pairs.distinct)
+    samples(gen, 15).foreach { case (cap, pairs) =>
+      val sh = pairs.map { case (d, s) => (d.toLong, s"sh$s") }.toDF("doc_id", "sh")
+      val capped = graft.operators.Dedup.capShingleDf(sh, cap)
+        .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getString(r.fieldIndex("sh")))).toSet
+      val input = pairs.map { case (d, s) => (d.toLong, s"sh$s") }.toSet
+      assert(capped.subsetOf(input))
+      val df = input.groupBy(_._2).view.mapValues(_.size).toMap
+      val expected = input.filter { case (_, s) => df(s) <= cap }
+      assert(capped == expected, s"cap=$cap")
+    }
+  }
+
   test("wire codec roundtrip preserves DataInstance fields") {
     val spark = TestSession.spark
     import spark.implicits._
