@@ -87,28 +87,41 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    // large-star: map emits both orientations (full neighborhoods); for each
-    // u, m = min(N(u) ∪ {u}); reduce emits (v, m) for v ∈ N(u), v > u.
-    def largeStar(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-        .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
-        .withColumn("m", least(col("u"), array_min(col("nbrs"))))
-        .select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+    // Both star steps need, per node u, m = min(N(u) ∪ {u}) and then one
+    // output row per (neighbor, m). The paper phrases this as "collect the
+    // neighborhood, emit from the array", but a celebrity node's array is
+    // O(degree) in one task — the 100 TB failure mode. Here m comes from a
+    // plain min() aggregate (map-side partial, constant state) and the
+    // per-neighbor emission is an equi-join of the edge list back against
+    // the tiny (node, m) table: no row ever holds more than one neighbor,
+    // so degree only affects row COUNT, never row size or task memory.
+
+    // large-star: for each u over full neighborhoods, emit (v, m) for
+    // v ∈ N(u), v > u.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      bi.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
+    }
 
-    // small-star: map orients each edge (max; min); for each u,
-    // m = min(N≤(u) ∪ {u}); reduce emits (v, m) for v ∈ N≤(u) ∪ {u}, v ≠ m.
-    def smallStar(e: DataFrame): DataFrame =
-      e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
-        .withColumn("m", least(col("u"), array_min(col("nbrs"))))
-        .select(col("m"), explode(concat(col("nbrs"), array(col("u")))).as("v"))
+    // small-star: orient each edge (max; min); for each u, emit (v, m) for
+    // v ∈ N≤(u) ∪ {u}, v ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      oriented.join(mins, "u")
+        .select(col("v"), col("m"))
+        .unionByName(mins.select(col("u").as("v"), col("m")))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
+    }
 
     var converged = false
     while (!converged) {

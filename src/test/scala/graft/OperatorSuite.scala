@@ -41,6 +41,19 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("star-contraction CC handles a celebrity node (degree 5000)") {
+    import spark.implicits._
+    // one hub connected to everyone + a disjoint pair; the join-based star
+    // steps never materialize the hub's neighborhood as a single array
+    val edges = (1L to 5000L).map(i => (0L, i)) ++ Seq((900001L, 900002L))
+    val labels = Dedup.connectedComponentsStar(
+      edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 5003)
+    assert((0L to 5000L).forall(labels(_) == 0L))
+    assert(labels(900001L) == 900001L && labels(900002L) == 900001L)
+  }
+
   test("bench short ids are unique and parse-safe for the full inventory") {
     val names = SparkEntry.queries.keys.toSeq
     val ids = Bench.shortIds(names)
