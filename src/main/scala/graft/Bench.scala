@@ -55,6 +55,7 @@ object Bench {
     // query: fixture staging and streaming-engine init are scaffolding,
     // not operator cost, so keep them out of the first streaming query's bill.
     graft.streaming.Streaming.stageEventsCached(spark, sfDir, 4)
+    graft.streaming.Streaming.stageEventsCached(spark, sfDir, 2)
     locally {
       import spark.implicits._
       val wDir = java.nio.file.Files.createTempDirectory("graft_warm_").toString
