@@ -294,5 +294,52 @@ object TextAnalysis {
         |      FROM sc)
         |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Heavy hitters via approx_top_k (DataSketches frequent-items) — the
+    // constant-memory substitute for t07's exact top-k at 100 TB. The oracle
+    // cannot run the sketch, so the contract is engine-side booleans it CAN
+    // hash-check (the q42 pattern), phrased tie-safely: (a) every reported
+    // item's count equals its exact count (the sketch is exact while its
+    // capacity holds); (b) every term STRICTLY above the 20th-place count
+    // boundary is reported (boundary ties are the only legitimately
+    // ambiguous picks). The boundary itself and the vocabulary size are
+    // SQL-derivable and ride along as hash-gated values.
+    Op(
+      "t10_heavy_hitters",
+      (s, d) => {
+        val terms = T.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val approx = terms
+          .agg(expr("approx_top_k(term, 20, 65536)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("term"), col("e.count").as("approx_n"))
+        val exact = terms.groupBy("term").agg(count(lit(1)).as("n"))
+        val boundary = exact.orderBy(col("n").desc, col("term")).limit(20)
+          .agg(min("n").as("b"))
+        val checks = approx.join(exact, "term")
+          .agg(min(col("approx_n") === col("n")).as("counts_exact"),
+            count(lit(1)).as("k_reported"))
+        val covered = exact.crossJoin(broadcast(boundary))
+          .filter(col("n") > col("b"))
+          .join(approx, Seq("term"), "left_anti")
+          .agg(count(lit(1)).as("missed"))
+        checks.crossJoin(covered).crossJoin(broadcast(boundary))
+          .crossJoin(exact.agg(count(lit(1)).as("vocab")))
+          .select(col("k_reported"), col("counts_exact"),
+            (col("missed") === 0).as("covers_above_boundary"),
+            col("b").as("boundary_count"), col("vocab"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+        |bd AS (SELECT MIN(n) AS b FROM (
+        |  SELECT n FROM cnt ORDER BY n DESC, term LIMIT 20))
+        |SELECT CAST(20 AS BIGINT) AS k_reported, true AS counts_exact,
+        |  true AS covers_above_boundary, b AS boundary_count,
+        |  (SELECT COUNT(*) FROM cnt) AS vocab
+        |FROM bd""".stripMargin)),
   )
 }

@@ -364,3 +364,83 @@ object StatsOperator {
   * record through the stateful operator (see [[StatsOperator.run]]).
   */
 case class StatEnvelope(e: StatEvent, eventTime: java.sql.Timestamp)
+
+/** Spark-4 `transformWithState` binding of the statistics operator — the
+  * closest structural analog to the reference's timer API
+  * (StatisticsOperator.scala:91,135-142): timers are REGISTERED objects
+  * (`getHandle.registerTimer(lastTs + timeout)`, re-registered on every new
+  * record, fired by watermark progress into [[handleExpiredTimer]]), not a
+  * per-state timeout flag. Requires the RocksDB state store provider, like
+  * [[TwsSpoke]]. Semantics proven identical to [[StatsOperator]] by the
+  * StreamingSuite parity test.
+  */
+class TwsStatsProcessor(timeoutMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, StatEnvelope, SpokeEvent] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[StatsState] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[StatsState]("statsState",
+      Encoders.product[StatsState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[StatEnvelope],
+      timerValues: TimerValues): Iterator[SpokeEvent] = {
+    val wm = timerValues.getCurrentWatermarkInMs
+    // same late-data guard as StatsOperator.process
+    val live = rows.map(_.e).filter(_.eventTimeMs >= wm).toSeq
+    if (live.isEmpty) Iterator.empty
+    else {
+      var st = (if (state.exists()) Option(state.get()) else None).getOrElse(
+        StatsState(0, 0, 0, 0, 0.0, Long.MaxValue, Long.MinValue))
+      live.foreach { e =>
+        st = StatsState(
+          st.modelsShipped + e.modelsShipped,
+          st.bytesShipped + e.bytesShipped,
+          st.blocks + e.blocks,
+          st.fitted + e.fitted,
+          e.score,
+          math.min(st.firstTsMs, e.eventTimeMs),
+          math.max(st.lastTsMs, e.eventTimeMs))
+      }
+      state.update(st)
+      // slide the quiescence timer: drop the old instant, register the new
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(math.max(st.lastTsMs + timeoutMs, wm + 1))
+      Iterator.empty
+    }
+  }
+
+  override def handleExpiredTimer(key: Int, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SpokeEvent] = {
+    if (!state.exists()) Iterator.empty
+    else {
+      val st = state.get()
+      state.clear()
+      val makespan = st.lastTsMs - st.firstTsMs
+      Iterator.single(SpokeEvent(key, "job_statistics", -1, -1, st.score,
+        s"makespan=$makespan,models=${st.modelsShipped},bytes=${st.bytesShipped}," +
+          s"blocks=${st.blocks},fitted=${st.fitted}"))
+    }
+  }
+}
+
+object TwsStatsOperator {
+  def run(stats: Dataset[StatEvent], timeoutMs: Long = 30000L,
+      watermarkDelay: String = "0 seconds"): Dataset[SpokeEvent] = {
+    import stats.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val cols = stats.columns.map(col)
+    stats
+      .withColumn("eventTime", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .select(struct(cols: _*).as("e"), col("eventTime"))
+      .as[StatEnvelope]
+      .groupByKey(_.e.pipelineId)
+      .transformWithState(new TwsStatsProcessor(timeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

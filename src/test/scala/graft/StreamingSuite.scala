@@ -86,8 +86,11 @@ class StreamingSuite extends AnyFunSuite {
     assert(out3.isEmpty && !late.exists, "late record resurrected stats state")
   }
 
-  test("stats quiescence is driven by the watermark end-to-end, not wall clock") {
-    val spark = TestSession.spark
+  private def statsQuiescenceScenario(
+      runOp: org.apache.spark.sql.Dataset[StatEvent] =>
+        org.apache.spark.sql.Dataset[SpokeEvent],
+      session: org.apache.spark.sql.SparkSession): Unit = {
+    val spark = session
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stats_").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[SpokeEvent]()
@@ -102,7 +105,7 @@ class StreamingSuite extends AnyFunSuite {
       val src = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[StatEvent]].schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/data").as[StatEvent]
-      val q = StatsOperator.run(src, timeoutMs = 30000L).writeStream
+      val q = runOp(src).writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$dir/_ckpt")
         .foreachBatch((df: org.apache.spark.sql.Dataset[SpokeEvent], _: Long) =>
@@ -138,6 +141,19 @@ class StreamingSuite extends AnyFunSuite {
       sink.iterator()).asScala.toSeq
     assert(all.count(e => e.pipelineId == 1) == 1,
       s"late record resurrected pipeline-1 state: $all")
+  }
+
+  test("stats quiescence is driven by the watermark end-to-end, not wall clock") {
+    statsQuiescenceScenario(
+      src => StatsOperator.run(src, timeoutMs = 30000L), TestSession.spark)
+  }
+
+  test("transformWithState stats operator (registered event-time timers) matches fMGWS") {
+    val s2 = TestSession.spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    statsQuiescenceScenario(
+      src => TwsStatsOperator.run(src, timeoutMs = 30000L), s2)
   }
 
   test("spoke state survives a streaming-query restart from checkpoint") {
