@@ -156,5 +156,34 @@ object Multimodal {
         |  CAST(SUM(unicode(text[p:p])) AS BIGINT) AS energy
         |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS p)
         |GROUP BY 1, 2 ORDER BY doc_id, frame""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Modality-partitioned layout: the multimodal corpus written
+    // partitionBy(modality), so a single-modality pipeline stage reads ONLY
+    // its partition (`PartitionFilters: [modality = 'audio']`, guarded by
+    // PlanSuite) — at 100 TB an audio featurizer never touches image bytes.
+    // Modality here is a deterministic doc_id derivation so the oracle
+    // reproduces the partition contents exactly.
+    Op("mm06_modality_pruned", (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mod_").toString
+      T.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
+            .as("modality"))
+        .write.partitionBy("modality").mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("modality") === "audio")
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("sum_bytes"),
+          sum(expr("cast(conv(substring(md5(cast(payload as string)), 1, 8), 16, 10) as bigint)"))
+            .as("content_sum"))
+        .orderBy("modality")
+    },
+      Some("""SELECT 'audio' AS modality, COUNT(*) AS n,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+        |FROM documents WHERE doc_id % 3 = 1
+        |GROUP BY 1 ORDER BY modality""".stripMargin)),
   )
 }

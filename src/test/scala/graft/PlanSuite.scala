@@ -68,11 +68,31 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("mm06: single-modality read is partition-pruned") {
+    val p = plan("mm06_modality_pruned")
+    assert(p.contains("PartitionFilters") && p.contains("modality"),
+      p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+  }
+
   test("d10: embedding near-dup joins on LSH band buckets, never label") {
     val p = plan("d10_embed_neardup_lsh")
     assert(p.contains("band") && p.contains("bkey"),
       "candidate join lost its band-bucket keys")
     assert(!p.contains("label"), "near-dup pair join regressed to label blocking")
+  }
+
+  test("native expressions stay inside whole-stage codegen (no fallback)") {
+    // d04 (simhash32), t06 (rolling_hashes/md5_prefix32), s02 (dot_fd):
+    // each plan must show codegen stages (the `*(n)` stars in simple
+    // explain) and no CodegenFallback — a fallback would silently interpret
+    // the hot loop.
+    for (name <- Seq("d04_simhash", "t06_rolling_fingerprint", "s02_ann_lsh")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // materialize so AQE finalizes the physical stages
+      val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(p.contains("*("), s"$name lost codegen entirely:\n$p")
+      assert(!p.contains("CodegenFallback"), s"$name fell back to interpretation")
+    }
   }
 
   test("q36: hash-sample filter reaches the scan stage (no shuffle before it)") {
