@@ -125,7 +125,20 @@ final case class DriftGated(override val name: String, threshold: Double)
     // predicate is idempotent either way.
     val shipped = replicas.filter(ships(_, prev))
     val total = if (totalReplicas >= 0) totalReplicas else replicas.length.toLong
-    if (shipped.isEmpty) prev.getOrElse(learner.merge(replicas, prev))
+    if (shipped.isEmpty) prev match {
+      // Nothing shipped: the hub's view advances by zero — return a copy of
+      // the previous global with ZERO per-round counters. Returning prev
+      // itself would feed its RUNNING totals back into the caller's
+      // `totalFitted += merged.n` accumulation, double-counting fitted
+      // points on every consecutive all-skipped round (the reference's hub
+      // only counts statistics that actually arrive).
+      case Some(pm) =>
+        val keep = pm.deepCopy
+        keep.n = 0L
+        keep.cumLoss = 0.0
+        keep
+      case None => learner.merge(replicas, prev)
+    }
     else {
       stats.modelsShipped += shipped.length
       stats.bytesShipped += shipped.map(_.params.length.toLong * 8L).sum

@@ -158,7 +158,11 @@ class MlSuite extends AnyFunSuite {
     val stats = ProtocolStats()
     val out = DriftGated("FGM", 1e9).aggregate(Seq(replica), Some(global), l, stats)
     assert(stats.modelsShipped == 0)
-    assert(out eq global)
+    // the global's weights survive unchanged, but the per-round counters are
+    // ZERO — nothing shipped, so the hub's fitted totals must not advance
+    // (returning prev itself would compound its running totals downstream)
+    assert(java.util.Arrays.equals(out.params, global.params))
+    assert(out.n == 0L && out.cumLoss == 0.0)
   }
 
   test("EASGD center moves a fraction alpha toward the replica average") {

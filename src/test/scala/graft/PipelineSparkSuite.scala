@@ -178,6 +178,14 @@ class PipelineSparkSuite extends AnyFunSuite {
     // (5-double payloads << maxMsgParams), none in rounds 2-3
     assert(fitted.stats.blocks == 8)
     assert(fitted.model.n > 0)
+    // the hub's fitted counter advances only on SHIPPED statistics: with
+    // rounds 2-3 fully drift-skipped it must equal the 1-round count, not
+    // compound on every empty round
+    val oneRound = Trainer.fit(spark,
+      PipelineSpec(42, "PA", Map("C" -> 0.01), Nil, "GM",
+        protocolHp = Map("threshold" -> 1e12), rounds = 1), data)
+    assert(fitted.model.n == oneRound.model.n,
+      s"fitted-count inflation: ${fitted.model.n} vs ${oneRound.model.n}")
   }
 
   test("maxMsgParams: big models ship in ceil(params/2000) blocks, weights unchanged") {
