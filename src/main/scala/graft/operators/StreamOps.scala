@@ -106,6 +106,33 @@ object StreamOps {
       fit.curve.toDF().orderBy("batch")
     }),
     // ------------------------------------------------------------------
+    // Drift-gated continuous training (GM over the stream): with the drift
+    // threshold set high, only the first micro-batch ships replicas; later
+    // batches train locally and skip the merge entirely — the reference's
+    // communication-skipping geometry, visible in the curve: modelsShipped
+    // and fitted totals stay FLAT after batch 0 (the hub's view advances
+    // only on shipped statistics — guarded against counter inflation by
+    // MlSuite/PipelineSparkSuite).
+    Op("st16_drift_stream_train", (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_gm_").toString
+      val feat = T.embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("features"),
+        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
+      feat.repartitionByRange(4, col("vec_id"))
+        .select("features", "target")
+        .write.mode("append").parquet(dir)
+      val schema = StructType(Seq(
+        StructField("features", ArrayType(DoubleType)),
+        StructField("target", DoubleType)))
+      val fit = StreamingTrainer.fitStream(s, dir, schema,
+        graft.pipeline.PipelineSpec(16, "PA", Map("C" -> 0.01), Nil, "GM",
+          protocolHp = Map("threshold" -> 1e12)),
+        partitionsPerBatch = 4)
+      fit.curve.toDF().orderBy("batch")
+    }),
+    // ------------------------------------------------------------------
     // Typed Aggregator statistics merge (SURVEY §4's custom Aggregator):
     // per-pipeline totals with map-side partials, oracle-checked.
     Op("st06_stats_aggregate", (s, d) => {

@@ -25,9 +25,13 @@ object StreamingTrainer {
 
   /** `dir` holds parquet files of (features: array<double>, target: double);
     * each file becomes one micro-batch (one protocol round).
+    * `partitionsPerBatch` > 0 re-spreads each micro-batch to that many
+    * training partitions — a single small file arrives as ONE partition,
+    * which the resolution rules force to CentralizedTraining; multi-replica
+    * protocols (GM/FGM gating, averaging) need the spread.
     */
   def fitStream(spark: SparkSession, dir: String, schema: StructType,
-      spec: PipelineSpec): StreamFit = {
+      spec: PipelineSpec, partitionsPerBatch: Int = 0): StreamFit = {
     val learner = Learners.create(spec.learner, spec.learnerHp)
     var global: Option[ModelState] = None
     var protocolName = spec.protocol
@@ -42,7 +46,10 @@ object StreamingTrainer {
       .outputMode("append")
       .option("checkpointLocation", s"$dir/_ckpt_train")
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val rdd = df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        val rdd0 = df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        val rdd =
+          if (partitionsPerBatch > 0) rdd0.repartition(partitionsPerBatch)
+          else rdd0
         val protocol = Protocols.resolve(spec.protocol, spec.learner,
           rdd.getNumPartitions, spec.protocolHp)
         protocolName = protocol.name

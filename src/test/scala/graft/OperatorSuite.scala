@@ -72,7 +72,7 @@ class OperatorSuite extends AnyFunSuite {
       n.startsWith("ml") || n == "s03_ann_ivf" || n == "s04_ann_ivf_pruned" ||
         n == "q37_approx_sketches" ||
         Set("st04_spoke_lifecycle", "st05_streaming_train",
-          "st07_response_merge").contains(n)),
+          "st07_response_merge", "st16_drift_stream_train").contains(n)),
       s"new query without oracle: ${rowsOnly.mkString(",")}")
   }
 
