@@ -29,7 +29,33 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: Column, rightTime: Column,
       rightCols: Seq[String],
-      tieBreak: String): DataFrame = {
+      tieBreak: String): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
+      tieBreak, forward = false)
+
+  /** Forward as-of join: for each left row, attach the right row with the
+    * SMALLEST `rightTime >= leftTime` within the same key; ties on
+    * `rightTime` resolved by the smallest `tieBreak` column. Same
+    * single-sort carry as the backward join, iterated in descending time.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: Column, rightTime: Column,
+      rightCols: Seq[String],
+      tieBreak: String): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
+      tieBreak, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: Column, rightTime: Column,
+      rightCols: Seq[String],
+      tieBreak: String,
+      forward: Boolean): DataFrame = {
     val payloadType = StructType(rightCols.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("__k", col(leftKey))
@@ -44,13 +70,20 @@ object AsOf {
       .select((Seq("__k", "__t", "__isLeft", "__r").map(col) ++
         left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val unioned = lTagged.select(rTagged.columns.toIndexedSeq.map(col): _*).unionByName(rTagged)
-    // Right rows sort before left rows at equal time (<= semantics); among
-    // right rows with equal time the greatest tieBreak lands nearest the
-    // left row, so `last(ignoreNulls)` picks it. Left rows carry a null
-    // tie-break and sort first within their (time, side) slot, which is
-    // irrelevant since sides differ.
+    // Right rows sort before left rows at equal time (inclusive semantics
+    // both directions); among equal-time right rows the winning tieBreak
+    // (greatest for backward, smallest for forward) lands nearest the left
+    // row, so `last(ignoreNulls)` picks it. Backward iterates ascending time
+    // (latest right <= t carried forward); forward iterates DESCENDING time,
+    // so the most recently seen right row is the smallest time >= t. Left
+    // rows carry a null tie-break and sort within their (time, side) slot,
+    // which is irrelevant since sides differ.
+    val tie = col("__r").getField(tieBreak)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__isLeft"), col("__r").getField(tieBreak).asc_nulls_first)
+      .orderBy(
+        (if (forward) col("__t").desc else col("__t").asc),
+        col("__isLeft"),
+        (if (forward) tie.desc_nulls_first else tie.asc_nulls_first))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__isLeft") === 1)
@@ -87,5 +120,36 @@ object AsOf {
         |           FROM orders) o
         |  ON o.o_custkey = e.user_id AND o.rn = 1
         |ORDER BY e.event_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Forward as-of: each order joined to the customer's FIRST event
+    // at-or-after the order date ("next touch after purchase") — the
+    // mirror-image carry, same one-shuffle/one-sort plan, no candidate-pair
+    // materialization. Oracle is a per-row LATERAL top-1.
+    Op(
+      "q45_asof_forward",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val e = T.events(s, d)
+        asofJoinForward(
+          left = o.select("o_orderkey", "o_custkey", "o_orderdate"),
+          right = e,
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftTime = col("o_orderdate"),
+          rightTime = col("ts"),
+          rightCols = Seq("event_id", "ts"),
+          tieBreak = "event_id")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("event_id").as("next_event"),
+            unix_micros(col("ts")).as("next_ts_us"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, x.event_id AS next_event,
+        |  epoch_us(CAST(x.ts AS TIMESTAMP)) AS next_ts_us
+        |FROM orders o LEFT JOIN LATERAL (
+        |  SELECT e.event_id, e.ts FROM events e
+        |  WHERE e.user_id = o.o_custkey
+        |    AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
+        |  ORDER BY e.ts, e.event_id LIMIT 1) x ON TRUE
+        |ORDER BY o.o_orderkey""".stripMargin)),
   )
 }

@@ -305,6 +305,31 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("rid"))) // no match
   }
 
+  test("forward as-of join: >=, tie-break on smallest key, null for no match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, 10L), // user 1 at t=10: earliest rt>=10 wins
+      (2L, 2L, 5L),  // user 2 at t=5: rt=5 qualifies (>= semantics)
+      (3L, 3L, 99L)  // user 3: no right rows -> nulls
+    ).toDF("lid", "user", "t")
+    val right = Seq(
+      (100L, 1L, 12L), // tie at rt=12 with 101 -> smallest id wins
+      (101L, 1L, 12L),
+      (102L, 1L, 9L),  // before t=10 -> excluded
+      (200L, 2L, 5L),  // exactly at left t -> included
+      (201L, 2L, 4L)   // before -> excluded
+    ).toDF("rid", "user", "rt")
+    val out = graft.operators.AsOf.asofJoinForward(
+      left, right, "user", "user",
+      org.apache.spark.sql.functions.col("t").cast("timestamp"),
+      org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+      Seq("rid"), "rid")
+      .orderBy("lid").collect()
+    assert(out(0).getAs[Long]("rid") == 100L)
+    assert(out(1).getAs[Long]("rid") == 200L)
+    assert(out(2).isNullAt(out(2).fieldIndex("rid")))
+  }
+
   test("as-of join tie-break picks the greatest tie-break key at equal times") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("lid", "user", "t")
