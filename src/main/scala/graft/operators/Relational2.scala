@@ -469,7 +469,7 @@ object Relational2 {
     Op(
       "q44_bucketed_join",
       (s, d) => {
-        val tag = math.abs(d.hashCode).toString
+        val tag = (d.hashCode & 0x7fffffff).toString
         val (to, tl) = (s"graft_bo_$tag", s"graft_bl_$tag")
         // the bucketed layout is a one-time investment (OPTIMIZE-style
         // maintenance, not query cost): build it once per fixture dir,
