@@ -268,6 +268,35 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(j.collect().map(_.getLong(1)).sum == 6000L)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds scaled down so fixture-sized skew triggers the optimization
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    import s2.implicits._
+    // one celebrity key carrying ~100x the payload of the others
+    val left = (0 until 60000).map(i =>
+      (if (i % 100 == 0) (i % 7).toLong + 1 else 0L, s"payload_$i" * 4))
+      .toDF("k", "v")
+    val right = (0L to 7L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    // aggregate over v so the skewed payload column actually flows through
+    // the join (count(1) alone would let column pruning erase the skew)
+    val j = left.join(right, "k").groupBy("name")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("v"))).as("bytes"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(j.collect().map(_.getLong(2)).sum == 60000L)
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n${plan.take(3000)}")
+  }
+
   test("typed Dataset[LearningPoint] surface round-trips the wire format") {
     import spark.implicits._
     val df = Seq(
