@@ -14,6 +14,14 @@ import org.apache.spark.sql.types._
   */
 object Relational2 {
 
+  /** Collision-free fixture-dir fingerprint for cached bucketed-table names:
+    * an md5 of the full path (a `hashCode` key could make two dirs silently
+    * share one bucketed table).
+    */
+  private[graft] def fixtureTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
     // Pivot: order counts + revenue per priority, statuses as columns.
@@ -382,9 +390,14 @@ object Relational2 {
     // Approximate sketches — the constant-memory substitutes for exact
     // distinct/quantiles at 100 TB: HyperLogLog++ (approx_count_distinct,
     // one pass, mergeable partials) and Greenwald-Khanna quantile sketches
-    // (approx_percentile). Sketch outputs are engine-specific, so the driver
-    // applies the rows-only check; OperatorSuite bounds the error vs exact
-    // (HLL++ rsd default 5%, GK accuracy 1/10000).
+    // (approx_percentile). Sketch estimates are engine-specific, so the hash
+    // gate checks their ERROR-BOUND INVARIANTS as booleans the oracle can
+    // reproduce (the q42/t10 pattern): HLL++ estimate within its configured
+    // 5% rsd of the exact distinct count, and each GK percentile landing
+    // between the exact 45th/55th (resp. 98.5th/99.5th) percentile values —
+    // a bound orders of magnitude looser than GK's 1/10000 rank guarantee,
+    // so any sketch regression flips a boolean and the hash mismatches.
+    // Exact counts ride along as real hash-checked columns.
     Op(
       "q37_approx_sketches",
       (s, d) =>
@@ -393,12 +406,28 @@ object Relational2 {
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"),
-            // Scalar columns (not one array) so downstream tools can sort
-            // and compare rows without array-typed cells.
             expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"),
             expr("approx_percentile(l_extendedprice, 0.99)").as("approx_p99"),
+            expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.45)").as("lo50"),
+            expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.55)").as("hi50"),
+            expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.985)").as("lo99"),
+            expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.995)").as("hi99"),
             count(lit(1)).as("n"))
-          .orderBy("l_returnflag")),
+          .select(
+            col("l_returnflag"),
+            (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
+              col("exact_parts") <= 0.05).as("approx_within_rsd"),
+            (col("approx_p50").cast(DoubleType).between(col("lo50"), col("hi50")))
+              .as("p50_within_gk_bound"),
+            (col("approx_p99").cast(DoubleType).between(col("lo99"), col("hi99")))
+              .as("p99_within_gk_bound"),
+            col("exact_parts"),
+            col("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, true AS approx_within_rsd,
+        |  true AS p50_within_gk_bound, true AS p99_within_gk_bound,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     // ------------------------------------------------------------------
     // Sketch mergeability — the property that makes constant-memory
     // distinct-counting work at 100 TB: DataSketches HLL partials union to a
@@ -469,7 +498,7 @@ object Relational2 {
     Op(
       "q44_bucketed_join",
       (s, d) => {
-        val tag = (d.hashCode & 0x7fffffff).toString
+        val tag = Relational2.fixtureTag(d)
         val (to, tl) = (s"graft_bo_$tag", s"graft_bl_$tag")
         // the bucketed layout is a one-time investment (OPTIMIZE-style
         // maintenance, not query cost): build it once per fixture dir,

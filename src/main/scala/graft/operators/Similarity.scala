@@ -49,9 +49,16 @@ object Similarity {
     * K-means coarse quantizer (trained through the engine's own distributed
     * Trainer under SingleLearner semantics) partitions the corpus into
     * inverted lists; queries probe the nprobe nearest centroids and rank
-    * candidates by exact cosine. Rows-only checked (centroids are not
-    * SQL-derivable); list assignment + probing logic is deterministic.
+    * candidates by exact cosine. The centroids are not SQL-derivable, so the
+    * hash gate checks RESULT-QUALITY INVARIANTS the oracle can reproduce
+    * (the q42/t10 pattern): every query returns a complete top-3, and
+    * recall@3 against the exact brute-force ranking (s01's kernel) clears
+    * the threshold — a quantizer or probe regression flips the boolean and
+    * the hash mismatches.
     */
+  // measured mean recall@3: 1.0 (sf0.001), 1.0 (sf0.01), 0.979 (sf0.1) —
+  // deterministic per fixture, so 0.90 gates with comfortable margin
+  val RecallThreshold = 0.90
   private val s03 = Op("s03_ann_ivf", (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val nlist = 16; val nprobe = 2
@@ -74,15 +81,37 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(F.nearestCentroids(col("fd"), centsLit, km.dim, nprobe)).as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    listed.select(col("vec_id"), col("embedding"), col("bucket"))
+    val ivf = listed.select(col("vec_id"), col("embedding"), col("bucket"))
       .join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select("q_id", "rk", "vec_id", "bucket", "cos")
-      .orderBy("q_id", "rk")
-  })
+      .select("q_id", "vec_id")
+    // exact top-3 baseline: one broadcast of the query set, one corpus pass
+    val e = T.embeddings(s, d)
+    val qe = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val perQ = ivf.groupBy("q_id").agg(count(lit(1)).as("ivf_n"))
+    val hits = exact.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    perQ.join(hits, Seq("q_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (min(col("ivf_n")) === 3 && max(col("ivf_n")) === 3).as("all_topk_complete"),
+        (sum(coalesce(col("hits"), lit(0L))).cast(DoubleType) /
+          (count(lit(1)) * 3) >= RecallThreshold).as("recall_at_3_ge_090"))
+  },
+    Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  true AS all_topk_complete, true AS recall_at_3_ge_090
+      |FROM embeddings WHERE vec_id < 16""".stripMargin))
 
   /** The IVF layout made physical (SCALE.md's "inverted lists become the
     * partitioning scheme"): the index is written `partitionBy(bucket)`, and

@@ -455,13 +455,62 @@ object StreamOps {
         .select(col("requestId"),
           (col("pipelineId") - 1024).as("worker"),
           regexp_extract(col("info"), "fitted=(\\d+)", 1).cast(LongType).as("fitted"),
-          col("value").as("cum_loss"))
+          regexp_extract(col("info"), "testn=(\\d+)", 1).cast(LongType).as("testn"),
+          col("value").as("test_loss")) // avg held-out-ring loss per worker
         .groupBy("requestId")
         .agg(count(lit(1)).as("parts"), sum("fitted").as("data_fitted"),
-          (sum("cum_loss") / count(lit(1))).as("avg_cum_loss"))
+          sum("testn").as("test_points"),
+          (sum("test_loss") / count(lit(1))).as("avg_test_loss"))
         .filter(col("parts") === workers) // the reference's exactly-p barrier
         .orderBy("requestId")
     }),
+    // ------------------------------------------------------------------
+    // Test-mode polling learning curve (FlinkSpoke.scala:83-89): every 100
+    // data records the spoke emits a curve point scored against its held-out
+    // 2-of-10 test ring (FlinkSpoke.scala:92-107). The curve itself is
+    // model-internal, so the hash gate checks its INVARIANTS as booleans the
+    // oracle can reproduce: exactly floor(N/100) polls, fitted counts
+    // monotone, classifier score inside [0,1], ring bounded by 256.
+    Op("st17_poll_curve", (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_poll_").toString
+      val points = T.embeddings(s, d).select(
+        (col("vec_id") + 100L).as("seq"),
+        lit(17).as("pipelineId"),
+        lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+        lit(-1L).as("requestId"), col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("features"),
+        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"),
+        lit("training").as("operation")).as[Envelope]
+      Seq(Envelope(0L, 17, "control", "Create", "PA", 1L, -1, Nil, None, ""))
+        .toDS().unionByName(points)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+        .parquet(dir).as[Envelope]
+      val q = Streaming.withStreamShuffle(s) {
+        val q0 = Spoke.run(src, testMode = true).writeStream
+          .format("memory").queryName(uniq("st17")).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt").start()
+        q0.processAllAvailable(); q0.stop(); q0
+      }
+      val w = org.apache.spark.sql.expressions.Window.orderBy("fitted")
+      s.table(q.name)
+        .filter(col("kind") === "curve")
+        .select(col("id").as("fitted"), col("value").as("score"),
+          regexp_extract(col("info"), "testn=(\\d+)", 1).cast(LongType).as("testn"))
+        .withColumn("poll_idx", row_number().over(w))
+        .select(col("poll_idx"),
+          (col("fitted") > coalesce(lag("fitted", 1).over(w), lit(-1L)))
+            .as("fitted_monotone"),
+          (col("score") >= 0.0 && col("score") <= 1.0).as("score_in_unit"),
+          (col("testn") <= graft.streaming.SpokeCore.TestCap).as("ring_bounded"))
+        .orderBy("poll_idx")
+    },
+      Some("""SELECT CAST(gs AS INTEGER) AS poll_idx, true AS fitted_monotone,
+        |  true AS score_in_unit, true AS ring_bounded
+        |FROM (SELECT unnest(generate_series(1,
+        |  (SELECT CAST(COUNT(*) / 100 AS BIGINT) FROM embeddings))) AS gs)
+        |ORDER BY poll_idx""".stripMargin)),
     // ------------------------------------------------------------------
     // Keyed stateful spoke over a staged envelope stream: batch 1 delivers
     // 100 data points BEFORE the Create (exercising the pre-Create buffer,

@@ -130,14 +130,38 @@ case class SpokeEvent(
     value: Double,
     info: String)
 
-/** Serializable spoke state: model as a blob (Catalyst-encodable), plus the
-  * pre-Create buffer (capped like SpokeLogic.scala:32-35).
+/** Serializable spoke state: model as a blob (Catalyst-encodable), the
+  * pre-Create buffer (capped like SpokeLogic.scala:32-35), and the held-out
+  * test ring (FlinkSpoke.scala:92-107): of every 10 training points, points
+  * 8-9 of the cycle go into a FIFO ring of <= `testCap`; once full, each
+  * append evicts the oldest point back INTO training. Query answers are
+  * scored against the ring (FlinkSpoke.scala:160-163).
+  *
+  * `buffered`/`bufferedCount` describe the pre-Create buffer. The fMGWS
+  * binding keeps the rows inline in `buffered`; the transformWithState
+  * binding keeps them in a separate ListState (O(1) appends) and leaves
+  * `buffered` Nil while tracking the size in `bufferedCount`.
   */
 case class SpokeState(
     learnerName: String,
     created: Boolean,
     modelBlob: Array[Byte],
-    buffered: Seq[(Seq[Double], Option[Double])])
+    buffered: Seq[(Seq[Double], Option[Double])],
+    bufferedCount: Int = 0,
+    testRing: Seq[(Seq[Double], Double)] = Nil,
+    ringPos: Int = 0,
+    sampleCount: Int = 0,
+    pollCount: Int = 0)
+
+/** Pre-Create buffer storage hook: the fMGWS binding buffers inside the
+  * [[SpokeState]] blob; the transformWithState binding plugs in ListState
+  * so an append never rewrites the whole buffer.
+  */
+trait SpokeBuffer {
+  def append(features: Seq[Double], target: Option[Double]): Unit
+  /** Read every buffered row and clear the buffer. */
+  def drain(): Seq[(Seq[Double], Option[Double])]
+}
 
 /** The spoke state machine, shared by both stateful-API bindings
   * ([[Spoke]]: flatMapGroupsWithState; [[TwsSpoke]]: Spark 4
@@ -145,6 +169,8 @@ case class SpokeState(
   */
 object SpokeCore {
   val BufferCap = 100000 // reference record-buffer cap (SpokeLogic.scala:32)
+  val TestCap = 256 // reference held-out ring size (DefaultJobParameters)
+  val PollEvery = 100 // reference test-mode poll cadence (FlinkSpoke.scala:85)
 
   def ser(m: ModelState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -157,19 +183,86 @@ object SpokeCore {
     ois.readObject().asInstanceOf[ModelState]
   }
 
-  /** One trigger's worth of events for one pipeline. */
-  def step(key: Int, eventsIn: Iterator[Envelope], prev: Option[SpokeState])
+  /** Score a model against the held-out ring: (avg test loss, score).
+    * Score = accuracy for classifiers, -RMSE for regressors, -mean
+    * distortion for clustering — same contract as the batch Trainer.
+    */
+  def evalRing(learner: OnlineLearner, model: ModelState,
+      ring: Seq[(Seq[Double], Double)]): (Double, Double) = {
+    if (model == null || ring.isEmpty) return (0.0, 0.0)
+    var ls = 0.0; var sc = 0.0
+    ring.foreach { case (f, y) =>
+      val x = f.toArray
+      ls += learner.loss(model, x, y)
+      if (learner.isClassifier) { if (learner.predict(model, x) == y) sc += 1.0 }
+      else { val e = learner.predict(model, x) - y; sc += e * e }
+    }
+    val n = ring.length
+    val avgLoss = ls / n
+    val score =
+      if (learner.isClassifier) sc / n
+      else if (learner.name == "K-means") -avgLoss
+      else -math.sqrt(sc / n)
+    (avgLoss, score)
+  }
+
+  /** One trigger's worth of events for one pipeline.
+    *
+    * @param extBuffer when set, pre-Create buffering goes through it instead
+    *                  of the in-state `buffered` seq (ListState binding).
+    * @param testMode  reference test mode: every [[PollEvery]] data records
+    *                  emit a learning-curve point ("curve" event) scored
+    *                  against the current ring — the Spark-native form of the
+    *                  reference's SpokeMessage(-1) self-query poll
+    *                  (FlinkSpoke.scala:83-89).
+    */
+  def step(key: Int, eventsIn: Iterator[Envelope], prev: Option[SpokeState],
+      extBuffer: Option[SpokeBuffer] = None, testMode: Boolean = false,
+      testCap: Int = TestCap)
       : (Seq[SpokeEvent], Option[SpokeState]) = {
     val events = eventsIn.toArray.sortBy(_.seq)
     var st = prev.getOrElse(SpokeState("", created = false, null, Nil))
     var learner: OnlineLearner = if (st.created) Learners.create(st.learnerName) else null
     var model: ModelState = if (st.modelBlob != null) deser(st.modelBlob) else null
     var buffer = st.buffered.toVector
+    var bufCount = st.bufferedCount
+    val ring = st.testRing.toBuffer
+    var ringPos = st.ringPos
+    var sampleCount = st.sampleCount
+    var pollCount = st.pollCount
     val out = ArrayBuffer[SpokeEvent]()
 
     def train(features: Seq[Double], target: Option[Double]): Unit = {
       if (model == null) model = learner.init(features.length)
       target.foreach(t => learner.fit(model, features.toArray, t))
+    }
+
+    /** FlinkSpoke.handleData:92-107 — the 2-of-10 held-out split: cycle
+      * positions 8-9 go to the ring (a full ring evicts its oldest point
+      * back into training); positions 0-7 train directly. Forecasting
+      * points never touch the cycle.
+      */
+    def handleData(features: Seq[Double], target: Option[Double]): Unit =
+      target match {
+        case Some(y) =>
+          if (sampleCount >= 8) {
+            if (ring.length < testCap) ring += ((features, y))
+            else {
+              val (ef, ey) = ring(ringPos)
+              ring(ringPos) = ((features, y))
+              ringPos = (ringPos + 1) % testCap
+              train(ef, Some(ey))
+            }
+          } else train(features, target)
+          sampleCount += 1
+          if (sampleCount == 10) sampleCount = 0
+        case None => train(features, None)
+      }
+
+    def queryScore(): (Long, Double, Double, Double) = {
+      val (n, cum) = if (model == null) (0L, 0.0) else (model.n, model.cumLoss)
+      val (tl, sc) = evalRing(learner, model, ring.toSeq)
+      (n, cum, tl, sc)
     }
 
     events.foreach { e =>
@@ -178,37 +271,67 @@ object SpokeCore {
           if (learner == null) {
             learner = Learners.create(e.learner)
             st = st.copy(learnerName = e.learner, created = true)
-            val pending = buffer; buffer = Vector.empty
-            pending.foreach { case (f, t) => train(f, t) }
+            val pending = extBuffer.map(_.drain()).getOrElse(buffer)
+            buffer = Vector.empty; bufCount = 0
+            // drained rows go through handleData, so the 2-of-10 split
+            // applies to them too (FlinkSpoke drains via handleData)
+            pending.foreach { case (f, t) => handleData(f, t) }
             out += SpokeEvent(key, "log", e.requestId, -1,
               pending.length.toDouble, "created:drained")
           }
         case "Update" =>
           learner = Learners.create(e.learner)
           st = st.copy(learnerName = e.learner, created = true)
-          model = null // fresh model; buffer already drained on Create
+          model = null // fresh model; ring persists (operator-level in ref)
           out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "updated")
         case "Query" =>
-          val (n, cum) = if (model == null) (0L, 0.0) else (model.n, model.cumLoss)
-          out += SpokeEvent(key, "response", e.requestId, -1, cum, s"fitted=$n")
+          // scored against the held-out ring (FlinkSpoke.scala:160-163):
+          // value = avg test loss; info carries fitted count, ring size,
+          // score and the cumulative training loss
+          val (n, cum, tl, sc) = queryScore()
+          out += SpokeEvent(key, "response", e.requestId, -1, tl,
+            s"fitted=$n,testn=${ring.length},score=$sc,cumLoss=$cum")
         case "Delete" =>
-          learner = null; model = null; buffer = Vector.empty
+          learner = null; model = null; buffer = Vector.empty; bufCount = 0
+          extBuffer.foreach(_.drain())
+          ring.clear(); ringPos = 0; sampleCount = 0; pollCount = 0
           st = SpokeState("", created = false, null, Nil)
           out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "deleted")
         case _ => ()
       } else {
         if (learner == null) {
-          if (buffer.length < SpokeCore.BufferCap) buffer :+= ((e.features, e.target))
+          if (bufCount < SpokeCore.BufferCap) {
+            extBuffer match {
+              case Some(b) => b.append(e.features, e.target)
+              case None => buffer :+= ((e.features, e.target))
+            }
+            bufCount += 1
+          }
         } else if (e.operation == "forecasting") {
           if (model != null)
             out += SpokeEvent(key, "prediction", -1, e.id,
               learner.predict(model, e.features.toArray), "")
-        } else train(e.features, e.target)
+        } else handleData(e.features, e.target)
+        // test-mode polling: one learning-curve point per PollEvery records
+        // (the reference's every-100-records self-query)
+        if (testMode) {
+          pollCount += 1
+          if (pollCount == PollEvery) {
+            pollCount = 0
+            val (n, _, tl, sc) = queryScore()
+            out += SpokeEvent(key, "curve", -1L, n, sc, s"testLoss=$tl,testn=${ring.length}")
+          }
+        }
       }
     }
     (out.toSeq, Some(st.copy(
       modelBlob = if (model == null) null else ser(model),
-      buffered = buffer)))
+      buffered = buffer,
+      bufferedCount = bufCount,
+      testRing = ring.toSeq,
+      ringPos = ringPos,
+      sampleCount = sampleCount,
+      pollCount = pollCount)))
   }
 }
 
@@ -218,19 +341,25 @@ object SpokeCore {
 object Spoke {
   val BufferCap: Int = SpokeCore.BufferCap
 
-  def process(key: Int, it: Iterator[Envelope], state: GroupState[SpokeState]): Iterator[SpokeEvent] = {
-    val (out, next) = SpokeCore.step(key, it, state.getOption)
+  def process(key: Int, it: Iterator[Envelope], state: GroupState[SpokeState]): Iterator[SpokeEvent] =
+    process(testMode = false, testCap = SpokeCore.TestCap)(key, it, state)
+
+  def process(testMode: Boolean, testCap: Int)(
+      key: Int, it: Iterator[Envelope], state: GroupState[SpokeState]): Iterator[SpokeEvent] = {
+    val (out, next) = SpokeCore.step(key, it, state.getOption,
+      testMode = testMode, testCap = testCap)
     next.foreach(state.update)
     out.iterator
   }
 
   /** Wire the processor over an envelope stream. */
-  def run(envelopes: Dataset[Envelope]): Dataset[SpokeEvent] = {
+  def run(envelopes: Dataset[Envelope], testMode: Boolean = false,
+      testCap: Int = SpokeCore.TestCap): Dataset[SpokeEvent] = {
     import envelopes.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     envelopes.groupByKey(_.pipelineId)
       .flatMapGroupsWithState[SpokeState, SpokeEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(process(testMode, testCap))
   }
 }
 
@@ -239,32 +368,55 @@ object Spoke {
   * (`spark.sql.streaming.stateStore.providerClass =
   * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`).
   */
-class TwsSpokeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Envelope, SpokeEvent] {
-  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+class TwsSpokeProcessor(testMode: Boolean = false, testCap: Int = SpokeCore.TestCap)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Envelope, SpokeEvent] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var state: ValueState[SpokeState] = _
+  @transient private var buf: ListState[BufRow] = _
 
   override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
     state = getHandle.getValueState[SpokeState]("spokeState",
       Encoders.product[SpokeState], TTLConfig.NONE)
+    // pre-Create buffer in its OWN ListState: appendValue is O(1) per row,
+    // vs rewriting a whole ValueState blob per buffered record — at the
+    // reference's 100k-row buffer cap that's the difference between O(1)
+    // and O(buffer) state-store work per trigger
+    buf = getHandle.getListState[BufRow]("preCreateBuffer",
+      Encoders.product[BufRow], TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Int, rows: Iterator[Envelope],
       timerValues: TimerValues): Iterator[SpokeEvent] = {
     val prev = if (state.exists()) Some(state.get()) else None
-    val (out, next) = SpokeCore.step(key, rows, prev)
+    val ext = new SpokeBuffer {
+      override def append(features: Seq[Double], target: Option[Double]): Unit =
+        buf.appendValue(BufRow(features, target))
+      override def drain(): Seq[(Seq[Double], Option[Double])] = {
+        val all = buf.get().map(r => (r.features, r.target)).toSeq
+        buf.clear()
+        all
+      }
+    }
+    val (out, next) = SpokeCore.step(key, rows, prev, Some(ext), testMode, testCap)
     next.foreach(state.update)
     out.iterator
   }
 }
 
+/** Row shape of the transformWithState pre-Create buffer ListState. */
+case class BufRow(features: Seq[Double], target: Option[Double])
+
 object TwsSpoke {
-  def run(envelopes: Dataset[Envelope]): Dataset[SpokeEvent] = {
+  def run(envelopes: Dataset[Envelope], testMode: Boolean = false,
+      testCap: Int = SpokeCore.TestCap): Dataset[SpokeEvent] = {
     import envelopes.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     envelopes.groupByKey(_.pipelineId)
-      .transformWithState(new TwsSpokeProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new TwsSpokeProcessor(testMode, testCap),
+        TimeMode.None(), OutputMode.Append())
   }
 }
 
@@ -324,7 +476,10 @@ object StatsOperator {
             st.bytesShipped + e.bytesShipped,
             st.blocks + e.blocks,
             st.fitted + e.fitted,
-            e.score, // latest score wins (reference keeps the newest curve point)
+            // newest curve point by EVENT time, not iterator order: an
+            // out-of-order batch must not leave a stale score behind
+            // (the reference keeps the newest point by timestamp)
+            if (e.eventTimeMs >= st.lastTsMs) e.score else st.score,
             math.min(st.firstTsMs, e.eventTimeMs),
             math.max(st.lastTsMs, e.eventTimeMs))
         }
@@ -401,7 +556,8 @@ class TwsStatsProcessor(timeoutMs: Long)
           st.bytesShipped + e.bytesShipped,
           st.blocks + e.blocks,
           st.fitted + e.fitted,
-          e.score,
+          // same max-event-time-wins rule as StatsOperator.process
+          if (e.eventTimeMs >= st.lastTsMs) e.score else st.score,
           math.min(st.firstTsMs, e.eventTimeMs),
           math.max(st.lastTsMs, e.eventTimeMs))
       }

@@ -33,7 +33,7 @@ class StreamingSuite extends AnyFunSuite {
     val out2 = Spoke.process(1, Iterator(
       data(10, 12, Some(1.0)), ctl(11, "Query", reqId = 9L)), st).toSeq
     val resp = out2.find(_.kind == "response").get
-    assert(resp.info == "fitted=3", resp.info)
+    assert(resp.info.startsWith("fitted=3,"), resp.info)
     assert(resp.requestId == 9L)
   }
 
@@ -47,7 +47,7 @@ class StreamingSuite extends AnyFunSuite {
     assert(out.count(_.kind == "prediction") == 1)
     assert(out.exists(e => e.kind == "log" && e.info == "deleted"))
     val out2 = Spoke.process(1, Iterator(ctl(20, "Query", reqId = 2L)), st).toSeq
-    assert(out2.head.info == "fitted=0")
+    assert(out2.head.info.startsWith("fitted=0,"))
   }
 
   test("statistics operator merges per-pipeline stats and emits on quiescence timeout") {
@@ -185,7 +185,7 @@ class StreamingSuite extends AnyFunSuite {
     val q2 = start(); q2.processAllAvailable(); q2.stop()
     val resp = sink.toArray(Array.empty[SpokeEvent]).find(_.kind == "response")
     assert(resp.isDefined, s"no response in ${sink.size} events")
-    assert(resp.get.info == "fitted=3", resp.get.info)
+    assert(resp.get.info.startsWith("fitted=3,"), resp.get.info)
     assert(resp.get.requestId == 77L)
   }
 
@@ -215,9 +215,232 @@ class StreamingSuite extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val rows = s2.table("tws_spoke").as[SpokeEvent].collect()
     assert(rows.exists(e => e.kind == "log" && e.value == 2.0), "drain of 2 buffered")
-    assert(rows.exists(e => e.kind == "response" && e.info == "fitted=3"),
+    assert(rows.exists(e => e.kind == "response" && e.info.startsWith("fitted=3,")),
       rows.mkString(";"))
     assert(rows.count(_.kind == "prediction") == 1)
+  }
+
+  test("held-out ring: 2-of-10 split, Query scored against ring, deterministic replay") {
+    // 30 training points after Create: cycle positions 8,9 of every 10 go to
+    // the ring (FlinkSpoke.scala:92-107) -> ring 6, trained 24
+    def run(): (SpokeEvent, SpokeEvent) = {
+      val st = fresh()
+      Spoke.process(1, Iterator(ctl(0, "Create", "PA")), st).foreach(_ => ())
+      val pts = (0 until 30).map(i =>
+        data(10 + i, i, Some(if (i % 3 == 0) 1.0 else -1.0)))
+      Spoke.process(1, pts.iterator, st).foreach(_ => ())
+      val r1 = Spoke.process(1, Iterator(ctl(100, "Query", reqId = 5L)), st).toSeq.head
+      val r2 = Spoke.process(1, Iterator(ctl(101, "Query", reqId = 6L)), st).toSeq.head
+      (r1, r2)
+    }
+    val (r1, r2) = run()
+    assert(r1.info.startsWith("fitted=24,testn=6,"), r1.info)
+    // Query is read-only: repeating it returns the identical snapshot
+    assert(r1.info == r2.info && r1.value == r2.value)
+    // deterministic replay: a fresh identical run reproduces loss and score
+    val (r1b, _) = run()
+    assert(r1b.info == r1.info && r1b.value == r1.value)
+    // score is the ring accuracy for a classifier: within [0,1]
+    val score = r1.info.split(",").find(_.startsWith("score=")).get
+      .stripPrefix("score=").toDouble
+    assert(score >= 0.0 && score <= 1.0, score)
+  }
+
+  test("full ring evicts oldest point back into training (FIFO)") {
+    val st = TestGroupState.create[SpokeState](
+      org.apache.spark.api.java.Optional.empty[SpokeState](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    def step(evts: Seq[Envelope]) =
+      Spoke.process(testMode = false, testCap = 2)(1, evts.iterator, st).toSeq
+    step(Seq(ctl(0, "Create", "PA")))
+    // 30 points, ring candidates at positions 8,9,18,19,28,29; cap 2 =>
+    // 4 evictions feed back to training: fitted = 24 + 4 = 28, testn = 2
+    step((0 until 30).map(i => data(10 + i, i, Some(1.0))))
+    val r = step(Seq(ctl(100, "Query", reqId = 5L))).head
+    assert(r.info.startsWith("fitted=28,testn=2,"), r.info)
+  }
+
+  test("drained pre-Create buffer goes through the 2-of-10 split too") {
+    val st = fresh()
+    // 20 points buffered BEFORE Create; the drain routes them through
+    // handleData, so 4 land in the ring (positions 8,9,18,19)
+    Spoke.process(1, (0 until 20).map(i =>
+      data(i, i, Some(1.0))).iterator, st).foreach(_ => ())
+    val out = Spoke.process(1, Iterator(ctl(100, "Create", "PA")), st).toSeq
+    assert(out.find(_.kind == "log").get.value == 20.0)
+    val r = Spoke.process(1, Iterator(ctl(101, "Query", reqId = 5L)), st).toSeq.head
+    assert(r.info.startsWith("fitted=16,testn=4,"), r.info)
+  }
+
+  test("held-out ring survives a streaming-query restart from checkpoint") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ringck_").toString
+    val ck = s"$dir/_ckpt"
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[SpokeEvent]()
+    def start() = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/data").as[Envelope]
+      Spoke.run(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[SpokeEvent], _: Long) =>
+          df.collect().foreach(sink.add))
+        .start()
+    }
+    val batch1 = ctl(0, "Create", "PA") +:
+      (0 until 30).map(i => data(10 + i, i, Some(if (i % 3 == 0) 1.0 else -1.0)))
+    batch1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // reference Query in the same incarnation records the expected snapshot
+    val stDirect = fresh()
+    Spoke.process(1, batch1.iterator, stDirect).foreach(_ => ())
+    val expected = Spoke.process(1,
+      Iterator(ctl(100, "Query", reqId = 77L)), stDirect).toSeq.head
+    // second incarnation: only a Query arrives; ring contents and model must
+    // both come back from the checkpointed state store
+    Thread.sleep(1100)
+    Seq(ctl(100, "Query", reqId = 77L)).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$dir/data")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val resp = sink.toArray(Array.empty[SpokeEvent]).find(_.kind == "response")
+    assert(resp.isDefined, s"no response in ${sink.size} events")
+    assert(resp.get.info == expected.info, s"${resp.get.info} != ${expected.info}")
+    assert(resp.get.value == expected.value)
+    assert(resp.get.info.startsWith("fitted=24,testn=6,"), resp.get.info)
+  }
+
+  test("test-mode polling emits one curve point per 100 records, across triggers") {
+    val st = fresh()
+    def step(evts: Seq[Envelope]) =
+      Spoke.process(testMode = true, testCap = SpokeCore.TestCap)(
+        1, evts.iterator, st).toSeq
+    step(Seq(ctl(0, "Create", "PA")))
+    // 250 records split over two triggers (130 + 120): pollCount persists in
+    // state, so polls fire at records 100 and 200 -> 2 curve points
+    val curve1 = step((0 until 130).map(i => data(10 + i, i, Some(1.0))))
+      .filter(_.kind == "curve")
+    val curve2 = step((0 until 120).map(i => data(200 + i, 130 + i, Some(1.0))))
+      .filter(_.kind == "curve")
+    assert(curve1.length == 1 && curve2.length == 1, s"$curve1 / $curve2")
+    // curve points are scored against the ring: id carries the fitted count
+    assert(curve1.head.id == 80L, curve1.head.toString) // 100 records, 20 in ring
+    assert(curve2.head.id == 160L, curve2.head.toString)
+    assert(curve1.head.info.contains("testn=20"), curve1.head.info)
+  }
+
+  test("stats operator: out-of-order batch keeps the max-event-time score, not the last") {
+    val st = TestGroupState.create[StatsState](
+      org.apache.spark.api.java.Optional.empty[StatsState](),
+      GroupStateTimeout.EventTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.of(500L), hasTimedOut = false)
+    // intentionally shuffled: the newest point (ts=9000, score=0.9) arrives
+    // FIRST in iterator order; "last write wins" would leave 0.2 behind
+    StatsOperator.process(30000L)(1, Iterator(
+      StatEvent(1, 1, 100, 1, 10, 0.9, 9000L),
+      StatEvent(1, 1, 100, 1, 10, 0.5, 3000L),
+      StatEvent(1, 1, 100, 1, 10, 0.2, 6000L)), st).foreach(_ => ())
+    val s1 = st.get
+    assert(s1.score == 0.9, s"stale score survived: $s1")
+    assert(s1.lastTsMs == 9000L && s1.firstTsMs == 3000L)
+    // a second out-of-order batch with only OLDER records must not clobber it
+    StatsOperator.process(30000L)(1, Iterator(
+      StatEvent(1, 1, 100, 1, 10, 0.1, 4000L)), st).foreach(_ => ())
+    assert(st.get.score == 0.9, st.get.toString)
+  }
+
+  test("transformWithState buffers 10k pre-Create rows across triggers via ListState") {
+    val spark = TestSession.spark
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_twsbuf_").toString
+    val n = 10000
+    // trigger 1+2: 10k pre-Create rows split across two files (appends hit
+    // the ListState, never a whole-buffer rewrite); trigger 3: Create + Query
+    (0 until n / 2).map(i => data(i, i, Some(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    Thread.sleep(1100)
+    (n / 2 until n).map(i => data(i, i, Some(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    Thread.sleep(1100)
+    Seq(ctl(n + 1, "Create", "PA"), ctl(n + 2, "Query", reqId = 5L))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val src = s2.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/data").as[Envelope]
+    val name = s"tws_buf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = TwsSpoke.run(src).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val rows = s2.table(name).as[SpokeEvent].collect()
+    val drained = rows.find(_.kind == "log").get
+    assert(drained.value == n.toDouble, drained.toString)
+    // drain goes through the 2-of-10 split: 20% of 10k capped at ring 256
+    val resp = rows.find(_.kind == "response").get
+    assert(resp.info.contains("testn=256"), resp.info)
+    // fMGWS parity on the same envelope sequence
+    val stP = fresh()
+    Spoke.process(1, ((0 until n).map(i =>
+        data(i, i, Some(if (i % 2 == 0) 1.0 else -1.0))) :+
+      ctl(n + 1, "Create", "PA")).iterator, stP).foreach(_ => ())
+    val expected = Spoke.process(1,
+      Iterator(ctl(n + 2, "Query", reqId = 5L)), stP).toSeq.head
+    assert(resp.info == expected.info, s"${resp.info} != ${expected.info}")
+  }
+
+  test("job stats: final statistics only after workers x pipelines Terminate partials") {
+    def jstate(wm: Long, timedOut: Boolean = false,
+        prev: Option[JobStatsState] = None) =
+      TestGroupState.create[JobStatsState](
+        prev.map(org.apache.spark.api.java.Optional.of[JobStatsState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[JobStatsState]()),
+        GroupStateTimeout.EventTimeTimeout, wm,
+        org.apache.spark.api.java.Optional.of(wm + 1), hasTimedOut = timedOut)
+    val workers = 2; val testSetSize = 4
+    def part(tag: String, pip: Int, w: Int, fitted: Long, score: Double, ts: Long) =
+      StatPartial(tag, pip, w, 1L, 64L, fitted, 2.0, score, ts)
+    val proc = JobStatsOperator.process(workers, testSetSize, 30000L) _
+    val st = jstate(0L)
+    // ongoing stats for two pipelines
+    val o1 = proc(0, Iterator(
+      part("stats", 1, 0, 100, 0.0, 1000L),
+      part("stats", 2, 0, 50, 0.0, 2000L),
+      part("stats", 1, 1, 110, 0.0, 6000L)), st).toSeq
+    assert(o1.isEmpty && st.exists)
+    assert(st.getTimeoutTimestampMs.get() == 36000L)
+    // quiescence timer fires -> terminate signal, state retained for partials
+    val fired = jstate(40000L, timedOut = true, prev = Some(st.get))
+    val o2 = proc(0, Iterator.empty, fired).toSeq
+    assert(o2.length == 1 && o2.head.kind == "terminate_signal")
+    assert(fired.exists, "state cleared before the Terminate partials arrived")
+    // 3 of 4 partials: nothing emitted yet (the exactly-(w x p) barrier)
+    val st2 = jstate(41000L, prev = Some(fired.get))
+    val o3 = proc(0, Iterator(
+      part("Terminate", 1, 0, 5, 0.75, 41000L),
+      part("Terminate", 2, 0, 3, 0.5, 41001L),
+      part("Terminate", 1, 1, 7, 0.25, 41002L)), st2).toSeq
+    assert(o3.isEmpty, s"emitted before all partials: $o3")
+    // the 4th partial completes the barrier: one final record per pipeline
+    val st3 = jstate(42000L, prev = Some(st2.get))
+    val o4 = proc(0, Iterator(part("Terminate", 2, 1, 4, 1.0, 42000L)), st3).toSeq
+    assert(o4.length == 2, o4.toString)
+    assert(o4.map(_.kind).toSet == Set("job_statistics_final"))
+    assert(!st3.exists)
+    val p1 = o4.find(_.pipelineId == 1).get
+    val p2 = o4.find(_.pipelineId == 2).get
+    // score = sum(partial score x testSetSize) / (workers x testSetSize)
+    assert(math.abs(p1.value - 0.5) < 1e-12, p1.toString)
+    assert(math.abs(p2.value - 0.75) < 1e-12, p2.toString)
+    // makespan = end - start = 6000 - 1000; fitted = ongoing + partials
+    assert(p1.info.contains("makespan=5000"), p1.info)
+    assert(p1.info.contains("fitted=222"), p1.info) // 100+110 ongoing + 5+7
+    assert(p2.info.contains("fitted=57"), p2.info) // 50 ongoing + 3+4
+    assert(p1.info.contains("partials=2") && p2.info.contains("partials=2"))
   }
 
   test("two pipelines in one envelope stream keep isolated models") {
@@ -230,8 +453,8 @@ class StreamingSuite extends AnyFunSuite {
       data(1, 9, Some(-1.0))), st2).foreach(_ => ())
     val r1 = Spoke.process(1, Iterator(ctl(10, "Query")), st1).toSeq.head
     val r2 = Spoke.process(2, Iterator(forPipeline(2)(ctl(10, "Query"))), st2).toSeq.head
-    assert(r1.info == "fitted=2")
-    assert(r2.info == "fitted=1")
+    assert(r1.info.startsWith("fitted=2,"))
+    assert(r2.info.startsWith("fitted=1,"))
     assert(r1.pipelineId == 1 && r2.pipelineId == 2)
   }
 
@@ -243,6 +466,6 @@ class StreamingSuite extends AnyFunSuite {
       data(5, 10, Some(1.0)), data(6, 11, Some(1.0)), ctl(0, "Create", "PA")), st).toSeq
     assert(out.find(_.kind == "log").get.value == 0.0) // nothing buffered
     val out2 = Spoke.process(1, Iterator(ctl(10, "Query")), st).toSeq
-    assert(out2.head.info == "fitted=2")
+    assert(out2.head.info.startsWith("fitted=2,"))
   }
 }
