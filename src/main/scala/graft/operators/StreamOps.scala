@@ -21,7 +21,7 @@ object StreamOps {
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
     Op("st01_tumbling_window", (s, d) => {
-      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 2)
       val res = Streaming.runStream(s, dir, schema, uniq("st01"), src =>
         src.withWatermark("ts", "35 days")
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -38,7 +38,7 @@ object StreamOps {
         |ORDER BY window_start_us, event_type""".stripMargin)),
     // ------------------------------------------------------------------
     Op("st02_sliding_window", (s, d) => {
-      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 2)
       val res = Streaming.runStream(s, dir, schema, uniq("st02"), src =>
         src.withWatermark("ts", "35 days")
           .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
@@ -61,7 +61,7 @@ object StreamOps {
         |ORDER BY window_start_us, event_type""".stripMargin)),
     // ------------------------------------------------------------------
     Op("st03_session_window", (s, d) => {
-      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 2)
       val res = Streaming.runStream(s, dir, schema, uniq("st03"), src =>
         src.withWatermark("ts", "35 days")
           .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -90,7 +90,7 @@ object StreamOps {
     // per-batch learning curve + shipping stats.
     Op("st05_streaming_train", (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_train_").toString
+      val dir = Streaming.scratchDir("graft_train_")
       val feat = T.embeddings(s, d).select(
         col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("features"),
@@ -115,7 +115,7 @@ object StreamOps {
     // MlSuite/PipelineSparkSuite).
     Op("st16_drift_stream_train", (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_gm_").toString
+      val dir = Streaming.scratchDir("graft_gm_")
       val feat = T.embeddings(s, d).select(
         col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("features"),
@@ -175,8 +175,7 @@ object StreamOps {
     Op("st08_stream_stream_join", (s, d) => {
       // 2 data files (3 triggers with the sentinel): the join runs BOTH
       // sides' file sources per trigger, so trigger count is twice as
-      // expensive here as in the single-source window queries (which keep
-      // the 4-file staging).
+      // expensive here as in the single-source window queries.
       val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       def side(name: String, tsAlias: String, idAlias: String) =
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
@@ -222,7 +221,7 @@ object StreamOps {
       val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val cutoff = minTs + 6L * 86400L * 1000000L
       val mid = (cutoff + maxTs) / 2
-      val dir = java.nio.file.Files.createTempDirectory("graft_late_").toString
+      val dir = Streaming.scratchDir("graft_late_")
       def ls() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
         .iterator().asScala.toSet
       def backdate(fs: Set[java.nio.file.Path], ageMs: Long): Unit = {
@@ -316,7 +315,7 @@ object StreamOps {
     // only dedup that survives an unbounded 100 TB stream. Key includes the
     // event day (at-most-one-event-per-user/type/day ingestion dedup).
     Op("st14_dedup_within_watermark", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       val res = Streaming.runStream(s, dir, schema, uniq("st14"), src =>
         src.withWatermark("ts", "35 days")
           .select(col("user_id"), col("event_type"),
@@ -335,7 +334,7 @@ object StreamOps {
     // Streaming deduplication: distinct (user_id, event_type) keys over the
     // stream (dropDuplicates keyed state).
     Op("st09_stream_distinct", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       val res = Streaming.runStream(s, dir, schema, uniq("st09"), src =>
         src.select(col("user_id"), col("event_type")).dropDuplicates())
       res.filter(col("user_id") >= 0)
@@ -350,7 +349,7 @@ object StreamOps {
     // trigger probes the broadcast table, so at scale this costs exactly one
     // broadcast + per-batch probe.
     Op("st11_stream_static_join", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       val cust = broadcast(T.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
       val res = Streaming.runStream(s, dir, schema, uniq("st11"), src =>
@@ -368,7 +367,7 @@ object StreamOps {
     // (Append mode + watermark is the scale path — complete mode keeps all
     // groups in state and re-emits them, right only for small cardinality.)
     Op("st12_complete_agg", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
       Streaming.withStreamShuffle(s) {
         val name = uniq("st12")
         val src = s.readStream.schema(schema)
@@ -391,8 +390,8 @@ object StreamOps {
     // transaction log makes the write exactly-once; the batch read-back
     // honors the log, and the aggregate hash-matches the fixture oracle.
     Op("st13_file_sink", (s, d) => {
-      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 4)
-      val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
+      val out = Streaming.scratchDir("graft_sink_")
       Streaming.withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -423,7 +422,7 @@ object StreamOps {
     Op("st07_response_merge", (s, d) => {
       import s.implicits._
       val workers = 4
-      val dir = java.nio.file.Files.createTempDirectory("graft_rc_").toString
+      val dir = Streaming.scratchDir("graft_rc_")
       // composite key pipelineId*1024 + worker; Create/Query broadcast to all.
       // Data envelopes are staged with a distributed write — only the O(W)
       // control envelopes are driver-built (no collect of the data path).
@@ -473,7 +472,7 @@ object StreamOps {
     // monotone, classifier score inside [0,1], ring bounded by 256.
     Op("st17_poll_curve", (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_poll_").toString
+      val dir = Streaming.scratchDir("graft_poll_")
       val points = T.embeddings(s, d).select(
         (col("vec_id") + 100L).as("seq"),
         lit(17).as("pipelineId"),
@@ -512,13 +511,93 @@ object StreamOps {
         |  (SELECT CAST(COUNT(*) / 100 AS BIGINT) FROM embeddings))) AS gs)
         |ORDER BY poll_idx""".stripMargin)),
     // ------------------------------------------------------------------
+    // Job-statistics Terminate barrier, end-to-end over a real stream
+    // (StatisticsOperator.scala:93-131): batch 1 carries ongoing per-hub
+    // stats for 2 pipelines x 2 workers (fitted counts derived from orders
+    // key classes), batch 2 three of the four Terminate partials (nothing
+    // may emit), batch 3 the last partial — only then does the operator
+    // release one final record per pipeline, with fitted = the summed
+    // ongoing counts, score = scoreSum/(workers x testSetSize), and
+    // makespan = endTs - startTs. Every output value is derived from the
+    // orders table, so the oracle recomputes them; an early (broken-barrier)
+    // emission would change fitted/score/partials and mismatch the hash.
+    Op("st18_job_stats", (s, d) => {
+      val dir = Streaming.scratchDir("graft_jobstats_")
+      val counts = T.orders(s, d)
+        .groupBy((col("o_orderkey") % 4).cast(IntegerType).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(T.orders(s, d).agg(count(lit(1)).cast(DoubleType).as("total")))
+      def partial(tag: String, tsExpr: org.apache.spark.sql.Column,
+          fitted: org.apache.spark.sql.Column, score: org.apache.spark.sql.Column) =
+        counts.select(
+          lit(tag).as("tag"),
+          ((col("k") / 2).cast(IntegerType) + 1).as("pipelineId"),
+          (col("k") % 2).cast(IntegerType).as("worker"),
+          (col("cnt") % 100).as("modelsShipped"),
+          (col("cnt") * 8).as("bytesShipped"),
+          fitted.as("fitted"),
+          lit(2.0).as("meanBufferSize"),
+          score.as("score"),
+          tsExpr.as("eventTimeMs"))
+      val stats = partial("stats", (col("k") + 1) * 1000L, col("cnt"), lit(0.0))
+      val term = partial("Terminate", col("k") * 1000L + 10000L, lit(0L),
+        col("cnt").cast(DoubleType) / col("total"))
+      // 3 staged batches with back-dated mtimes: stats, 3 partials, then the
+      // barrier-completing 4th
+      stats.coalesce(1).write.mode("append").parquet(dir)
+      val t0 = System.currentTimeMillis()
+      val back = (ms: Long) => java.nio.file.attribute.FileTime.fromMillis(ms)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, back(t0 - 120000)))
+      term.filter(col("worker") =!= 1 || col("pipelineId") =!= 2)
+        .coalesce(1).write.mode("append").parquet(dir)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis > t0 - 120000)
+          java.nio.file.Files.setLastModifiedTime(p, back(t0 - 60000)))
+      term.filter(col("worker") === 1 && col("pipelineId") === 2)
+        .coalesce(1).write.mode("append").parquet(dir)
+      import s.implicits._
+      val src = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StatPartial]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir).as[StatPartial]
+      val q = Streaming.withStreamShuffle(s) {
+        val q0 = JobStatsOperator.run(src, workers = 2, testSetSize = 256,
+          timeoutMs = 600000L).writeStream
+          .format("memory").queryName(uniq("st18")).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt").start()
+        q0.processAllAvailable(); q0.stop(); q0
+      }
+      s.table(q.name)
+        .filter(col("kind") === "job_statistics_final")
+        .select(col("pipelineId").as("pipeline_id"),
+          col("value").as("score"),
+          regexp_extract(col("info"), "makespan=(\\d+)", 1).cast(LongType).as("makespan"),
+          regexp_extract(col("info"), "fitted=(\\d+)", 1).cast(LongType).as("fitted"),
+          regexp_extract(col("info"), "partials=(\\d+)", 1).cast(LongType).as("partials"))
+        .orderBy("pipeline_id")
+    },
+      Some("""WITH c AS (SELECT CAST(o_orderkey % 4 AS INTEGER) AS k, COUNT(*) AS cnt
+        |        FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders)
+        |SELECT pp.p AS pipeline_id,
+        |  ((CAST(c0.cnt AS DOUBLE) / t.total) * 256 +
+        |   (CAST(c1.cnt AS DOUBLE) / t.total) * 256) / 512.0 AS score,
+        |  CAST(3000 AS BIGINT) AS makespan,
+        |  CAST(c0.cnt + c1.cnt AS BIGINT) AS fitted,
+        |  CAST(2 AS BIGINT) AS partials
+        |FROM (SELECT unnest(generate_series(1, 2)) AS p) pp
+        |JOIN c c0 ON c0.k = 2 * (pp.p - 1)
+        |JOIN c c1 ON c1.k = 2 * pp.p - 1
+        |CROSS JOIN t
+        |ORDER BY pipeline_id""".stripMargin)),
+    // ------------------------------------------------------------------
     // Keyed stateful spoke over a staged envelope stream: batch 1 delivers
     // 100 data points BEFORE the Create (exercising the pre-Create buffer,
     // SpokeLogic.scala:28-35) plus the Create; batch 2 delivers the rest,
     // forecasting points, and a Query. Output: predictions + response + logs.
     Op("st04_spoke_lifecycle", (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_spoke_").toString
+      val dir = Streaming.scratchDir("graft_spoke_")
       // Data envelopes are staged with distributed writes keyed on the
       // contiguous vec_id (0..n-1), reproducing the positional batching
       // without collecting the data path; only the 2 control envelopes are
