@@ -33,6 +33,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release per-query session leftovers (cached dedup intermediates,
+      // localCheckpoint RDDs, memory-sink views) so 110 sequential queries
+      // don't accumulate heap — same hygiene as Bench.cleanupSession.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

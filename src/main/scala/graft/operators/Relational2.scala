@@ -392,8 +392,12 @@ object Relational2 {
     // one pass, mergeable partials) and Greenwald-Khanna quantile sketches
     // (approx_percentile). Sketch estimates are engine-specific, so the hash
     // gate checks their ERROR-BOUND INVARIANTS as booleans the oracle can
-    // reproduce (the q42/t10 pattern): HLL++ estimate within its configured
-    // 5% rsd of the exact distinct count, and each GK percentile landing
+    // reproduce (the q42/t10 pattern): HLL++ estimate within 3x its
+    // configured 5% rsd of the exact distinct count (rsd is a standard
+    // deviation, not a bound — a 1-sigma gate would flip on ~1/3 of new
+    // fixtures; 3 sigma is the stable invariant, and OperatorSuite keeps a
+    // non-gating 1-sigma expectation on the shipped fixtures), and each GK
+    // percentile landing
     // between the exact 45th/55th (resp. 98.5th/99.5th) percentile values —
     // a bound orders of magnitude looser than GK's 1/10000 rank guarantee,
     // so any sketch regression flips a boolean and the hash mismatches.
@@ -416,7 +420,7 @@ object Relational2 {
           .select(
             col("l_returnflag"),
             (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
-              col("exact_parts") <= 0.05).as("approx_within_rsd"),
+              col("exact_parts") <= 0.15).as("approx_within_rsd"),
             (col("approx_p50").cast(DoubleType).between(col("lo50"), col("hi50")))
               .as("p50_within_gk_bound"),
             (col("approx_p99").cast(DoubleType).between(col("lo99"), col("hi99")))

@@ -90,14 +90,15 @@ object StreamOps {
     // per-batch learning curve + shipping stats.
     Op("st05_streaming_train", (s, d) => {
       import s.implicits._
-      val dir = Streaming.scratchDir("graft_train_")
-      val feat = T.embeddings(s, d).select(
-        col("vec_id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("features"),
-        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
-      feat.repartitionByRange(4, col("vec_id"))
-        .select("features", "target")
-        .write.mode("append").parquet(dir)
+      val dir = Streaming.stagedDir("train", d) { dir =>
+        T.embeddings(s, d).select(
+            col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("features"),
+            when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
+          .repartitionByRange(4, col("vec_id"))
+          .select("features", "target")
+          .write.mode("append").parquet(dir)
+      }
       val schema = StructType(Seq(
         StructField("features", ArrayType(DoubleType)),
         StructField("target", DoubleType)))
@@ -115,14 +116,17 @@ object StreamOps {
     // MlSuite/PipelineSparkSuite).
     Op("st16_drift_stream_train", (s, d) => {
       import s.implicits._
-      val dir = Streaming.scratchDir("graft_gm_")
-      val feat = T.embeddings(s, d).select(
-        col("vec_id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("features"),
-        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
-      feat.repartitionByRange(4, col("vec_id"))
-        .select("features", "target")
-        .write.mode("append").parquet(dir)
+      // same staged layout as st05 (the drift gate lives in the protocol,
+      // not the data), so share the memoized staging
+      val dir = Streaming.stagedDir("train", d) { dir =>
+        T.embeddings(s, d).select(
+            col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("features"),
+            when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
+          .repartitionByRange(4, col("vec_id"))
+          .select("features", "target")
+          .write.mode("append").parquet(dir)
+      }
       val schema = StructType(Seq(
         StructField("features", ArrayType(DoubleType)),
         StructField("target", DoubleType)))
@@ -216,35 +220,38 @@ object StreamOps {
     // the reference lacks (ingestion-time only) and Spark watermarks provide.
     Op("st10_late_data", (s, d) => {
       import scala.jdk.CollectionConverters._
-      val ev = T.events(s, d)
-      val minTs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
-      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val cutoff = minTs + 6L * 86400L * 1000000L
-      val mid = (cutoff + maxTs) / 2
-      val dir = Streaming.scratchDir("graft_late_")
-      def ls() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .iterator().asScala.toSet
-      def backdate(fs: Set[java.nio.file.Path], ageMs: Long): Unit = {
-        val t = java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - ageMs)
-        fs.foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+      // schema + maxTs come from the shared staged-events cache (same
+      // source table); the late-arrival file layout is memoized separately
+      val (_, schema, maxTs) = Streaming.stageEventsCached(s, d, 2)
+      val dir = Streaming.stagedDir("late", d) { dir =>
+        val ev = T.events(s, d)
+        val minTs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val cutoff = minTs + 6L * 86400L * 1000000L
+        val mid = (cutoff + maxTs) / 2
+        def ls() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          .iterator().asScala.toSet
+        def backdate(fs: Set[java.nio.file.Path], ageMs: Long): Unit = {
+          val t = java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs)
+          fs.foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+        }
+        ev.filter(unix_micros(col("ts")) >= cutoff && unix_micros(col("ts")) < mid)
+          .coalesce(1).write.mode("append").parquet(dir)
+        val fa1 = ls(); backdate(fa1, 180000)
+        ev.filter(unix_micros(col("ts")) >= mid)
+          .coalesce(1).write.mode("append").parquet(dir)
+        val fa2 = ls(); backdate(fa2 -- fa1, 120000)
+        ev.filter(unix_micros(col("ts")) < cutoff)
+          .coalesce(1).write.mode("append").parquet(dir)
+        backdate(ls() -- fa2, 60000)
+        ev.limit(1)
+          .select(timestamp_micros(lit(maxTs + 40L * 86400L * 1000000L)).as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), col("event_id"), col("props"))
+          .select(ev.columns.map(col).toSeq: _*)
+          .coalesce(1).write.mode("append").parquet(dir)
       }
-      ev.filter(unix_micros(col("ts")) >= cutoff && unix_micros(col("ts")) < mid)
-        .coalesce(1).write.mode("append").parquet(dir)
-      val fa1 = ls(); backdate(fa1, 180000)
-      ev.filter(unix_micros(col("ts")) >= mid)
-        .coalesce(1).write.mode("append").parquet(dir)
-      val fa2 = ls(); backdate(fa2 -- fa1, 120000)
-      ev.filter(unix_micros(col("ts")) < cutoff)
-        .coalesce(1).write.mode("append").parquet(dir)
-      backdate(ls() -- fa2, 60000)
-      ev.limit(1)
-        .select(timestamp_micros(lit(maxTs + 40L * 86400L * 1000000L)).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), col("event_id"), col("props"))
-        .select(ev.columns.map(col).toSeq: _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      val res = Streaming.runStream(s, dir, ev.schema, uniq("st10"), src =>
+      val res = Streaming.runStream(s, dir, schema, uniq("st10"), src =>
         src.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -422,31 +429,33 @@ object StreamOps {
     Op("st07_response_merge", (s, d) => {
       import s.implicits._
       val workers = 4
-      val dir = Streaming.scratchDir("graft_rc_")
       // composite key pipelineId*1024 + worker; Create/Query broadcast to all.
       // Data envelopes are staged with a distributed write — only the O(W)
       // control envelopes are driver-built (no collect of the data path).
-      def key(w: Int) = 1 * 1024 + w
-      val points = T.embeddings(s, d).select(
-        (col("vec_id") + 100L).as("seq"),
-        (lit(1 * 1024) + (col("vec_id") % workers).cast(IntegerType)).as("pipelineId"),
-        lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
-        lit(-1L).as("requestId"), col("vec_id").as("id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("features"),
-        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"),
-        lit("training").as("operation")).as[Envelope]
-      val creates = (0 until workers).map(w =>
-        Envelope(w.toLong, key(w), "control", "Create", "PA", 1L, -1, Nil, None, ""))
-      val queries = (0 until workers).map(w =>
-        Envelope(1000000L + w, key(w), "control", "Query", "", 9L, -1, Nil, None, ""))
-      (creates ++ queries).toDS().unionByName(points)
-        .coalesce(1).write.mode("append").parquet(dir)
+      val dir = Streaming.stagedDir("rc", d) { dir =>
+        def key(w: Int) = 1 * 1024 + w
+        val points = T.embeddings(s, d).select(
+          (col("vec_id") + 100L).as("seq"),
+          (lit(1 * 1024) + (col("vec_id") % workers).cast(IntegerType)).as("pipelineId"),
+          lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+          lit(-1L).as("requestId"), col("vec_id").as("id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("features"),
+          when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"),
+          lit("training").as("operation")).as[Envelope]
+        val creates = (0 until workers).map(w =>
+          Envelope(w.toLong, key(w), "control", "Create", "PA", 1L, -1, Nil, None, ""))
+        val queries = (0 until workers).map(w =>
+          Envelope(1000000L + w, key(w), "control", "Query", "", 9L, -1, Nil, None, ""))
+        (creates ++ queries).toDS().unionByName(points)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .parquet(dir).as[Envelope]
       val q = Streaming.withStreamShuffle(s) {
+        val name = uniq("st07")
         val q0 = Spoke.run(src).writeStream
-          .format("memory").queryName(uniq("st07")).outputMode("append")
-          .option("checkpointLocation", s"$dir/_ckpt").start()
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
         q0.processAllAvailable(); q0.stop(); q0
       }
       s.table(q.name)
@@ -472,24 +481,26 @@ object StreamOps {
     // monotone, classifier score inside [0,1], ring bounded by 256.
     Op("st17_poll_curve", (s, d) => {
       import s.implicits._
-      val dir = Streaming.scratchDir("graft_poll_")
-      val points = T.embeddings(s, d).select(
-        (col("vec_id") + 100L).as("seq"),
-        lit(17).as("pipelineId"),
-        lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
-        lit(-1L).as("requestId"), col("vec_id").as("id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("features"),
-        when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"),
-        lit("training").as("operation")).as[Envelope]
-      Seq(Envelope(0L, 17, "control", "Create", "PA", 1L, -1, Nil, None, ""))
-        .toDS().unionByName(points)
-        .coalesce(1).write.mode("append").parquet(dir)
+      val dir = Streaming.stagedDir("poll", d) { dir =>
+        val points = T.embeddings(s, d).select(
+          (col("vec_id") + 100L).as("seq"),
+          lit(17).as("pipelineId"),
+          lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+          lit(-1L).as("requestId"), col("vec_id").as("id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("features"),
+          when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"),
+          lit("training").as("operation")).as[Envelope]
+        Seq(Envelope(0L, 17, "control", "Create", "PA", 1L, -1, Nil, None, ""))
+          .toDS().unionByName(points)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .parquet(dir).as[Envelope]
       val q = Streaming.withStreamShuffle(s) {
+        val name = uniq("st17")
         val q0 = Spoke.run(src, testMode = true).writeStream
-          .format("memory").queryName(uniq("st17")).outputMode("append")
-          .option("checkpointLocation", s"$dir/_ckpt").start()
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
         q0.processAllAvailable(); q0.stop(); q0
       }
       val w = org.apache.spark.sql.expressions.Window.orderBy("fitted")
@@ -522,49 +533,51 @@ object StreamOps {
     // orders table, so the oracle recomputes them; an early (broken-barrier)
     // emission would change fitted/score/partials and mismatch the hash.
     Op("st18_job_stats", (s, d) => {
-      val dir = Streaming.scratchDir("graft_jobstats_")
-      val counts = T.orders(s, d)
-        .groupBy((col("o_orderkey") % 4).cast(IntegerType).as("k"))
-        .agg(count(lit(1)).as("cnt"))
-        .crossJoin(T.orders(s, d).agg(count(lit(1)).cast(DoubleType).as("total")))
-      def partial(tag: String, tsExpr: org.apache.spark.sql.Column,
-          fitted: org.apache.spark.sql.Column, score: org.apache.spark.sql.Column) =
-        counts.select(
-          lit(tag).as("tag"),
-          ((col("k") / 2).cast(IntegerType) + 1).as("pipelineId"),
-          (col("k") % 2).cast(IntegerType).as("worker"),
-          (col("cnt") % 100).as("modelsShipped"),
-          (col("cnt") * 8).as("bytesShipped"),
-          fitted.as("fitted"),
-          lit(2.0).as("meanBufferSize"),
-          score.as("score"),
-          tsExpr.as("eventTimeMs"))
-      val stats = partial("stats", (col("k") + 1) * 1000L, col("cnt"), lit(0.0))
-      val term = partial("Terminate", col("k") * 1000L + 10000L, lit(0L),
-        col("cnt").cast(DoubleType) / col("total"))
-      // 3 staged batches with back-dated mtimes: stats, 3 partials, then the
-      // barrier-completing 4th
-      stats.coalesce(1).write.mode("append").parquet(dir)
-      val t0 = System.currentTimeMillis()
-      val back = (ms: Long) => java.nio.file.attribute.FileTime.fromMillis(ms)
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
-        java.nio.file.Files.setLastModifiedTime(p, back(t0 - 120000)))
-      term.filter(col("worker") =!= 1 || col("pipelineId") =!= 2)
-        .coalesce(1).write.mode("append").parquet(dir)
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
-        if (java.nio.file.Files.getLastModifiedTime(p).toMillis > t0 - 120000)
-          java.nio.file.Files.setLastModifiedTime(p, back(t0 - 60000)))
-      term.filter(col("worker") === 1 && col("pipelineId") === 2)
-        .coalesce(1).write.mode("append").parquet(dir)
+      val dir = Streaming.stagedDir("jobstats", d) { dir =>
+        val counts = T.orders(s, d)
+          .groupBy((col("o_orderkey") % 4).cast(IntegerType).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(T.orders(s, d).agg(count(lit(1)).cast(DoubleType).as("total")))
+        def partial(tag: String, tsExpr: org.apache.spark.sql.Column,
+            fitted: org.apache.spark.sql.Column, score: org.apache.spark.sql.Column) =
+          counts.select(
+            lit(tag).as("tag"),
+            ((col("k") / 2).cast(IntegerType) + 1).as("pipelineId"),
+            (col("k") % 2).cast(IntegerType).as("worker"),
+            (col("cnt") % 100).as("modelsShipped"),
+            (col("cnt") * 8).as("bytesShipped"),
+            fitted.as("fitted"),
+            lit(2.0).as("meanBufferSize"),
+            score.as("score"),
+            tsExpr.as("eventTimeMs"))
+        val stats = partial("stats", (col("k") + 1) * 1000L, col("cnt"), lit(0.0))
+        val term = partial("Terminate", col("k") * 1000L + 10000L, lit(0L),
+          col("cnt").cast(DoubleType) / col("total"))
+        // 3 staged batches with back-dated mtimes: stats, 3 partials, then
+        // the barrier-completing 4th
+        stats.coalesce(1).write.mode("append").parquet(dir)
+        val t0 = System.currentTimeMillis()
+        val back = (ms: Long) => java.nio.file.attribute.FileTime.fromMillis(ms)
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, back(t0 - 120000)))
+        term.filter(col("worker") =!= 1 || col("pipelineId") =!= 2)
+          .coalesce(1).write.mode("append").parquet(dir)
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis > t0 - 120000)
+            java.nio.file.Files.setLastModifiedTime(p, back(t0 - 60000)))
+        term.filter(col("worker") === 1 && col("pipelineId") === 2)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
       import s.implicits._
       val src = s.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[StatPartial]].schema)
         .option("maxFilesPerTrigger", "1").parquet(dir).as[StatPartial]
       val q = Streaming.withStreamShuffle(s) {
+        val name = uniq("st18")
         val q0 = JobStatsOperator.run(src, workers = 2, testSetSize = 256,
           timeoutMs = 600000L).writeStream
-          .format("memory").queryName(uniq("st18")).outputMode("append")
-          .option("checkpointLocation", s"$dir/_ckpt").start()
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
         q0.processAllAvailable(); q0.stop(); q0
       }
       s.table(q.name)
@@ -597,47 +610,49 @@ object StreamOps {
     // forecasting points, and a Query. Output: predictions + response + logs.
     Op("st04_spoke_lifecycle", (s, d) => {
       import s.implicits._
-      val dir = Streaming.scratchDir("graft_spoke_")
       // Data envelopes are staged with distributed writes keyed on the
       // contiguous vec_id (0..n-1), reproducing the positional batching
       // without collecting the data path; only the 2 control envelopes are
       // driver-built.
-      val feats = T.embeddings(s, d)
-      val n = feats.count()
-      def env(rows: org.apache.spark.sql.DataFrame, idOff: Long, op: String) =
-        rows.select(
-          (col("vec_id") + idOff).as("seq"),
-          lit(1).as("pipelineId"),
-          lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
-          lit(-1L).as("requestId"), (col("vec_id") + idOff).as("id"),
-          col("embedding").cast(ArrayType(DoubleType)).as("features"),
-          (if (op == "training")
-            when(col("label").cast(DoubleType) >= 5.0, 1.0).otherwise(-1.0)
-          else lit(null).cast(DoubleType)).as("target"),
-          lit(op).as("operation")).as[Envelope]
-      val batch1 = env(feats.filter(col("vec_id") < 100), 0L, "training")
-        .unionByName(Seq(
-          Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")).toDS())
-      val batch2 = env(
-          feats.filter(col("vec_id") >= 100 && col("vec_id") < n - 50),
-          200000L, "training")
-        .unionByName(env(feats.filter(col("vec_id") >= n - 50), 300000L, "forecasting"))
-        .unionByName(Seq(
-          Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")).toDS())
-      batch1.coalesce(1).write.mode("append").parquet(dir)
-      // Distinct mtimes (file source orders by mod time): back-date batch 1
-      // instead of sleeping between the writes.
-      val past = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
-        java.nio.file.Files.setLastModifiedTime(p, past))
-      batch2.coalesce(1).write.mode("append").parquet(dir)
+      val dir = Streaming.stagedDir("spoke", d) { dir =>
+        val feats = T.embeddings(s, d)
+        val n = feats.count()
+        def env(rows: org.apache.spark.sql.DataFrame, idOff: Long, op: String) =
+          rows.select(
+            (col("vec_id") + idOff).as("seq"),
+            lit(1).as("pipelineId"),
+            lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+            lit(-1L).as("requestId"), (col("vec_id") + idOff).as("id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("features"),
+            (if (op == "training")
+              when(col("label").cast(DoubleType) >= 5.0, 1.0).otherwise(-1.0)
+            else lit(null).cast(DoubleType)).as("target"),
+            lit(op).as("operation")).as[Envelope]
+        val batch1 = env(feats.filter(col("vec_id") < 100), 0L, "training")
+          .unionByName(Seq(
+            Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")).toDS())
+        val batch2 = env(
+            feats.filter(col("vec_id") >= 100 && col("vec_id") < n - 50),
+            200000L, "training")
+          .unionByName(env(feats.filter(col("vec_id") >= n - 50), 300000L, "forecasting"))
+          .unionByName(Seq(
+            Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")).toDS())
+        batch1.coalesce(1).write.mode("append").parquet(dir)
+        // Distinct mtimes (file source orders by mod time): back-date batch 1
+        // instead of sleeping between the writes.
+        val past = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000)
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, past))
+        batch2.coalesce(1).write.mode("append").parquet(dir)
+      }
       val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
         .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope]
       val q = Streaming.withStreamShuffle(s) {
+        val name = uniq("st04")
         val q0 = Spoke.run(src).writeStream
-          .format("memory").queryName(uniq("st04")).outputMode("append")
-          .option("checkpointLocation", s"$dir/_ckpt").start()
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
         q0.processAllAvailable(); q0.stop(); q0
       }
       s.table(q.name).orderBy("kind", "id", "requestId")

@@ -341,5 +341,96 @@ object TextAnalysis {
         |  true AS covers_above_boundary, b AS boundary_count,
         |  (SELECT COUNT(*) FROM cnt) AS vocab
         |FROM bd""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Repetition-ratio quality signal (the Gopher-style "fraction of
+    // duplicated n-grams" filter used to drop boilerplate/templated docs
+    // before LLM training): per document, the fraction of word-bigram
+    // OCCURRENCES whose bigram appears more than once, and the share of the
+    // single most frequent token. Shape at scale: one explode per signal and
+    // two keyed aggregations — no self-joins, no windows over the corpus;
+    // everything shuffles on (doc_id[, term]) only, so it scales like a word
+    // count. Ratios are exact-integer divisions (IEEE-deterministic).
+    Op(
+      "t11_repetition_ratio",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val bi = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1)," +
+              " (w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))"))
+            .as("bigram"))
+        val biStats = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_bigrams"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
+        val topWord = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_word_cnt"),
+            sum("c").as("n_tokens"))
+        biStats.join(topWord, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+            col("dup_occurrences"),
+            (col("dup_occurrences").cast(DoubleType) / col("n_bigrams"))
+              .as("dup_bigram_frac"),
+            col("top_word_cnt"),
+            (col("top_word_cnt").cast(DoubleType) / col("n_tokens"))
+              .as("top_word_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM toks)),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences
+        |       FROM bc GROUP BY doc_id),
+        |tc AS (SELECT doc_id, term, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |         FROM documents) WHERE term <> '' GROUP BY 1, 2),
+        |tw AS (SELECT doc_id, MAX(c) AS top_word_cnt,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens
+        |       FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_bigrams, dup_occurrences,
+        |  CAST(dup_occurrences AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+        |  top_word_cnt,
+        |  CAST(top_word_cnt AS DOUBLE) / n_tokens AS top_word_frac
+        |FROM bs JOIN tw USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Per-source quota downsampling (source-mix rebalancing: cap how many
+    // documents any one crawl/source contributes to the training corpus).
+    // Deterministic "random" order inside each source comes from
+    // md5(doc_id) — identical in both engines — so the kept set is stable
+    // run to run. At 100 TB the window ranks only WITHIN one source
+    // partition (shuffle on source); for a pathologically hot source the
+    // two-stage variant — hash-threshold pre-filter to ~K survivors, then
+    // the exact rank over survivors — bounds any single partition, same as
+    // d02's DF cap. Cap=5 exercises both kept and dropped docs on the
+    // fixture.
+    Op(
+      "t12_source_quota",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("pick"), col("doc_id"))
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast(StringType).cast(BinaryType)).as("pick"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin)),
   )
 }

@@ -59,6 +59,23 @@ object Streaming {
   def scratchDir(prefix: String): String =
     Files.createTempDirectory(scratchBase, prefix).toString
 
+  private val stagedDirCache =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  /** Memoized scratch staging: `build` runs once per (key, sfDir) and the
+    * staged directory is shared by every later call — fixture staging is
+    * scaffolding, not operator cost, and re-writing the same parquet layout
+    * per bench pass would bill the query for it. Callers MUST use per-run
+    * unique checkpoint paths inside a memoized dir (a fixed name would
+    * resume the first run's committed offsets and emit nothing).
+    */
+  def stagedDir(key: String, sfDir: String)(build: String => Unit): String =
+    stagedDirCache.getOrElseUpdate((key, sfDir), {
+      val dir = scratchDir(s"graft_${key}_")
+      build(dir)
+      dir
+    })
+
   def stageEventsCached(spark: SparkSession, sfDir: String, nFiles: Int): (String, StructType, Long) =
     stageCache.getOrElseUpdate((sfDir, nFiles),
       stageEvents(spark, graft.T.events(spark, sfDir), nFiles))

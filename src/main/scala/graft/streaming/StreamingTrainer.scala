@@ -42,9 +42,12 @@ object StreamingTrainer {
 
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
+    // unique checkpoint per fit: the staged dir may be memoized across runs,
+    // and resuming a committed checkpoint would replay zero batches
+    val ckpt = java.util.UUID.randomUUID().toString.replace("-", "")
     val q = src.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"$dir/_ckpt_train")
+      .option("checkpointLocation", s"$dir/_ckpt_train_$ckpt")
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val rdd0 = df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
         val rdd =

@@ -168,6 +168,20 @@ class OperatorSuite extends AnyFunSuite {
       assert(r.getAs[Boolean]("p99_within_gk_bound"), r.toString)
       assert(r.getAs[Long]("exact_parts") > 0)
     }
+    // Tight 1-sigma (5% rsd) expectation on the SHIPPED fixtures only — the
+    // oracle-hashed boolean gates at 3 sigma (0.15) because rsd is a standard
+    // deviation, not a bound; this non-gating check is where the tight
+    // expectation lives, validated per-fixture.
+    import org.apache.spark.sql.functions._
+    val tight = T.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    tight.foreach { r =>
+      val a = r.getAs[Long]("a").toDouble; val e = r.getAs[Long]("e").toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"1-sigma drift on shipped fixture: $r")
+    }
   }
 
   test("q44 fixture tags are collision-free where hashCode collides") {
