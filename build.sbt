@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Codegen-heavy sessions (one janino class per plan stage, hundreds per
+  // bench run) overflow the default 240m JIT code cache; once full the JIT
+  // stops compiling and generated iterators run interpreted (~50x slower).
+  "-XX:ReservedCodeCacheSize=1g",
+  // Fault the whole heap in at JVM start: on lazily-hydrated VMs (snapshot
+  // restore / overcommit) first-touch page faults take a slow kernel path,
+  // billing tens of seconds to whichever query first grows the heap.
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -83,9 +83,16 @@ object Bench {
     val regressionWatch = Set(
       "q02_revenue_by_nation", "q29_unpivot", "q30_grouping_sets",
       "ml11_volume_train")
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a swallowed failure must never masquerade as a slow-but-green
+          // sample: the driver's correctness gate would catch the break, but
+          // the bench log should say so too
+          System.err.println(s"BENCHFAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val keepViews = spark.catalog.listTables().collect().map(_.name).toSet
@@ -104,7 +111,7 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
     val samples: Seq[(String, Seq[Double])] = selected.map { case (name, fn) =>
       val n = if (regressionWatch.contains(name)) 3 else 2
-      val vs = (1 to n).map(_ => timeOne(fn))
+      val vs = (1 to n).map(_ => timeOne(name, fn))
       cleanupSession()
       name -> vs.toSeq
     }

@@ -538,5 +538,94 @@ object Dedup {
         |JOIN sz nb ON nb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / least(na.n, nb.n) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Benchmark decontamination (Lee et al. "Deduplicating Training Data
+    // Makes Language Models Better", and every LLM data card since): flag
+    // training documents that share word-5-grams with a held-out benchmark
+    // set. Here the benchmark is the src19 source slice; at real scale it's
+    // the eval suites. The benchmark n-gram set is tiny relative to the
+    // corpus, so it BROADCASTS — the corpus-side shingle stream is joined
+    // map-side with no shuffle of corpus data, which is what makes
+    // decontamination affordable at 100 TB (one scan + one broadcast
+    // semi-join; the only shuffle is the per-doc overlap count on doc_id).
+    Op(
+      "d11_decontamination",
+      (s, d) => {
+        val sh = shingles(s, d)
+          .join(T.documents(s, d).select("doc_id", "source"), "doc_id")
+        val bench = sh.filter(col("source") === "src19")
+          .select("sh").distinct()
+        val corpus = sh.filter(col("source") =!= "src19")
+        val sz = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        corpus.join(broadcast(bench), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          .join(sz, "doc_id")
+          .withColumn("contamination",
+            (col("n_overlap").cast(DoubleType) / col("n_sh")).cast(DoubleType))
+          .filter(col("contamination") >= 0.05)
+          .select("doc_id", "n_overlap", "n_sh", "contamination")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh0 AS ($sqlShingles),
+        |shs AS (SELECT sh0.doc_id, sh0.sh, d.source FROM sh0
+        |        JOIN documents d ON d.doc_id = sh0.doc_id),
+        |bench AS (SELECT DISTINCT sh FROM shs WHERE source = 'src19'),
+        |corpus AS (SELECT doc_id, sh FROM shs WHERE source <> 'src19'),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY doc_id),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
+        |       JOIN bench USING (sh) GROUP BY doc_id)
+        |SELECT ov.doc_id, n_overlap, n_sh,
+        |  CAST(n_overlap AS DOUBLE) / n_sh AS contamination
+        |FROM ov JOIN sz ON sz.doc_id = ov.doc_id
+        |WHERE CAST(n_overlap AS DOUBLE) / n_sh >= 0.05
+        |ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Representative selection after near-dup clustering: each cluster
+    // keeps its highest-quality member (longest text; ties to the smallest
+    // doc_id) — the standard "keep best, drop rest" step between dedup and
+    // training. Reuses d06's cluster labels; the winner is picked with one
+    // max_by aggregation per cluster (a single shuffle on cluster_id — no
+    // window sort needed), so the step adds one map-side-combinable agg on
+    // top of the clustering cost at any scale.
+    Op(
+      "d12_keep_best_per_cluster",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).cache()
+        val labels = connectedComponents(pairs, "doc_a", "doc_b")
+        val quality = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+        labels.join(quality, col("node") === col("doc_id"))
+          .groupBy(col("label").as("cluster_id"))
+          .agg(
+            count(lit(1)).as("size"),
+            expr("max_by(node, struct(n_chars, -node))").as("keep_doc_id"),
+            max("n_chars").as("keep_n_chars"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlCappedCtes,
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM pr
+        |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.t),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |ranked AS (SELECT l.label, l.node, d.n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY l.label
+        |    ORDER BY d.n_chars DESC, l.node ASC) AS rk
+        |  FROM lab l JOIN documents d ON d.doc_id = l.node)
+        |SELECT label AS cluster_id, COUNT(*) AS size,
+        |  MAX(CASE WHEN rk = 1 THEN node END) AS keep_doc_id,
+        |  MAX(n_chars) AS keep_n_chars,
+        |  COUNT(*) - 1 AS n_dropped
+        |FROM ranked GROUP BY label ORDER BY cluster_id""".stripMargin)),
   )
 }

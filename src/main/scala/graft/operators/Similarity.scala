@@ -117,8 +117,11 @@ object Similarity {
     * partitioning scheme"): the index is written `partitionBy(bucket)`, and
     * a probe reads ONLY the nprobe matching partitions — the scan shows
     * `PartitionFilters: [bucket IN (...)]` (enforced by PlanSuite), so at
-    * corpus scale a query touches nprobe/nlist of the data. Rows-only
-    * checked (centroids are not SQL-derivable); deterministic end-to-end.
+    * corpus scale a query touches nprobe/nlist of the data. Hash-gated via
+    * the s03 pattern: the pruned probe's recall@3 against the exact
+    * brute-force ranking clears [[RecallThreshold]] and every query returns
+    * a complete top-3, asserted engine-side as booleans the oracle
+    * reproduces (centroids themselves are not SQL-derivable).
     */
   private val s04 = Op("s04_ann_ivf_pruned", (s, d) => {
     val nlist = 16; val nprobe = 2
@@ -148,7 +151,7 @@ object Similarity {
     val probedLists = q.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    index
+    val pruned = index
       // static partition filter: only the probed inverted lists are read
       .filter(col("bucket").isin(probedLists: _*))
       .join(broadcast(q), Seq("bucket"))
@@ -156,9 +159,31 @@ object Similarity {
       .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select("q_id", "rk", "vec_id", "bucket", "cos")
-      .orderBy("q_id", "rk")
-  })
+      .select("q_id", "vec_id")
+    // exact top-3 baseline (s01's kernel) for the recall gate
+    val e = T.embeddings(s, d)
+    val qe = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val perQ = pruned.groupBy("q_id").agg(count(lit(1)).as("ivf_n"))
+    val hits = exact.join(pruned, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    perQ.join(hits, Seq("q_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (min(col("ivf_n")) === 3 && max(col("ivf_n")) === 3).as("all_topk_complete"),
+        (sum(coalesce(col("hits"), lit(0L))).cast(DoubleType) /
+          (count(lit(1)) * 3) >= RecallThreshold).as("recall_at_3_ge_090"))
+  },
+    Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  true AS all_topk_complete, true AS recall_at_3_ge_090
+      |FROM embeddings WHERE vec_id < 16""".stripMargin))
 
   val ops: Seq[Op] = Seq(
     s03,

@@ -432,5 +432,36 @@ object TextAnalysis {
         |  FROM documents)
         |WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // PII redaction (the scrub step every training-data pipeline runs
+    // before release): mask every digit in the identifier-bearing column,
+    // then PROVE the redaction with hash-gated invariants — no digit
+    // survives in any masked value, the masked forms collapse to one
+    // pattern per group, and the redacted-character count is exact. Pure
+    // codegen'd regexp_replace in the scan projection: zero shuffle beyond
+    // the final group-by, so redaction is scan-cost at 100 TB. (DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.)
+    Op(
+      "t13_pii_mask",
+      (s, d) =>
+        T.customer(s, d)
+          .select(col("c_mktsegment"), col("c_name"),
+            regexp_replace(col("c_name"), "[0-9]", "X").as("masked"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(when(col("masked").rlike("[0-9]"), 1L).otherwise(0L)) === 0L)
+              .as("no_digit_survives"),
+            countDistinct(col("masked")).as("masked_forms"),
+            sum(length(col("c_name")) - length(regexp_replace(col("c_name"), "[0-9]", "")))
+              .cast(LongType).as("digits_redacted"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+        |  true AS no_digit_survives,
+        |  COUNT(DISTINCT regexp_replace(c_name, '[0-9]', 'X', 'g')) AS masked_forms,
+        |  CAST(SUM(length(c_name) -
+        |    length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS BIGINT)
+        |    AS digits_redacted
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -69,7 +69,7 @@ class OperatorSuite extends AnyFunSuite {
     // rows-only set is exactly the iterative-ML / stateful-lifecycle ops
     val rowsOnly = qs -- oracles
     assert(rowsOnly.forall(n =>
-      n.startsWith("ml") || n == "s04_ann_ivf_pruned" ||
+      n.startsWith("ml") ||
         Set("st04_spoke_lifecycle", "st05_streaming_train",
           "st07_response_merge", "st16_drift_stream_train").contains(n)),
       s"new query without oracle: ${rowsOnly.mkString(",")}")
@@ -119,6 +119,45 @@ class OperatorSuite extends AnyFunSuite {
     assert(candidates(sh) == 200L * 199L / 2)
     assert(candidates(Dedup.capShingleDf(sh, Dedup.ShingleDfCap)) == 0L,
       "hot shingle survived the DF cap")
+  }
+
+  test("decontamination flags only corpus docs and never the benchmark slice") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d11_decontamination")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val benchIds = T.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("source") === "src19").select("doc_id")
+    assert(out.join(benchIds, "doc_id").count() == 0,
+      "a benchmark doc flagged itself")
+    val bad = out.filter(col("contamination") <= 0.0 || col("contamination") > 1.0)
+    assert(bad.count() == 0, "contamination ratio outside (0, 1]")
+  }
+
+  test("keep-best-per-cluster keeps a member with the cluster's max quality") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d12_keep_best_per_cluster")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("n_chars"))
+    // the keeper exists, has exactly the reported quality, and it is the max
+    val joined = out.join(docs, out("keep_doc_id") === docs("doc_id"))
+    assert(joined.count() == out.count(), "keeper not found in documents")
+    assert(joined.filter(col("n_chars") =!= col("keep_n_chars")).count() == 0)
+    assert(out.filter(col("size") =!= col("n_dropped") + 1).count() == 0)
+  }
+
+  test("PII mask leaves no digit and collapses names to one masked form") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t13_pii_mask")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Boolean]("no_digit_survives"))
+      assert(r.getAs[Long]("masked_forms") == 1L,
+        "customer names should collapse to a single masked pattern")
+      // Customer#%09d — exactly 9 digits redacted per row
+      assert(r.getAs[Long]("digits_redacted") == 9L * r.getAs[Long]("n"))
+    }
   }
 
   test("nearest_centroids selection matches a full sort, ties to lower index") {
