@@ -627,5 +627,66 @@ object Dedup {
         |  MAX(n_chars) AS keep_n_chars,
         |  COUNT(*) - 1 AS n_dropped
         |FROM ranked GROUP BY label ORDER BY cluster_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Corpus-boilerplate coverage (the C4-style scrub step): the 150 word
+    // 3-grams appearing in the most distinct documents (deterministic
+    // df-desc/gram-asc rank) are "boilerplate"; each document reports how
+    // many of its token positions any boilerplate gram covers. The frequent
+    // set is top-K by construction — K rows broadcast back to the gram
+    // instances, so the corpus side never reshuffles for the probe; the
+    // only wide exchanges are the gram→df aggregation (bounded by |vocab|³,
+    // same shape as d01's hash groupBy) and its K-row TakeOrdered.
+    Op(
+      "d13_boilerplate_coverage",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .withColumn("n", size(col("ts")).cast(LongType))
+        val grams = toks.filter(col("n") >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, cast(n AS int) - 2), " +
+              "i -> struct(i AS pos, array_join(slice(ts, i, 3), ' ') AS gram))"))
+            .as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+        val freq = grams.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("df").desc, col("gram"))
+          .limit(150)
+          .select("gram")
+        val cov = grams.join(broadcast(freq), "gram")
+          .select(col("doc_id"), explode(expr("sequence(pos, pos + 2)")).as("cp"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+        toks.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            coalesce(col("covered"), lit(0L)).as("covered"),
+            (coalesce(col("covered"), lit(0L)).cast(DoubleType) /
+              col("n").cast(DoubleType)).as("coverage_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(ts, i, i + 2), ' ') AS gram
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, CAST(n AS INT) - 2)) AS i
+        |        FROM t WHERE n >= 3)),
+        |freq AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |  ORDER BY df DESC, gram LIMIT 150),
+        |cov AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered FROM (
+        |    SELECT DISTINCT doc_id, cp FROM (
+        |      SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 2)) AS cp
+        |      FROM g JOIN freq USING (gram)))
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        |  COALESCE(cov.covered, 0) AS covered,
+        |  CAST(COALESCE(cov.covered, 0) AS DOUBLE) / t.n AS coverage_frac
+        |FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
   )
 }

@@ -657,5 +657,45 @@ object StreamOps {
       }
       s.table(q.name).orderBy("kind", "id", "requestId")
     }),
+    // ------------------------------------------------------------------
+    // Incremental materialized aggregate via foreachBatch (the lambda-free
+    // upsert pattern): each micro-batch appends its tiny per-key partial
+    // aggregate (one row per key per trigger); the read path compacts the
+    // partials with a bounded groupBy. The stream never rewrites history —
+    // at 100 TB the partial log stays O(keys × triggers) regardless of
+    // input volume, and compaction can fold into the same read. Sums stay
+    // integer (floor(value*1000)) so partial-merge order cannot move a bit.
+    Op("st19_foreachbatch_upsert", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
+      val out = Streaming.scratchDir("graft_upsert_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") =!= "sentinel")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(floor(col("value") * 1000).cast(LongType)).as("sum_milli"))
+              .withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(s"$out/partials")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/partials")
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("sum_milli").as("sum_milli"))
+        .select(col("event_type"), col("n"), col("sum_milli"),
+          (col("sum_milli").cast(DoubleType) / 1000.0).as("approx_sum"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0
+        |    AS approx_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -463,5 +463,78 @@ object TextAnalysis {
         |    length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS BIGINT)
         |    AS digits_redacted
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Concatenate-and-chunk sequence packing (how pretraining pipelines turn
+    // variable-length documents into fixed-size training sequences): within
+    // each source shard, documents concatenate in doc_id order and chunk
+    // into 128-token sequences; each sequence reports how many documents
+    // start inside it, its token count, and how many of those documents
+    // spill across its boundary. The running offset is a window sum WITHIN
+    // one source partition — shuffle on source only, shard-parallel at
+    // 100 TB, no global ordering anywhere.
+    Op(
+      "t14_sequence_pack",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("off", coalesce(sum("n_tok").over(w), lit(0L)))
+          .select(col("source"), col("n_tok"),
+            expr("off DIV 128").as("seq_id"),
+            expr("(off + n_tok - 1) DIV 128").as("end_seq"))
+          .groupBy("source", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            sum(when(col("end_seq") > col("seq_id"), 1L).otherwise(0L))
+              .as("n_spanning"))
+          .orderBy("source", "seq_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, CAST(off // 128 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN (off + n_tok - 1) // 128 > off // 128
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Hashed-feature linear quality classifier (the fasttext-style scoring
+    // pass corpus pipelines run on every document): each token hashes to a
+    // signed weight in [-500, 500] (md5-prefix hashing — identical in both
+    // engines) and the document score is the token-weight mean. The sum
+    // stays in the integer domain until ONE final division, so the double
+    // is bit-exact and order-independent; the whole op is a per-row
+    // projection — scan-cost at 100 TB, no shuffle beyond the final sort.
+    Op(
+      "t15_hashed_classifier",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+            expr(
+              "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> " +
+                "acc + (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1001) - 500)")
+              .as("score_num"))
+          .select(col("doc_id"), col("n_tokens"), col("score_num"),
+            (col("score_num").cast(DoubleType) /
+              (col("n_tokens") * 1000L).cast(DoubleType)).as("score"),
+            (col("score_num") > 0L).as("keep"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1001) - 500)),
+        |    (a, b) -> a + b) AS BIGINT) AS score_num,
+        |  CAST(score_num AS DOUBLE) / (n_tokens * 1000) AS score,
+        |  score_num > 0 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
