@@ -234,4 +234,95 @@ class OperatorSuite extends AnyFunSuite {
     // table, so it must not vary run to run)
     assert(operators.Relational2.fixtureTag(d1) == operators.Relational2.fixtureTag(d1))
   }
+
+  test("sequence packing matches a sequential brute-force per source") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = T.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    // brute force: concatenate per source in doc_id order, chunk at 128
+    val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (_, _, n) =>
+        val seq = off / 128; val endSeq = (off + n - 1) / 128
+        off += n
+        (src, seq, n, endSeq > seq)
+      }.groupBy { case (_, seq, _, _) => seq }
+        .map { case (seq, rows) =>
+          (src, seq) -> (rows.size.toLong, rows.map(_._3).sum,
+            rows.count(_._4).toLong)
+        }
+    }.toMap
+    val got = SparkEntry.queries("t14_sequence_pack")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_spanning"))).toMap
+    assert(got == expected)
+  }
+
+  test("hashed classifier score matches a local md5 reimplementation") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def w(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 1001L) - 500L
+    }
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val out = SparkEntry.queries("t15_hashed_classifier")(spark, sf).collect()
+    assert(out.length == docs.size)
+    for (r <- out) {
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      val num = toks.map(w).sum
+      assert(r.getAs[Long]("score_num") == num)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Boolean]("keep") == (num > 0))
+      assert(math.abs(r.getAs[Double]("score")) <= 0.5)
+    }
+  }
+
+  test("boilerplate coverage matches a brute-force top-K gram scrub") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val grams = docs.flatMap { case (id, ts) =>
+      (0 to ts.length - 3).map(i => (id, i, ts.slice(i, i + 3).mkString(" ")))
+    }
+    val topK = grams.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size)
+      .toSeq.sortBy { case (g, df) => (-df, g) }.take(150).map(_._1).toSet
+    val expected = docs.map { case (id, ts) =>
+      val covered = grams.filter(g => g._1 == id && topK(g._3))
+        .flatMap(g => g._2 to g._2 + 2).distinct.size.toLong
+      id -> (ts.length.toLong, covered)
+    }.toMap
+    val got = SparkEntry.queries("d13_boilerplate_coverage")(spark, sf).collect()
+    assert(got.length == expected.size)
+    for (r <- got) {
+      val (n, cov) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("covered") == cov)
+      assert(r.getAs[Double]("coverage_frac") == cov.toDouble / n.toDouble)
+    }
+  }
+
+  test("foreachBatch upsert equals the batch aggregate over events") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st19_foreachbatch_upsert")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_milli"))).toMap
+    val exp = T.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_milli"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_milli"))).toMap
+    assert(got == exp)
+  }
 }
