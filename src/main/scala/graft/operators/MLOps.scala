@@ -115,6 +115,57 @@ object MLOps {
         .orderBy("pipelineId")
     }),
     // ------------------------------------------------------------------
+    // Hash-gated K-means invariants (the q42/t10 boolean pattern on the
+    // iterative surface): the oracle reproduces the exact point count; the
+    // engine PROVES structural training health — exactly k centroids, every
+    // centroid inside the data's per-dimension bounding box (MacQueen
+    // updates are convex combinations of points, so a correct trainer can
+    // never leave it), and cluster counts that sum to the fitted total. A
+    // broken merge/update flips a boolean and fails the hash gate.
+    Op("ml12_kmeans_gate", (s, d) => {
+      val df = features(s, d)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(6, "K-means", Map("k" -> 8.0), Nil, "Asynchronous"),
+        toRdd(df))
+      val m = fitted.model.asInstanceOf[graft.ml.KMeansState]
+      val bounds = df.select(posexplode(col("features")))
+        .groupBy("pos").agg(min("col").as("lo"), max("col").as("hi"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      val inBounds = (0 until m.k).forall { c =>
+        (0 until m.dim).forall { i =>
+          val v = m.centroids(c * m.dim + i)
+          val (lo, hi) = bounds(i)
+          v >= lo - 1e-9 && v <= hi + 1e-9
+        }
+      }
+      val countsOk = m.counts.sum == m.n
+      df.agg(count(lit(1)).as("n_points"))
+        .select(col("n_points"), lit(m.k.toLong).as("k"),
+          lit(inBounds).as("centroids_in_bounds"),
+          lit(countsOk).as("counts_consistent"))
+    },
+      Some("""SELECT COUNT(*) AS n_points, CAST(8 AS BIGINT) AS k,
+        |  true AS centroids_in_bounds, true AS counts_consistent
+        |FROM embeddings""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Hash-gated serving-path invariants: one prediction per input id and
+    // every classifier output in the {-1, +1} domain — the contract a
+    // broken model broadcast or preprocessor chain violates first.
+    Op("ml13_prediction_gate", (s, d) => {
+      val df = binary(features(s, d))
+      val fitted = Trainer.fit(s,
+        PipelineSpec(1, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous"),
+        toRdd(df))
+      fitted.predict(s, df).agg(
+        count(lit(1)).as("n"),
+        (sum(when(abs(col("prediction")) === 1.0, 0L).otherwise(1L)) === 0L)
+          .as("preds_in_domain"),
+        (countDistinct(col("id")) === count(lit(1))).as("ids_unique"))
+    },
+      Some("""SELECT COUNT(*) AS n, true AS preds_in_domain,
+        |  true AS ids_unique FROM embeddings""".stripMargin)),
+    // ------------------------------------------------------------------
     // Wire-format roundtrip: build DataInstance JSON (ints only, so string
     // formatting is engine-independent), parse via Wire.parseInstances
     // (from_json PERMISSIVE + validity filter + EOS skip), lower to points.

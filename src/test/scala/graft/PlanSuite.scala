@@ -103,4 +103,29 @@ class PlanSuite extends AnyFunSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
     assert(exchanges <= 2, s"unexpected exchanges:\n$p")
   }
+
+  test("d13: boilerplate probe broadcasts the top-K gram set") {
+    val p = plan("d13_boilerplate_coverage")
+    // the gram->df agg may shuffle, but the join BACK to the corpus-side
+    // gram instances must be a broadcast probe (the corpus never
+    // reshuffles for it) and the top-K a TakeOrdered, not a global sort
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), "top-K degraded to global sort")
+    assert(!p.contains("SortMergeJoin"), "gram probe degraded to SMJ")
+  }
+
+  test("t14: sequence packing shuffles on source only (no global ordering)") {
+    val p = plan("t14_sequence_pack")
+    // window sum partitioned by source: every hash exchange keys on source;
+    // a single-partition exchange would mean a global-order window snuck in
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+  }
+
+  test("t15: hashed classifier is a pure projection (no exchange before sort)") {
+    val p = plan("t15_hashed_classifier")
+    // one rangepartitioning exchange for the presentation sort; nothing else
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"unexpected exchanges:\n$p")
+  }
 }
