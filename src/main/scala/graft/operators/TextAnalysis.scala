@@ -536,5 +536,49 @@ object TextAnalysis {
         |  CAST(score_num AS DOUBLE) / (n_tokens * 1000) AS score,
         |  score_num > 0 AS keep
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Corpus-LM token-rarity score (the CCNet-style quality signal without
+    // the transcendental: rank documents by how UNUSUAL their tokens are
+    // under a unigram model of the corpus itself). Per token the weight is
+    // total/count — exact IEEE division both engines — and the per-doc sum
+    // folds in token-position order (sorted collect + left fold here,
+    // list_reduce over an ORDER BY pos list there), so the double is
+    // bit-identical despite FP addition being order-dependent. The corpus
+    // model is one vocab-bounded aggregate; the weight join is
+    // vocab-sized (AQE broadcasts it when small, same shape as t09's idf
+    // join).
+    Op(
+      "t16_token_rarity",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "term")
+        val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum("c").as("total"))
+        val weighted = toks.join(counts, "term").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("pos"),
+            (col("total").cast(DoubleType) / col("c").cast(DoubleType)).as("w"))
+        weighted.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            expr("aggregate(transform(array_sort(collect_list(struct(pos, w)))," +
+              " p -> p.w), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("rarity_sum"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("rarity_sum") / col("n_tokens").cast(DoubleType)).as("rarity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, ts[i] AS term, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts,
+        |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM documents)),
+        |counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+        |w AS (SELECT doc_id, pos,
+        |        CAST(total AS DOUBLE) / CAST(c AS DOUBLE) AS w
+        |      FROM toks JOIN counts USING (term), tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(w ORDER BY pos)), (a, b) -> a + b) / COUNT(*) AS rarity
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -311,6 +311,25 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("token rarity matches a sequential local fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val total = counts.values.sum.toDouble
+    val expected = docs.map { case (id, ts) =>
+      var acc = 0.0
+      ts.foreach(t => acc += total / counts(t).toDouble)
+      id -> acc / ts.length.toDouble
+    }.toMap
+    val got = SparkEntry.queries("t16_token_rarity")(spark, sf).collect()
+    assert(got.length == expected.size)
+    for (r <- got)
+      assert(r.getAs[Double]("rarity") == expected(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: fold order must be position order")
+  }
+
   test("foreachBatch upsert equals the batch aggregate over events") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
