@@ -22,7 +22,8 @@ object SparkEntry {
     operators.MLOps.ops ++
     operators.StreamOps.ops ++
     operators.SourceOps.ops ++
-    operators.Multimodal.ops
+    operators.Multimodal.ops ++
+    operators.Curation.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

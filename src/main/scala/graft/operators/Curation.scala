@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{Op, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The flagship end-to-end corpus-curation pipeline: the individual
+  * training-data operators (quality filter → exact dedup → benchmark
+  * decontamination → source quota → sequence packing) composed as ONE
+  * declarative plan, the way a real corpus job runs them. Each stage
+  * reuses the exact parity-proven semantics of its standalone operator
+  * (t15 classifier keep, d01 min-id content dedup, d11 5-gram
+  * contamination vs the src19 benchmark slice, t12 md5-pick quota, t14
+  * concatenate-and-chunk packing), so the whole chain stays
+  * DuckDB-hash-gateable as a single CTE pipeline.
+  *
+  * Scale shape: every stage is shuffle-bounded the same way its
+  * standalone op is — the classifier is scan-cost, dedup shuffles on the
+  * 16-byte content hash, the benchmark shingle set broadcasts, quota and
+  * packing window WITHIN a source shard only. Composing them adds no new
+  * wide dependency, and Catalyst pipelines adjacent narrow stages into
+  * shared scans.
+  */
+object Curation {
+
+  private def shingleSet(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .filter(size(col("t")) >= 5)
+    .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+    .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+    .distinct()
+
+  val ops: Seq[Op] = Seq(
+    Op(
+      "p01_corpus_curation",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        // 1. quality filter: language + hashed-classifier keep (t15)
+        val surv1 = docs.filter(col("lang") === "en")
+          .withColumn("score_num", expr(
+            "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> " +
+              "acc + (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1001) - 500)"))
+          .filter(col("score_num") > 0L)
+          .select("doc_id", "source", "text")
+        // 2. exact dedup: min doc_id per content hash (d01)
+        val w1 = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        val dedup = surv1.withColumn("rk", row_number().over(w1))
+          .filter(col("rk") === 1).drop("rk")
+        // 3. decontamination vs the src19 benchmark slice (d11): the
+        // benchmark shingle set is fixed (all src19 docs), broadcast to
+        // the survivor shingles; contaminated >= 5% overlap is dropped,
+        // and benchmark-source docs never enter the training corpus.
+        val bench = shingleSet(docs.filter(col("source") === "src19"))
+          .select("sh").distinct()
+        val corpus = dedup.filter(col("source") =!= "src19")
+        val csh = shingleSet(corpus)
+        val sz = csh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val ov = csh.join(broadcast(bench), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_ov"))
+        val contaminated = sz.join(ov, "doc_id")
+          .filter(col("n_ov").cast(DoubleType) / col("n_sh") >= 0.05)
+          .select("doc_id")
+        val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        // 4. per-source quota, cap 20, deterministic md5 pick order (t12)
+        val w2 = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)),
+            col("doc_id"))
+        val quota = clean.withColumn("rk", row_number().over(w2))
+          .filter(col("rk") <= 20).drop("rk")
+        // 5. concatenate-and-chunk 128-token sequence packing (t14)
+        val w3 = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val toks = quota.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        val packed = toks
+          .withColumn("off", coalesce(sum("n_tok").over(w3), lit(0L)))
+          .select(col("source"), col("n_tok"), expr("off DIV 128").as("seq_id"))
+          .groupBy("source", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        val perSource = packed.groupBy("source").agg(
+          sum("n_docs").as("docs_kept"),
+          count(lit(1)).as("n_sequences"),
+          sum("n_tokens").as("n_tokens"))
+        val tot = docs.groupBy("source").agg(count(lit(1)).as("docs_in"))
+        tot.join(perSource, Seq("source"), "left")
+          .select(col("source"), col("docs_in"),
+            coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+            coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH surv1 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE lang = 'en' AND
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1001) - 500)),
+        |      (a, b) -> a + b) > 0),
+        |dedup AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rk FROM surv1)
+        |  WHERE rk = 1),
+        |benchsh AS (
+        |  SELECT DISTINCT array_to_string(t[p:p+4], ' ') AS sh FROM (
+        |    SELECT t, unnest(generate_series(1, len(t) - 4)) AS p FROM (
+        |      SELECT string_split(text, ' ') AS t FROM documents
+        |      WHERE source = 'src19')
+        |    WHERE len(t) >= 5)),
+        |corpsh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[p:p+4], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS t FROM dedup
+        |      WHERE source <> 'src19')
+        |    WHERE len(t) >= 5)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpsh GROUP BY 1),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_ov FROM corpsh
+        |       JOIN benchsh USING (sh) GROUP BY 1),
+        |contaminated AS (
+        |  SELECT sz.doc_id FROM sz JOIN ov USING (doc_id)
+        |  WHERE CAST(n_ov AS DOUBLE) / n_sh >= 0.05),
+        |clean AS (
+        |  SELECT * FROM dedup WHERE source <> 'src19'
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |quota AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM clean)
+        |  WHERE rk <= 20),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM quota),
+        |o AS (
+        |  SELECT source, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM toks),
+        |packed AS (
+        |  SELECT source, CAST(off // 128 AS BIGINT) AS seq_id,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM o GROUP BY 1, 2),
+        |per_source AS (
+        |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS docs_kept,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sequences,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM packed GROUP BY 1),
+        |tot AS (SELECT source, COUNT(*) AS docs_in FROM documents GROUP BY 1)
+        |SELECT t.source, t.docs_in,
+        |  COALESCE(k.docs_kept, 0) AS docs_kept,
+        |  COALESCE(k.n_sequences, 0) AS n_sequences,
+        |  COALESCE(k.n_tokens, 0) AS n_tokens
+        |FROM tot t LEFT JOIN per_source k ON k.source = t.source
+        |ORDER BY t.source""".stripMargin)),
+  )
+}

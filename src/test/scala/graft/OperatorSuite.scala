@@ -330,6 +330,59 @@ class OperatorSuite extends AnyFunSuite {
         s"doc ${r.getAs[Long]("doc_id")}: fold order must be position order")
   }
 
+  test("corpus curation pipeline matches a sequential five-stage brute force") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def w(tok: String): Long =
+      (java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16) % 1001L) - 500L
+    val docs = T.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("lang"), r.getAs[String]("text")))
+    def shingles(text: String): Set[String] = {
+      val ts = text.split(" ", -1)
+      if (ts.length < 5) Set.empty
+      else (0 to ts.length - 5).map(i => ts.slice(i, i + 5).mkString(" ")).toSet
+    }
+    // 1. lang + classifier keep; 2. exact dedup (min doc_id per md5(text))
+    val surv1 = docs.filter(d => d._3 == "en" && d._4.split(" ", -1).map(w).sum > 0)
+    val dedup = surv1.groupBy(d => md5hex(d._4)).values.map(_.minBy(_._1)).toSeq
+    // 3. decontamination vs all src19 shingles, >=5% overlap dropped
+    val bench = docs.filter(_._2 == "src19").flatMap(d => shingles(d._4)).toSet
+    val clean = dedup.filter(_._2 != "src19").filter { d =>
+      val sh = shingles(d._4)
+      sh.isEmpty || sh.count(bench).toDouble / sh.size < 0.05
+    }
+    // 4. quota 20 per source by (md5(doc_id), doc_id); 5. pack at 128
+    val expected = clean.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.sortBy(d => (md5hex(d._1.toString), d._1)).take(20)
+        .sortBy(_._1)
+      var off = 0L
+      val seqs = kept.map { d =>
+        val n = d._4.split(" ", -1).length.toLong
+        val seq = off / 128; off += n; (seq, n)
+      }
+      src -> (kept.size.toLong, seqs.map(_._1).distinct.size.toLong,
+        seqs.map(_._2).sum)
+    }
+    val got = SparkEntry.queries("p01_corpus_curation")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_kept"),
+          r.getAs[Long]("n_sequences"), r.getAs[Long]("n_tokens"))).toMap
+    val docsIn = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == docsIn.keySet)
+    for ((src, (in, kept, nseq, ntok)) <- got) {
+      assert(in == docsIn(src))
+      val (ekept, eseq, etok) = expected.getOrElse(src, (0L, 0L, 0L))
+      assert((kept, nseq, ntok) == (ekept, eseq, etok),
+        s"$src: got ($kept,$nseq,$ntok) expected ($ekept,$eseq,$etok)")
+    }
+  }
+
   test("foreachBatch upsert equals the batch aggregate over events") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -122,6 +122,14 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), p.take(3000))
   }
 
+  test("p01: curation pipeline broadcasts the benchmark set, no global window") {
+    val p = plan("p01_corpus_curation")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global-order window snuck into the curation chain")
+    assert(!p.contains("CartesianProduct"), "unbounded cross join")
+  }
+
   test("t15: hashed classifier is a pure projection (no exchange before sort)") {
     val p = plan("t15_hashed_classifier")
     // one rangepartitioning exchange for the presentation sort; nothing else
