@@ -697,5 +697,43 @@ object StreamOps {
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0
         |    AS approx_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming corpus curation: p01's ingest stages (language +
+    // hashed-classifier quality filter, exact content dedup) running
+    // INCREMENTALLY on a document stream — the same declarative operators,
+    // only readStream changes. Dedup keys on (source, content-hash), so
+    // the kept-count per source is arrival-order independent and the batch
+    // oracle reproduces it exactly; the rollup after the stream is
+    // presentation. Dedup state is one 16-byte hash per kept doc — at
+    // 100 TB bound it with dropDuplicatesWithinWatermark (st14) when the
+    // stream carries event time.
+    Op("st20_stream_curation", (s, d) => {
+      val docsDf = T.documents(s, d).select("doc_id", "source", "lang", "text")
+      val schema = docsDf.schema
+      val dir = Streaming.stagedDir("curation", d) { dir =>
+        docsDf.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        docsDf.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val res = Streaming.runStream(s, dir, schema, uniq("st20"), src =>
+        src.filter(col("lang") === "en")
+          .withColumn("score_num", expr(
+            "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> " +
+              "acc + (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1001) - 500)"))
+          .filter(col("score_num") > 0L)
+          .select(col("source"), md5(col("text").cast(BinaryType)).as("h"))
+          .dropDuplicates("source", "h"))
+      res.groupBy("source").agg(count(lit(1)).as("docs_kept"))
+        .orderBy("source")
+    },
+      Some("""SELECT source, COUNT(DISTINCT md5(text)) AS docs_kept
+        |FROM documents
+        |WHERE lang = 'en' AND
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1001) - 500)),
+        |    (a, b) -> a + b) > 0
+        |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

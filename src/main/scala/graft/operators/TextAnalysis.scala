@@ -580,5 +580,35 @@ object TextAnalysis {
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list(w ORDER BY pos)), (a, b) -> a + b) / COUNT(*) AS rarity
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Text normalization (the first stage of every ingest pipeline):
+    // lowercase, strip non-alphanumerics, collapse whitespace — run over
+    // the raw JSON props strings (the messiest text in the fixtures) and
+    // rolled up per event type with integer-exact length/distinct stats.
+    // Pure codegen'd regexp in the scan projection: scan-cost at 100 TB,
+    // one partial-agg shuffle. (DuckDB regexp_replace needs the 'g' flag
+    // for Spark's replace-all semantics.)
+    Op(
+      "t17_normalize",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("props")), "[^a-z0-9 ]", " "), " +", " "))
+        T.events(s, d)
+          .select(col("event_type"), col("props"), norm.as("norm"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("props"))).cast(LongType).as("chars_before"),
+            sum(length(col("norm"))).cast(LongType).as("chars_after"),
+            countDistinct(col("norm")).as("distinct_norms"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(length(props)) AS BIGINT) AS chars_before,
+        |  CAST(SUM(length(trim(regexp_replace(regexp_replace(lower(props),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT)
+        |    AS chars_after,
+        |  COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(props),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS distinct_norms
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -383,6 +383,28 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("streaming curation equals the batch filter+dedup, run to run") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val batch = T.documents(spark, sf)
+      .filter(col("lang") === "en")
+      .withColumn("score_num", expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> " +
+          "acc + (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1001) - 500)"))
+      .filter(col("score_num") > 0L)
+      .groupBy("source")
+      .agg(countDistinct(md5(col("text").cast("binary"))).as("docs_kept"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("docs_kept"))
+      .toMap
+    def run() = SparkEntry.queries("st20_stream_curation")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("docs_kept")).toMap
+    val first = run()
+    assert(first == batch)
+    // second run reuses the memoized staging with a fresh checkpoint —
+    // a stale-offset resume would emit nothing
+    assert(run() == batch)
+  }
+
   test("foreachBatch upsert equals the batch aggregate over events") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
