@@ -253,5 +253,79 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
         |SELECT q_id, rk, vec_id, bucket, cos FROM r WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Int8 scalar quantization of the embedding column (the 4x storage /
+    // bandwidth compression every vector index applies before it scales):
+    // per-vector max-abs scale, q_i = floor(x_i * 127 / scale). Everything
+    // is elementwise in the scan projection — no shuffle until the per-label
+    // rollup — so quantization is scan-cost at 100 TB. The gate proves the
+    // codec: every code fits int8, and the reconstruction error of every
+    // element is within one quantization step (floor error < scale/127),
+    // asserted per-vector and rolled up with exact integer/boolean
+    // aggregates only (max-folds are order-independent, so no FP-order
+    // hazard anywhere).
+    Op(
+      "s05_embed_quantize",
+      (s, d) =>
+        T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
+          .withColumn("maxabs", expr(
+            "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+          .withColumn("q", expr(
+            "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))"))
+          .withColumn("qmin", expr(
+            "aggregate(q, CAST(127 AS BIGINT), (a, v) -> least(a, v))"))
+          .withColumn("qmax", expr(
+            "aggregate(q, CAST(-128 AS BIGINT), (a, v) -> greatest(a, v))"))
+          .withColumn("errmax", expr(
+            "aggregate(zip_with(xd, q, (x, v) -> " +
+              "abs(x - CAST(v AS DOUBLE) * maxabs / 127.0D)), " +
+              "CAST(0 AS DOUBLE), (a, e) -> greatest(a, e))"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            min("qmin").as("q_min"), max("qmax").as("q_max"),
+            (min("qmin") >= -128L && max("qmax") <= 127L).as("all_in_range"),
+            (sum(when(col("errmax") * 127.0 > col("maxabs") * 1.000001, 1L)
+              .otherwise(0L)) === 0L).as("err_bounded"),
+            (sum(when(col("maxabs") > 0.0, 0L).otherwise(1L)) === 0L)
+              .as("all_nonzero"))
+          .orderBy("label"),
+      Some("""WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, xd,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(xd, x -> abs(x))),
+        |      (a, b) -> greatest(a, b)) AS maxabs
+        |  FROM v),
+        |qv AS (
+        |  SELECT vec_id, label, maxabs,
+        |    list_transform(xd, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+        |      AS q,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(xd)),
+        |        i -> abs(xd[i] -
+        |          CAST(CAST(floor(xd[i] * 127.0 / maxabs) AS BIGINT) AS DOUBLE)
+        |            * maxabs / 127.0))),
+        |      (a, b) -> greatest(a, b)) AS errmax
+        |  FROM m),
+        |r AS (
+        |  SELECT label, maxabs, errmax,
+        |    list_reduce(list_prepend(CAST(127 AS BIGINT), q),
+        |      (a, b) -> least(a, b)) AS qmin,
+        |    list_reduce(list_prepend(CAST(-128 AS BIGINT), q),
+        |      (a, b) -> greatest(a, b)) AS qmax
+        |  FROM qv)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  MIN(qmin) AS q_min, MAX(qmax) AS q_max,
+        |  MIN(qmin) >= -128 AND MAX(qmax) <= 127 AS all_in_range,
+        |  SUM(CASE WHEN errmax * 127.0 > maxabs * 1.000001
+        |    THEN 1 ELSE 0 END) = 0 AS err_bounded,
+        |  SUM(CASE WHEN maxabs > 0.0 THEN 0 ELSE 1 END) = 0 AS all_nonzero
+        |FROM r GROUP BY label ORDER BY label""".stripMargin)),
   )
 }

@@ -610,5 +610,145 @@ object TextAnalysis {
         |  COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(props),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS distinct_norms
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test hash split (how corpus pipelines assign
+    // holdout membership WITHOUT a coordinated shuffle: hash the stable
+    // document id, bucket mod 100, 90/5/5). Membership is a pure projection
+    // — any executor, any partitioning, any day recomputes the same
+    // assignment, which is what makes the split reproducible at 100 TB and
+    // immune to re-partitioning. The rollup proves the buckets are
+    // disjoint-and-exhaustive per source (counts sum to the source total by
+    // construction; the boolean gates it explicitly).
+    Op(
+      "t18_hash_split",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val").otherwise("test"))
+        val lo = when(col("split") === "train", 0L)
+          .when(col("split") === "val", 90L).otherwise(95L)
+        val hi = when(col("split") === "train", 90L)
+          .when(col("split") === "val", 95L).otherwise(100L)
+        val bySplit = docs.groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast(LongType).as("n_chars"),
+            min("bucket").as("bucket_min"), max("bucket").as("bucket_max"))
+        val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        bySplit.join(totals, "source")
+          .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+            col("n_total"),
+            (col("bucket_min") >= lo && col("bucket_max") < hi)
+              .as("buckets_disjoint"))
+          .orderBy("source", "split")
+      },
+      Some("""WITH b AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    MIN(bucket) AS bucket_min, MAX(bucket) AS bucket_max
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, COUNT(*) AS n_total FROM b GROUP BY 1)
+        |SELECT source, split, n_docs, n_chars, n_total,
+        |  bucket_min >= (CASE WHEN split = 'train' THEN 0
+        |    WHEN split = 'val' THEN 90 ELSE 95 END)
+        |  AND bucket_max < (CASE WHEN split = 'train' THEN 90
+        |    WHEN split = 'val' THEN 95 ELSE 100 END) AS buckets_disjoint
+        |FROM s JOIN t USING (source)
+        |ORDER BY source, split""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Temperature-scaled domain-mixture weights (the multi-corpus sampling
+    // recipe: p_i^alpha / Z with alpha = 0.5 upweights rare sources so no
+    // single crawl dominates the token budget). All mass fractions are
+    // exact integer ratios; sqrt is a correctly-rounded IEEE primitive in
+    // both engines; the ONLY order-dependent step — the normalizer Z, a sum
+    // of doubles — folds in sorted source order (array_sort + fold here,
+    // list(... ORDER BY source) + list_reduce there), so every output
+    // double is bit-identical. Shape at scale: one keyed integer aggregate
+    // over the corpus + a 1-row broadcast back — the per-source table is
+    // tiny by definition.
+    Op(
+      "t19_domain_mixture",
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+        val total = counts.agg(sum("n_tokens").as("total"))
+        val withP = counts.crossJoin(broadcast(total))
+          .select(col("source"), col("n_tokens"),
+            (col("n_tokens").cast(DoubleType) / col("total").cast(DoubleType))
+              .as("p"))
+          .withColumn("sqrtp", sqrt(col("p")))
+        val z = withP
+          .agg(expr("aggregate(transform(array_sort(collect_list(" +
+            "struct(source, sqrtp))), x -> x.sqrtp), CAST(0 AS DOUBLE), " +
+            "(acc, v) -> acc + v)").as("z"))
+        withP.crossJoin(broadcast(z))
+          .select(col("source"), col("n_tokens"), col("p"),
+            (col("sqrtp") / col("z")).as("w"),
+            ((col("sqrtp") / col("z")) / col("p")).as("boost"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM counts),
+        |p AS (SELECT source, n_tokens,
+        |        CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+        |        sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS sqrtp
+        |      FROM counts, tot),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list(sqrtp ORDER BY source)), (a, b) -> a + b) AS z FROM p)
+        |SELECT source, n_tokens, p, sqrtp / z AS w,
+        |  (sqrtp / z) / p AS boost
+        |FROM p, z ORDER BY source""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Sliding-window chunking (the retrieval/embedding prep step: fixed
+    // 32-token windows, stride 16, so consecutive chunks overlap by half and
+    // no boundary sentence is lost). Chunk starts come from an integer
+    // sequence per document — a pure explode in the scan projection, no
+    // shuffle at all until the presentation sort — so chunking is scan-cost
+    // and embarrassingly parallel at 100 TB: a document never needs to see
+    // another document, and chunk ids are derivable (not assigned), so no
+    // global counter exists.
+    Op(
+      "t20_chunk_windows",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .withColumn("start",
+            explode(expr("sequence(1L, n_tokens, 16L)")))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(start - 1) DIV 16").as("chunk_idx"),
+            col("start"),
+            least(lit(32L), col("n_tokens") - col("start") + 1L)
+              .as("chunk_len"))
+          .withColumn("is_full", col("chunk_len") === 32L)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(generate_series(1, n_tokens, 16)) AS start
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(LEAST(32, n_tokens - start + 1) AS BIGINT) AS chunk_len,
+        |  LEAST(32, n_tokens - start + 1) = 32 AS is_full
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
   )
 }

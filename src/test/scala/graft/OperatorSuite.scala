@@ -405,6 +405,120 @@ class OperatorSuite extends AnyFunSuite {
     assert(run() == batch)
   }
 
+  test("hash split matches a local md5 bucket recompute and is disjoint") {
+    val sf = "/root/testdata/sf0.001"
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100L
+    }
+    def splitOf(b: Long): String =
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    val docs = T.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+    val expected = docs.groupBy(d => (d._2, splitOf(bucket(d._1))))
+      .map { case (k, ds) => k -> (ds.length.toLong, ds.map(_._3).sum) }
+    val totals = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("t18_hash_split")(spark, sf).collect()
+    assert(got.length == expected.size)
+    for (r <- got) {
+      val k = (r.getAs[String]("source"), r.getAs[String]("split"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars")) == expected(k))
+      assert(r.getAs[Long]("n_total") == totals(k._1))
+      assert(r.getAs[Boolean]("buckets_disjoint"))
+    }
+    // disjoint & exhaustive: per-source split sizes sum to the source total
+    for ((src, tot) <- totals)
+      assert(got.filter(_.getAs[String]("source") == src)
+        .map(_.getAs[Long]("n_docs")).sum == tot)
+  }
+
+  test("domain mixture weights match a sequential sorted-source fold bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = T.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[String]("text").split(" ", -1).length.toLong)
+    val counts = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = counts.values.sum
+    val sorted = counts.toSeq.sortBy(_._1)
+    var z = 0.0
+    sorted.foreach { case (_, c) => z += math.sqrt(c.toDouble / total.toDouble) }
+    val got = SparkEntry.queries("t19_domain_mixture")(spark, sf).collect()
+    assert(got.length == counts.size)
+    var wsum = 0.0
+    for (r <- got) {
+      val src = r.getAs[String]("source")
+      val p = counts(src).toDouble / total.toDouble
+      assert(r.getAs[Long]("n_tokens") == counts(src))
+      assert(r.getAs[Double]("p") == p, s"$src: p not bit-exact")
+      assert(r.getAs[Double]("w") == math.sqrt(p) / z, s"$src: w not bit-exact")
+      wsum += r.getAs[Double]("w")
+    }
+    assert(math.abs(wsum - 1.0) < 1e-12, "mixture weights must sum to ~1")
+  }
+
+  test("chunk windows tile every document with stride 16 and no gaps") {
+    val sf = "/root/testdata/sf0.001"
+    val lens = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length.toLong).toMap
+    val got = SparkEntry.queries("t20_chunk_windows")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start"), r.getAs[Long]("chunk_len"),
+        r.getAs[Boolean]("is_full")))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet)
+    for ((id, rows) <- byDoc) {
+      val n = lens(id)
+      val expStarts = (1L to n by 16L).toSeq
+      assert(rows.map(_._3).sorted.toSeq == expStarts, s"doc $id: starts")
+      for ((_, idx, start, len, full) <- rows) {
+        assert(idx == (start - 1) / 16)
+        assert(len == math.min(32L, n - start + 1))
+        assert(full == (len == 32L))
+      }
+      // coverage: the union of windows is exactly [1, n]
+      val covered = rows.flatMap(r => r._3 until (r._3 + r._4)).toSet
+      assert(covered == (1L to n).toSet, s"doc $id: coverage gap")
+    }
+  }
+
+  test("int8 quantization codes and error bounds match a local recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = T.embeddings(spark, sf).select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val perLabel = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      var qmin = Long.MaxValue; var qmax = Long.MinValue
+      var errOk = true; var nonzero = true
+      vs.foreach { case (_, xs) =>
+        val maxabs = xs.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+        if (maxabs <= 0.0) nonzero = false
+        val q = xs.map(x => math.floor(x * 127.0 / maxabs).toLong)
+        qmin = math.min(qmin, q.min); qmax = math.max(qmax, q.max)
+        val errmax = xs.zip(q).map { case (x, v) =>
+          math.abs(x - v.toDouble * maxabs / 127.0)
+        }.max
+        if (errmax * 127.0 > maxabs * 1.000001) errOk = false
+      }
+      lbl -> (vs.length.toLong, qmin, qmax, errOk, nonzero)
+    }
+    val got = SparkEntry.queries("s05_embed_quantize")(spark, sf).collect()
+    assert(got.length == perLabel.size)
+    for (r <- got) {
+      val (n, qmin, qmax, errOk, nonzero) = perLabel(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("q_min") == qmin && r.getAs[Long]("q_max") == qmax)
+      assert(r.getAs[Boolean]("all_in_range"))
+      assert(r.getAs[Boolean]("err_bounded") == errOk && errOk)
+      assert(r.getAs[Boolean]("all_nonzero") == nonzero && nonzero)
+    }
+  }
+
   test("foreachBatch upsert equals the batch aggregate over events") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -136,4 +136,32 @@ class PlanSuite extends AnyFunSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
     assert(exchanges <= 1, s"unexpected exchanges:\n$p")
   }
+
+  test("t18: split totals join broadcasts (membership is a pure projection)") {
+    val p = plan("t18_hash_split")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "per-source totals join degraded to SMJ")
+  }
+
+  test("t19: mixture normalizer is a broadcast back-join, not a wide shuffle") {
+    val p = plan("t19_domain_mixture")
+    // total + Z are 1-row aggregates broadcast back onto the per-source table
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"), "1-row join lost its broadcast hint")
+  }
+
+  test("t20: chunking is scan-cost (no exchange before the presentation sort)") {
+    val p = plan("t20_chunk_windows")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"unexpected exchanges:\n$p")
+  }
+
+  test("s05: quantization is elementwise in the scan projection") {
+    val p = plan("s05_embed_quantize")
+    // one hash exchange for the per-label rollup, one range for the sort
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected exchanges:\n$p")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"))
+  }
 }
