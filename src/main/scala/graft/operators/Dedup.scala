@@ -192,6 +192,68 @@ object Dedup {
       |sh AS (SELECT sh0.* FROM sh0 WHERE sh NOT IN (
       |       SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $ShingleDfCap))""".stripMargin
 
+  /** Fuzzy benchmark decontamination core (see the d14 registration for the
+    * scale rationale): MinHash-LSH candidates between the corpus and the
+    * `benchSource` slice, exact-Jaccard verified at `threshold`, rolled up
+    * per source. Takes any (doc_id, source, text) frame so tests can inject
+    * synthetic contamination the fixtures don't contain.
+    */
+  def fuzzyDecontam(docs: DataFrame, benchSource: String,
+      threshold: Double): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    val sh = capShingleDf(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+        .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+        .distinct(),
+      ShingleDfCap).cache()
+    val hs = sh.withColumn("h",
+      expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
+    val mhCols = (0 until 16).map { i =>
+      min((lit(100003L + 7919L * i) * col("h") + lit(12345L + 104729L * i))
+        % lit(2147483647L)).as(s"m$i")
+    }
+    val sig = hs.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast(StringType)): _*)
+          .as("sig"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .join(srcs, "doc_id")
+    val benchBands = bands.filter(col("source") === benchSource)
+      .select(col("doc_id").as("bench_id"), col("band"), col("sig"))
+    val cand = bands.filter(col("source") =!= benchSource)
+      .join(broadcast(benchBands), Seq("band", "sig"))
+      .select(col("doc_id").as("corp_id"), col("bench_id")).distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("corp_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("bench_id") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy(col("corp_id"), col("bench_id")).agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val best = inter
+      .join(sz.select(col("doc_id").as("corp_id"), col("n").as("na")), "corp_id")
+      .join(sz.select(col("doc_id").as("bench_id"), col("n").as("nb")), "bench_id")
+      .withColumn("jaccard",
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+          .cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("corp_id").agg(max("jaccard").as("best_j"))
+      .withColumnRenamed("corp_id", "doc_id")
+    srcs.filter(col("source") =!= benchSource)
+      .join(best, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("best_j").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max("best_j").as("max_jaccard"))
+      .orderBy("source")
+  }
+
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
     Op(
@@ -579,6 +641,53 @@ object Dedup {
         |FROM ov JOIN sz ON sz.doc_id = ov.doc_id
         |WHERE CAST(n_overlap AS DOUBLE) / n_sh >= 0.05
         |ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // FUZZY benchmark decontamination (d11 catches verbatim n-gram overlap;
+    // this catches paraphrased/near-duplicate contamination the exact check
+    // misses): MinHash-LSH candidates BETWEEN datasets — corpus docs band-
+    // joined against the held-out benchmark slice only, never self-joined —
+    // then exact-Jaccard verified at 0.2. Per-source rollup reports how much
+    // of each crawl is fuzzily contaminated. Scale shape: the signature pass
+    // is d03's single aggregation; the candidate join keys on (band, sig)
+    // where one side is the (small) benchmark, so candidates stay bounded by
+    // benchmark size x band collisions regardless of corpus size — the
+    // asymmetry is what makes fuzzy decontamination cheaper than fuzzy
+    // self-dedup at 100 TB.
+    Op(
+      "d14_fuzzy_decontam",
+      (s, d) => fuzzyDecontam(T.documents(s, d), "src19", 0.2),
+      Some(s"""WITH $sqlCappedCtes,
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+        |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
+        |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+        |mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS mh
+        |       FROM hs CROSS JOIN pm GROUP BY doc_id, i),
+        |bands AS (SELECT m.doc_id, d.source, i // 4 AS band,
+        |          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM mh m JOIN documents d ON d.doc_id = m.doc_id
+        |          GROUP BY m.doc_id, d.source, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id, y.doc_id AS bench_id
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.sig = y.sig
+        |         WHERE x.source <> 'src19' AND y.source = 'src19'),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |iv AS (SELECT c.doc_id, c.bench_id, count(*) AS inter
+        |       FROM cand c JOIN sh a ON a.doc_id = c.doc_id
+        |       JOIN sh b ON b.doc_id = c.bench_id AND b.sh = a.sh
+        |       GROUP BY 1, 2),
+        |best AS (SELECT iv.doc_id, MAX(CAST(inter AS DOUBLE)
+        |           / (sa.n + sb.n - inter)) AS best_j
+        |         FROM iv JOIN sz sa ON sa.doc_id = iv.doc_id
+        |         JOIN sz sb ON sb.doc_id = iv.bench_id
+        |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |         GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN best_j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  MAX(best_j) AS max_jaccard
+        |FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+        |WHERE d.source <> 'src19'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     // ------------------------------------------------------------------
     // Representative selection after near-dup clustering: each cluster
     // keeps its highest-quality member (longest text; ties to the smallest

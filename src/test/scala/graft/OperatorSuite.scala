@@ -519,6 +519,99 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("fuzzy decontamination matches a local minhash-band recompute") {
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val docs = T.documents(spark, sf).select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    def shingles(text: String): Set[String] = {
+      val ts = text.split(" ", -1)
+      if (ts.length < 5) Set.empty
+      else (0 to ts.length - 5).map(i => ts.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val shAll = docs.map(d => d._1 -> shingles(d._3)).toMap
+    // DF cap (64): count docs per shingle, drop hot ones (fixture: no-op)
+    val dfCount = shAll.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val sh = shAll.view.mapValues(_.filter(s => dfCount(s) <= 64)).toMap
+    def sig(ss: Set[String]): Option[Seq[Long]] =
+      if (ss.isEmpty) None
+      else Some((0 until 16).map { i =>
+        ss.map { s =>
+          val h = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+          ((100003L + 7919L * i) * h + 12345L + 104729L * i) % 2147483647L
+        }.min
+      })
+    val sigs = sh.flatMap { case (id, ss) => sig(ss).map(id -> _) }
+    def bandKeys(s: Seq[Long]): Seq[(Int, String)] =
+      (0 until 4).map(b => b -> (4 * b until 4 * b + 4).map(s).mkString(","))
+    val bench = docs.filter(_._2 == "src19").map(_._1)
+      .filter(sigs.contains).map(id => id -> bandKeys(sigs(id)).toSet).toMap
+    val expected = docs.filter(_._2 != "src19").groupBy(_._2)
+      .map { case (src, ds) =>
+        var contaminated = 0L; var maxJ = Option.empty[Double]
+        ds.foreach { case (id, _, _) =>
+          if (sigs.contains(id)) {
+            val keys = bandKeys(sigs(id)).toSet
+            val js = bench.collect {
+              case (bid, bkeys) if keys.exists(bkeys) =>
+                val a = sh(id); val b = sh(bid)
+                val inter = a.count(b)
+                inter.toDouble / (a.size + b.size - inter)
+            }.filter(_ >= 0.2)
+            if (js.nonEmpty) {
+              contaminated += 1
+              val m = js.max
+              maxJ = Some(maxJ.fold(m)(math.max(m, _)))
+            }
+          }
+        }
+        src -> (ds.length.toLong, contaminated, maxJ)
+      }
+    val got = SparkEntry.queries("d14_fuzzy_decontam")(spark, sf).collect()
+    assert(got.length == expected.size)
+    for (r <- got) {
+      val (n, cont, maxJ) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_contaminated") == cont,
+        s"${r.getAs[String]("source")}: contaminated count")
+      val gotJ = Option(r.getAs[java.lang.Double]("max_jaccard")).map(_.doubleValue)
+      assert(gotJ == maxJ, s"${r.getAs[String]("source")}: max jaccard")
+    }
+  }
+
+  test("fuzzy decontamination detects injected paraphrased benchmark leaks") {
+    import spark.implicits._
+    // the fixture has no cross-source near-dups of the benchmark slice (max
+    // jaccard ~0.01), so detection is proven on a synthetic corpus: bench
+    // docs, one verbatim leak, one light paraphrase (shares most 5-grams),
+    // and clean docs that must NOT flag
+    val benchText = (1 to 40).map(i => s"bench$i").mkString(" ")
+    val paraphrase = ((1 to 35).map(i => s"bench$i") ++
+      (1 to 5).map(i => s"edit$i")).mkString(" ")
+    val clean = (1 to 40).map(i => s"clean$i").mkString(" ")
+    val docs = Seq(
+      (1L, "bench", benchText),
+      (2L, "bench", (1 to 40).map(i => s"other$i").mkString(" ")),
+      (10L, "crawlA", benchText),     // verbatim leak
+      (11L, "crawlA", paraphrase),    // fuzzy leak (J ~ 31/45)
+      (12L, "crawlA", clean),
+      (20L, "crawlB", clean + " tail words here padding")
+    ).toDF("doc_id", "source", "text")
+    val out = operators.Dedup.fuzzyDecontam(docs, "bench", 0.2)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+          Option(r.getAs[java.lang.Double]("max_jaccard")))).toMap
+    assert(out("crawlA")._1 == 3 && out("crawlA")._2 == 2,
+      s"expected verbatim + paraphrase flagged: $out")
+    assert(out("crawlA")._3.exists(_.doubleValue == 1.0), "verbatim leak must score J=1")
+    assert(out("crawlB") == ((1L, 0L, None)), s"clean source flagged: $out")
+  }
+
   test("foreachBatch upsert equals the batch aggregate over events") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
