@@ -93,6 +93,33 @@ object SourceOps {
         |  CAST(SUM(n_chars) FILTER (doc_id % 10 <> 3) AS BIGINT) AS sum_chars_parsed
         |FROM documents""".stripMargin)),
     // ------------------------------------------------------------------
+    // XML roundtrip (Spark 4's built-in XML source — the remaining
+    // first-class file format after json/csv/orc/parquet): same
+    // checksum-aggregation contract as w03/w05, schema-first read (no
+    // inference pass), explicit rowTag. Any escaping or type-mapping
+    // corruption in the XML writer/reader breaks the hash-match against
+    // the parquet oracle.
+    Op(
+      "w07_xml_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+        T.documents(s, d).write.mode("overwrite")
+          .option("rowTag", "doc").format("xml").save(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).option("rowTag", "doc").format("xml").load(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+            sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+              .as("content_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
     Op(
       "w04_csv_source",
       (s, d) => {
