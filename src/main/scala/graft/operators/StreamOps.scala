@@ -735,5 +735,69 @@ object StreamOps {
         |      t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1001) - 500)),
         |    (a, b) -> a + b) > 0
         |GROUP BY source ORDER BY source""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming ingest with deterministic split ROUTING (t18's hash split
+    // applied on the wire): documents stream in over multiple triggers and
+    // land in a split-PARTITIONED streaming parquet sink, so train/val/test
+    // are physically separate directories the moment data arrives — a
+    // downstream trainer reads its split partition-pruned, never scanning
+    // holdout bytes. Membership is the same pure projection as t18
+    // (exactly-once via the sink checkpoint), and the rollup over the sink
+    // hash-matches the batch oracle — proof the streaming route dropped and
+    // duplicated nothing.
+    Op("st21_stream_split_sink", (s, d) => {
+      val (outData, _) = streamSplitSink(s, d)
+      s.read.parquet(outData)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast(LongType).as("n_chars"))
+        .orderBy("source", "split")
+    },
+      Some("""WITH b AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM b GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin)),
   )
+
+  /** st21 core, shared with tests: stream the documents fixture through the
+    * hash-split projection into a split-partitioned parquet sink. Returns
+    * (data path, sink root) so tests can assert the physical layout and a
+    * partition-pruned read of one split.
+    */
+  def streamSplitSink(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
+    val docsDf = T.documents(s, d).select("doc_id", "source", "n_chars")
+    val schema = docsDf.schema
+    val dir = Streaming.stagedDir("split", d) { dir =>
+      docsDf.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(dir)
+      docsDf.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val out = Streaming.scratchDir("graft_split_")
+    Streaming.withStreamShuffle(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .select("doc_id", "source", "n_chars", "split")
+        .writeStream.format("parquet")
+        .partitionBy("split")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    (s"$out/data", out)
+  }
 }

@@ -612,6 +612,32 @@ class OperatorSuite extends AnyFunSuite {
     assert(out("crawlB") == ((1L, 0L, None)), s"clean source flagged: $out")
   }
 
+  test("stream split sink lands each split in its own partition directory") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (dataPath, _) = operators.StreamOps.streamSplitSink(spark, sf)
+    // physical layout: one subdirectory per split value
+    val subdirs = new java.io.File(dataPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("split="))
+    assert(subdirs.toSet == Set("split=train", "split=val", "split=test"),
+      subdirs.mkString(","))
+    // a single-split read is partition-pruned: the trainer never scans
+    // holdout bytes
+    val df = spark.read.parquet(dataPath).filter(col("split") === "train")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      plan.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+    // routing agrees with the batch t18 assignment, nothing lost or duped
+    val streamed = spark.read.parquet(dataPath)
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    val batch = SparkEntry.queries("t18_hash_split")(spark, sf).collect()
+      .groupBy(_.getAs[String]("split")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(streamed == batch)
+  }
+
   test("foreachBatch upsert equals the batch aggregate over events") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
