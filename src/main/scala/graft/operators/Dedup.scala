@@ -462,8 +462,12 @@ object Dedup {
     Op(
       "d07_simhash_pairs",
       (s, d) => {
+        // cached: the banded self-join evaluates both sides, and without the
+        // cache each side recomputes the full simhash scan (d02/d03 cache
+        // their shingle tables for the same reason)
         val sh = T.documents(s, d)
           .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
+          .cache()
         val bands = sh.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
