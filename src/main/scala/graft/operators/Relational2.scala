@@ -526,5 +526,65 @@ object Relational2 {
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Range-clustered data layout (the OPTIMIZE/CLUSTER BY maintenance op
+    // for 100 TB scan efficiency): lineitem rewritten repartitionByRange on
+    // l_shipdate + sorted within partitions, so every file covers a
+    // disjoint time slice and a time-range query prunes at BOTH the file
+    // level (min/max footer vs pushed filter) and the row-group level
+    // (sorted pages). Like q44's bucketing, the rewrite is a one-time
+    // investment keyed by fixture dir, not query cost. The gate is
+    // twofold: the layout invariant (per-file [min,max] shipdate ranges
+    // are pairwise disjoint, file count bounded by the partition count) as
+    // booleans the oracle expects true, and the RESULT of a range query
+    // over the clustered copy, which must equal the same aggregate over
+    // the raw table.
+    Op(
+      "q46_range_layout",
+      (s, d) => {
+        val tag = Relational2.fixtureTag(d)
+        val path = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), s"graft_rl_$tag"),
+          "lineitem").toString
+        if (!new java.io.File(path, "_SUCCESS").exists)
+          T.lineitem(s, d)
+            .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+            .repartitionByRange(8, col("l_shipdate"))
+            .sortWithinPartitions("l_shipdate", "l_orderkey")
+            .write.mode("overwrite").parquet(path)
+        val cl = s.read.parquet(path)
+        // layout proof: ≤8 files (one per range partition), ranges disjoint
+        // in shipdate order (tiny per-file aggregate — ≤8 rows — so the
+        // single-partition window is free)
+        val files = cl.groupBy(input_file_name().as("f"))
+          .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+        val w = Window.orderBy("lo")
+        val layout = files
+          .withColumn("prev_hi", lag("hi", 1).over(w))
+          .agg(
+            (count(lit(1)).between(1L, 8L)).as("bounded_files"),
+            (sum(when(col("prev_hi").isNull || col("prev_hi") <= col("lo"), 0L)
+              .otherwise(1L)) === 0L).as("files_disjoint"))
+          .select("bounded_files", "files_disjoint")
+        cl.filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1996-01-01").cast(TimestampType))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(
+            sum(dec2(col("l_extendedprice")) *
+              (one - rate(col("l_discount")))).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .crossJoin(layout)
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  true AS bounded_files, true AS files_disjoint
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin)),
   )
 }

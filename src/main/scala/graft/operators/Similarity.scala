@@ -327,5 +327,63 @@ object Similarity {
         |    THEN 1 ELSE 0 END) = 0 AS err_bounded,
         |  SUM(CASE WHEN maxabs > 0.0 THEN 0 ELSE 1 END) = 0 AS all_nonzero
         |FROM r GROUP BY label ORDER BY label""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Johnson–Lindenstrauss sign random projection 64 -> 16 dims (the
+    // cheap dimensionality reduction ahead of clustering / coarse ANN: a
+    // sign matrix needs no multiplies, only adds). The sign matrix is a
+    // PURE FUNCTION of (i, j) — parity of the first hex digit of
+    // md5("i_j") — so both engines derive the identical matrix with no
+    // shipped state. FP-order safety: inputs are quantized to 2^20
+    // fixed-point BIGINTs first, the projection is exact integer sums
+    // (order-independent under any partitioning), and the final rescale
+    // divides by a power of two (exact in binary FP). Everything is
+    // elementwise in the scan projection: at 100 TB this is scan-cost,
+    // shuffle-free, and embarrassingly parallel.
+    Op(
+      "s06_random_projection",
+      (s, d) => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sign(i: Int, j: Int): Int = {
+          val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+          // first hex digit = high nibble of byte 0
+          if (((h(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+        }
+        val signsLit = array((0 until 16).map(j =>
+          array((0 until 64).map(i => lit(sign(i, j).toLong)): _*)): _*)
+        T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> " +
+              "CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))").as("nq"),
+            signsLit.as("signs"))
+          .select(col("vec_id"), col("label"),
+            expr("transform(sequence(0, 15), j -> " +
+              "CAST(aggregate(zip_with(nq, element_at(signs, j + 1), " +
+              "(n, sg) -> n * sg), 0L, (a, v) -> a + v) AS DOUBLE) " +
+              "/ 4194304.0D)").as("proj"))
+          // scalar rows (vec_id, dim, value) rather than an array column:
+          // every other gated query emits scalars, and scalars hash
+          // engine-independently in the driver's compare
+          .select(col("vec_id"), col("label"), posexplode(col("proj")))
+          .select(col("vec_id"), col("label"),
+            col("pos").cast(LongType).as("dim"), col("col").as("value"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH sg AS (
+        |  SELECT j, list(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR)
+        |      || '_' || CAST(j AS VARCHAR)), 1, 1))::INT % 2 = 0
+        |    THEN 1 ELSE -1 END ORDER BY i) AS sj
+        |  FROM generate_series(0, 63) t1(i), generate_series(0, 15) t2(j)
+        |  GROUP BY j),
+        |sm AS (SELECT list(sj ORDER BY j) AS signs FROM sg),
+        |v AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS nq
+        |  FROM embeddings)
+        |SELECT vec_id, label, CAST(j AS BIGINT) AS dim,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, 64), i -> nq[i] * signs[j+1][i])),
+        |    (a, b) -> a + b) AS DOUBLE) / 4194304.0 AS value
+        |FROM v, sm, generate_series(0, 15) t3(j)
+        |ORDER BY vec_id, dim""".stripMargin)),
   )
 }

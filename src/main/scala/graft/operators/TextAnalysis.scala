@@ -750,5 +750,77 @@ object TextAnalysis {
         |  CAST(LEAST(32, n_tokens - start + 1) AS BIGINT) AS chunk_len,
         |  LEAST(32, n_tokens - start + 1) = 32 AS is_full
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Gopher-style quality-rule battery (the published rule set behind
+    // large-corpus pre-filters: doc length bounds, mean word length
+    // bounds, alphabetic-word ratio, symbol ratio, stopword presence —
+    // see PAPERS.md). Unlike t03's weighted score this emits each rule's
+    // verdict separately plus the conjunctive keep decision, which is what
+    // a curation pipeline audits ("why was this dropped"). All metrics are
+    // per-row expressions over one tokenization — scan-cost, shuffle-free
+    // except the presentation sort; ratios divide exact integers cast to
+    // double so both engines agree bitwise.
+    Op(
+      "t21_gopher_rules",
+      (s, d) => {
+        val allStop = stop.values.flatten.toSeq
+        T.documents(s, d).select(
+          col("doc_id"),
+          expr("size(split(text, ' '))").cast(LongType).as("n_tokens"),
+          expr("aggregate(split(text, ' '), 0L, (a, t) -> a + length(t))")
+            .as("sum_len"),
+          expr("size(filter(split(text, ' '), t -> t RLIKE '[a-zA-Z]'))")
+            .cast(LongType).as("alpha_cnt"),
+          expr("size(filter(split(text, ' '), " +
+            "t -> t RLIKE '^[^a-zA-Z0-9]+$'))").cast(LongType).as("sym_cnt"),
+          expr(hitExpr(allStop)).cast(LongType).as("stop_hits"))
+          .withColumn("mean_tok_len",
+            (col("sum_len").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+          .withColumn("alpha_ratio",
+            (col("alpha_cnt").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+          .withColumn("sym_ratio",
+            (col("sym_cnt").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+          .withColumn("word_count_ok", col("n_tokens").between(15L, 500L))
+          .withColumn("mean_len_ok",
+            col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+          .withColumn("alpha_ok", col("alpha_ratio") >= 0.8)
+          .withColumn("sym_ok", col("sym_ratio") < 0.1)
+          .withColumn("stop_ok", col("stop_hits") >= 2L)
+          .withColumn("keep",
+            col("word_count_ok") && col("mean_len_ok") && col("alpha_ok") &&
+              col("sym_ok") && col("stop_ok"))
+          .select("doc_id", "n_tokens", "mean_tok_len", "alpha_ratio",
+            "sym_ratio", "stop_hits", "word_count_ok", "mean_len_ok",
+            "alpha_ok", "sym_ok", "stop_ok", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_cnt,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> regexp_matches(t, '^[^a-zA-Z0-9]+$$'))) AS BIGINT) AS sym_cnt,
+        |  CAST(${sqlHit(stop.values.flatten.toSeq)} AS BIGINT) AS stop_hits
+        |FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  CAST(CAST(sum_len AS DOUBLE) / n_tokens AS DOUBLE) AS mean_tok_len,
+        |  CAST(CAST(alpha_cnt AS DOUBLE) / n_tokens AS DOUBLE) AS alpha_ratio,
+        |  CAST(CAST(sym_cnt AS DOUBLE) / n_tokens AS DOUBLE) AS sym_ratio,
+        |  stop_hits,
+        |  n_tokens BETWEEN 15 AND 500 AS word_count_ok,
+        |  (CAST(sum_len AS DOUBLE) / n_tokens) >= 3.0
+        |    AND (CAST(sum_len AS DOUBLE) / n_tokens) <= 10.0 AS mean_len_ok,
+        |  (CAST(alpha_cnt AS DOUBLE) / n_tokens) >= 0.8 AS alpha_ok,
+        |  (CAST(sym_cnt AS DOUBLE) / n_tokens) < 0.1 AS sym_ok,
+        |  stop_hits >= 2 AS stop_ok
+        |FROM m)
+        |SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, sym_ratio,
+        |  stop_hits, word_count_ok, mean_len_ok, alpha_ok, sym_ok, stop_ok,
+        |  word_count_ok AND mean_len_ok AND alpha_ok AND sym_ok AND stop_ok
+        |    AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)),
   )
 }

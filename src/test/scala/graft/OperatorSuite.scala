@@ -652,4 +652,84 @@ class OperatorSuite extends AnyFunSuite {
         (r.getAs[Long]("n"), r.getAs[Long]("sum_milli"))).toMap
     assert(got == exp)
   }
+
+  test("sign random projection matches a local fixed-point recompute bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    def sign(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+    }
+    val vecs = T.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray)
+    val got = SparkEntry.queries("s06_random_projection")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim")) ->
+        r.getAs[Double]("value")).toMap
+    assert(got.size == vecs.length * 16)
+    for ((id, xs) <- vecs; j <- 0 until 16) {
+      val nq = xs.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val y = (0 until 64).foldLeft(0L)((a, i) => a + nq(i) * sign(i, j))
+      val expected = y.toDouble / 4194304.0
+      assert(got((id, j.toLong)) == expected,
+        s"vec $id dim $j: ${got((id, j.toLong))} != $expected")
+    }
+  }
+
+  test("gopher rule battery matches a local tokenizer recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val stopAll = Set(
+      "the", "a", "and", "of", "to", "in", "is", "for",
+      "der", "die", "das", "und", "ist", "mit", "von", "zu",
+      "le", "la", "les", "et", "est", "pour", "dans", "que",
+      "el", "los", "y", "es", "para", "con", "por", "una")
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val got = SparkEntry.queries("t21_gopher_rules")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == docs.length)
+    var kept = 0
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val sumLen = toks.foldLeft(0L)((a, t) => a + t.length)
+      val alpha = toks.count(t =>
+        java.util.regex.Pattern.compile("[a-zA-Z]").matcher(t).find()).toLong
+      val sym = toks.count(_.matches("[^a-zA-Z0-9]+")).toLong
+      val stopHits = toks.count(stopAll.contains).toLong
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Double]("mean_tok_len") == sumLen.toDouble / n)
+      assert(r.getAs[Double]("alpha_ratio") == alpha.toDouble / n)
+      assert(r.getAs[Double]("sym_ratio") == sym.toDouble / n)
+      assert(r.getAs[Long]("stop_hits") == stopHits)
+      val keep = (n >= 15 && n <= 500) &&
+        (sumLen.toDouble / n >= 3.0 && sumLen.toDouble / n <= 10.0) &&
+        (alpha.toDouble / n >= 0.8) && (sym.toDouble / n < 0.1) &&
+        stopHits >= 2
+      assert(r.getAs[Boolean]("keep") == keep)
+      if (keep) kept += 1
+    }
+    assert(kept > 0, "rule battery rejected the whole fixture corpus")
+  }
+
+  test("range-clustered layout: disjoint file ranges, result equals raw-table aggregate") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q46_range_layout")(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      assert(r.getAs[Boolean]("bounded_files"), "more files than range partitions")
+      assert(r.getAs[Boolean]("files_disjoint"), "file shipdate ranges overlap")
+    }
+    val exp = T.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getAs[String]("month") -> r.getAs[Long]("n_items"))
+      .toMap
+    assert(got.map(r => r.getAs[String]("month") -> r.getAs[Long]("n_items"))
+      .toMap == exp)
+  }
 }

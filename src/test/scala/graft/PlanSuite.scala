@@ -164,4 +164,22 @@ class PlanSuite extends AnyFunSuite {
     assert(exchanges <= 2, s"unexpected exchanges:\n$p")
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"))
   }
+
+  test("s06: sign projection is scan-cost (no aggregation shuffle, no UDF)") {
+    val p = plan("s06_random_projection")
+    // only the presentation sort's range exchange is allowed
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("t21: rule battery is scan-cost (no aggregation shuffle)") {
+    val p = plan("t21_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("q46: range filter is pushed to the clustered-copy scan") {
+    val p = plan("q46_range_layout")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
 }
