@@ -166,6 +166,56 @@ object MLOps {
       Some("""SELECT COUNT(*) AS n, true AS preds_in_domain,
         |  true AS ids_unique FROM embeddings""".stripMargin)),
     // ------------------------------------------------------------------
+    // Deterministic k-fold cross-validation (the model-selection loop a
+    // training pipeline runs before committing a config): fold membership
+    // is an md5 bucket of the stable id — a pure projection, identical
+    // under any partitioning, so the oracle derives the EXACT per-fold
+    // train/test counts (not just booleans). Per fold the engine trains on
+    // the other 4 buckets and scores the held-out bucket; the gated
+    // booleans assert each fold's fit count stays inside the exact bounds
+    // the trainer's per-partition 2-of-10 held-out ring implies (a sweep
+    // whose arms share state overshoots the upper bound first) and the
+    // held-out accuracy is a valid probability. 5 sequential distributed fits —
+    // at 100 TB each fit is the same one-pass protocol round as ml01, and
+    // fold filtering is a pushed-down scan predicate, never a shuffle.
+    Op("ml14_kfold_cv", (s, d) => {
+      import s.implicits._
+      val df = binary(features(s, d))
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(CAST(CAST(id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 5"))
+        .cache()
+      val rows = (0 until 5).map { f =>
+        val train = df.filter(col("fold") =!= f.toLong)
+        val test = df.filter(col("fold") === f.toLong)
+        val fitted = Trainer.fit(s,
+          PipelineSpec(100 + f, "PA", Map("C" -> 0.01),
+            Seq("StandardScaler"), "Synchronous", rounds = 1), toRdd(train))
+        val nTrain = train.count()
+        val nTest = test.count()
+        // the trainer parks ≤256 ring slots per partition (8 partitions)
+        val fitOk = fitted.model.n <= nTrain &&
+          fitted.model.n >= math.max(0L, nTrain - 8L * 256L)
+        val acc = fitted.predict(s, test)
+          .join(test.select(col("id"), col("target")), "id")
+          .agg(avg(when(col("prediction") === col("target"), 1.0)
+            .otherwise(0.0)).as("acc"))
+          .head().getDouble(0)
+        (f.toLong, nTrain, nTest, fitOk, acc >= 0.0 && acc <= 1.0)
+      }
+      rows.toDF("fold", "n_train", "n_test", "fit_bounded", "acc_in_range")
+        .orderBy("fold")
+    },
+      Some("""WITH b AS (SELECT
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5
+        |      AS fold
+        |  FROM embeddings),
+        |c AS (SELECT fold, COUNT(*) AS cnt FROM b GROUP BY fold),
+        |t AS (SELECT COUNT(*) AS total FROM b)
+        |SELECT fold, CAST(total - cnt AS BIGINT) AS n_train,
+        |  CAST(cnt AS BIGINT) AS n_test,
+        |  true AS fit_bounded, true AS acc_in_range
+        |FROM c, t ORDER BY fold""".stripMargin)),
+    // ------------------------------------------------------------------
     // Wire-format roundtrip: build DataInstance JSON (ints only, so string
     // formatting is engine-independent), parse via Wire.parseInstances
     // (from_json PERMISSIVE + validity filter + EOS skip), lower to points.

@@ -713,6 +713,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept > 0, "rule battery rejected the whole fixture corpus")
   }
 
+  test("k-fold CV folds match a local md5 recompute and every fold trains fully") {
+    val sf = "/root/testdata/sf0.001"
+    def fold(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 5L
+    }
+    val ids = T.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getAs[Long]("vec_id"))
+    val sizes = ids.groupBy(fold).view.mapValues(_.length.toLong).toMap
+    val total = ids.length.toLong
+    val got = SparkEntry.queries("ml14_kfold_cv")(spark, sf).collect()
+    assert(got.length == sizes.size)
+    for (r <- got) {
+      val f = r.getAs[Long]("fold")
+      assert(r.getAs[Long]("n_test") == sizes(f))
+      assert(r.getAs[Long]("n_train") == total - sizes(f))
+      assert(r.getAs[Boolean]("fit_bounded"), s"fold $f fit count out of bounds")
+      assert(r.getAs[Boolean]("acc_in_range"))
+    }
+    // folds partition the corpus: test sizes sum to the total
+    assert(got.map(_.getAs[Long]("n_test")).sum == total)
+  }
+
   test("range-clustered layout: disjoint file ranges, result equals raw-table aggregate") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
