@@ -198,16 +198,11 @@ object Dedup {
     * per source. Takes any (doc_id, source, text) frame so tests can inject
     * synthetic contamination the fixtures don't contain.
     */
-  def fuzzyDecontam(docs: DataFrame, benchSource: String,
-      threshold: Double): DataFrame = {
-    val srcs = docs.select(col("doc_id"), col("source"))
-    val sh = capShingleDf(
-      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
-        .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
-        .distinct(),
-      ShingleDfCap).cache()
+  /** 16-perm MinHash signature -> 4x4 LSH bands over a (doc_id, sh) shingle
+    * set: the single-aggregation signature pass + band explode shared by
+    * d03/d14/d15. Returns (doc_id, band, sig).
+    */
+  private def minhashBands(sh: DataFrame): DataFrame = {
     val hs = sh.withColumn("h",
       expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
     val mhCols = (0 until 16).map { i =>
@@ -220,10 +215,65 @@ object Dedup {
         concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast(StringType)): _*)
           .as("sig"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .join(srcs, "doc_id")
+  }
+
+  /** Incremental ingest-dedup core (see the d15 registration for the scale
+    * rationale): the hash-bucket >= 90 slice of `docs` is the NEW batch,
+    * band-probed against the rest (the corpus); exact-Jaccard verified at
+    * `threshold`; one admit/reject row per new doc. Takes any
+    * (doc_id, text) frame so tests can inject known duplicates.
+    */
+  def incrementalDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val bk = docs.select(col("doc_id"), expr(
+      "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100")
+      .as("bucket"))
+    val sh = capShingleDf(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+        .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+        .distinct(),
+      ShingleDfCap).cache()
+    val bands = minhashBands(sh).join(bk, "doc_id")
+    val newBands = bands.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+    val cand = bands.filter(col("bucket") < 90)
+      .join(broadcast(newBands), Seq("band", "sig"))
+      .select(col("new_id"), col("doc_id").as("corp_id")).distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("corp_id") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy("new_id", "corp_id").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val best = inter
+      .join(sz.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
+      .join(sz.select(col("doc_id").as("corp_id"), col("n").as("nb")), "corp_id")
+      .withColumn("jaccard",
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("new_id").agg(max("jaccard").as("best_j"))
+    bk.filter(col("bucket") >= 90).select(col("doc_id"))
+      .join(best, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("best_j"), col("best_j").isNull.as("admit"))
+      .orderBy("doc_id")
+  }
+
+  def fuzzyDecontam(docs: DataFrame, benchSource: String,
+      threshold: Double): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    val sh = capShingleDf(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+        .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+        .distinct(),
+      ShingleDfCap).cache()
+    val bands = minhashBands(sh).join(srcs, "doc_id")
     val benchBands = bands.filter(col("source") === benchSource)
       .select(col("doc_id").as("bench_id"), col("band"), col("sig"))
     val cand = bands.filter(col("source") =!= benchSource)
@@ -801,5 +851,52 @@ object Dedup {
         |  CAST(COALESCE(cov.covered, 0) AS DOUBLE) / t.n AS coverage_frac
         |FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Incremental ingest dedup (the daily-crawl admission check): a NEW
+    // batch (hash bucket >= 90, i.e. ~10% of docs — the same derived
+    // membership as t18, so both engines agree with no shipped state) is
+    // MinHash-band-probed against the EXISTING corpus only — never
+    // self-joined, and the corpus is never re-paired with itself. The new
+    // batch is the small side by construction (daily ingest << corpus), so
+    // its bands broadcast and candidate volume is bounded by batch size x
+    // band collisions — independent of corpus size. Exact-Jaccard verify at
+    // 0.3 on candidates only; per-new-doc admit/reject with the best
+    // matching corpus similarity is the audit record an ingest pipeline
+    // persists. At 100 TB the corpus signature pass is d03's single
+    // aggregation (amortizable across days by persisting signatures).
+    Op(
+      "d15_incremental_dedup",
+      (s, d) => incrementalDedup(T.documents(s, d), 0.3),
+      Some(s"""WITH $sqlCappedCtes,
+        |bk AS (SELECT doc_id,
+        |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |         AS bucket FROM documents),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+        |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
+        |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+        |mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS mh
+        |       FROM hs CROSS JOIN pm GROUP BY doc_id, i),
+        |bands AS (SELECT m.doc_id, k.bucket, i // 4 AS band,
+        |          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM mh m JOIN bk k ON k.doc_id = m.doc_id
+        |          GROUP BY m.doc_id, k.bucket, i // 4),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+        |         FROM bands n JOIN bands c
+        |           ON n.band = c.band AND n.sig = c.sig
+        |         WHERE n.bucket >= 90 AND c.bucket < 90),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |iv AS (SELECT c.new_id, c.corp_id, count(*) AS inter
+        |       FROM cand c JOIN sh a ON a.doc_id = c.new_id
+        |       JOIN sh b ON b.doc_id = c.corp_id AND b.sh = a.sh
+        |       GROUP BY 1, 2),
+        |best AS (SELECT iv.new_id, MAX(CAST(inter AS DOUBLE)
+        |           / (sa.n + sb.n - inter)) AS best_j
+        |         FROM iv JOIN sz sa ON sa.doc_id = iv.new_id
+        |         JOIN sz sb ON sb.doc_id = iv.corp_id
+        |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+        |         GROUP BY 1)
+        |SELECT k.doc_id, best_j, best_j IS NULL AS admit
+        |FROM bk k LEFT JOIN best ON best.new_id = k.doc_id
+        |WHERE k.bucket >= 90 ORDER BY k.doc_id""".stripMargin)),
   )
 }

@@ -713,6 +713,39 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept > 0, "rule battery rejected the whole fixture corpus")
   }
 
+  test("incremental dedup rejects an injected duplicate and admits fresh docs") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100L
+    }
+    val corpusIds = (1L to 1000L).filter(bucket(_) < 90)
+    val newIds = (1L to 1000L).filter(bucket(_) >= 90)
+    val dupText = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val freshText = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val noise = corpusIds.drop(1).take(5).zipWithIndex.map { case (id, k) =>
+      (id, (1 to 30).map(i => s"noise${k}x$i").mkString(" "))
+    }
+    val docs = (Seq(
+      corpusIds.head -> dupText, // corpus original
+      newIds.head -> dupText, // exact duplicate arriving in the new batch
+      newIds(1) -> freshText // genuinely new content
+    ) ++ noise).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(docs, 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("admit"), Option(r.getAs[java.lang.Double]("best_j"))))
+      .toMap
+    assert(got.keySet == Set(newIds.head, newIds(1)),
+      "output must be exactly the new batch")
+    val (dupAdmit, dupJ) = got(newIds.head)
+    assert(!dupAdmit && dupJ.exists(_.doubleValue == 1.0),
+      s"identical doc must be rejected with jaccard 1.0, got $dupJ")
+    val (freshAdmit, freshJ) = got(newIds(1))
+    assert(freshAdmit && freshJ.isEmpty, "fresh doc must be admitted")
+  }
+
   test("k-fold CV folds match a local md5 recompute and every fold trains fully") {
     val sf = "/root/testdata/sf0.001"
     def fold(id: Long): Long = {
