@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.{Num, Op, T}
 import graft.Num.{dsum, sqlDsum}
+import graft.functions.F
 import graft.streaming._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -764,6 +766,68 @@ object StreamOps {
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM b GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming ANN serving: a stream of query vectors probes the STATIC
+    // LSH-bucketed index (s02's exact bucket derivation) via a stateless
+    // stream-static join — each trigger probes the index with that batch's
+    // queries, the serving-path shape of a vector search endpoint. The gate
+    // proves streaming serve == batch ANN: the drained stream's top-3 per
+    // query hash-matches s02's oracle exactly. At 100 TB the static side is
+    // not broadcast but laid out bucket-partitioned (s04), so each probe
+    // reads only its bucket's inverted list; the stream-static join shape
+    // is unchanged.
+    Op("st22_stream_ann_serve", (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+      val planes = (0 until 6).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
+      val buckets = e.crossJoin(broadcast(planes))
+        .withColumn("dp", F.dotFD(col("embedding"), col("r")))
+        .withColumn("bit",
+          when(col("dp") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
+        .groupBy("vec_id").agg(sum("bit").as("bucket"))
+      val eb = e.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+      val q = eb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+      // query stream staged as 2 files -> 2 genuine probe triggers
+      val dir = Streaming.scratchDir("graft_st22_")
+      q.repartition(2).write.mode("overwrite").parquet(dir)
+      val schema = q.schema
+      val scoredAll = Streaming.withStreamShuffle(s) {
+        val name = uniq("st22")
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val scored = src.join(eb, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+          .select("q_id", "vec_id", "bucket", "cos")
+        val qy = scored.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        qy.processAllAvailable(); qy.stop()
+        s.table(name)
+      }
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scoredAll.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "rk", "vec_id", "bucket", "cos")
+        .orderBy("q_id", "rk")
+    },
+      Some(s"""WITH pl AS (${Similarity.sqlPlanesUpTo(5)}),
+        |dt AS (SELECT e.vec_id, pl.p,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(generate_series(1, len(e.embedding)),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.r[i])), (x, y) -> x + y) AS dp
+        |       FROM embeddings e CROSS JOIN pl),
+        |bk AS (SELECT vec_id,
+        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM dt GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM eb WHERE vec_id < 16),
+        |sc AS (SELECT q.q_id, eb.vec_id, eb.bucket, ${VecSql.cos("q.q_emb", "eb.embedding")} AS cos
+        |       FROM eb JOIN q USING (bucket) WHERE eb.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, bucket, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        |SELECT q_id, rk, vec_id, bucket, cos FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the

@@ -713,6 +713,19 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept > 0, "rule battery rejected the whole fixture corpus")
   }
 
+  test("streaming ANN serve equals the batch LSH ANN bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Int]("rk"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("bucket"), r.getAs[Double]("cos"))).toSeq
+    val streamed = rows("st22_stream_ann_serve")
+    val batch = rows("s02_ann_lsh")
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "per-trigger stream-static probe must reproduce the batch ANN exactly")
+  }
+
   test("incremental dedup rejects an injected duplicate and admits fresh docs") {
     import spark.implicits._
     def bucket(id: Long): Long = {
