@@ -148,5 +148,37 @@ object SourceOps {
         |  date_trunc('second', MIN(o_orderdate)) AS first_order,
         |  date_trunc('second', MAX(o_orderdate)) AS last_order
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Schema-evolution ingest: a long-running crawl's schema drifts — later
+    // batches add columns earlier batches lack. Two parquet batches land in
+    // one dataset dir with different schemas (legacy: doc_id+n_chars; new:
+    // +lang); the mergeSchema read unions them with nulls for the missing
+    // column, and the rollup buckets legacy rows under '<legacy>'. The
+    // deterministic doc_id%2 batch split lets the oracle reproduce the
+    // evolved read exactly. At 100 TB re-writing old batches to the new
+    // schema is a full-corpus rewrite — schema-merge on read is the only
+    // affordable path, and this gate proves it loses nothing.
+    Op(
+      "w08_schema_evolution",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+        T.documents(s, d).filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "n_chars")
+          .write.mode("overwrite").parquet(dir)
+        T.documents(s, d).filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "n_chars", "lang")
+          .write.mode("append").parquet(dir)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(coalesce(col("lang"), lit("<legacy>")).as("lang_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast(LongType).as("sum_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang_bucket")
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<legacy>' END
+        |    AS lang_bucket,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY lang_bucket""".stripMargin)),
   )
 }
