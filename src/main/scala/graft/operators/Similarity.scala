@@ -185,9 +185,73 @@ object Similarity {
       |  true AS all_topk_complete, true AS recall_at_3_ge_090
       |FROM embeddings WHERE vec_id < 16""".stripMargin))
 
+  /** The nprobe quality sweep an IVF deployment tunes before fixing its
+    * recall/cost point. The gates are THEOREMS of the candidate-superset
+    * structure, so they hold for any quantizer state: recall@3 is monotone
+    * non-decreasing in nprobe (an exact-top-3 member inside the candidate
+    * set always ranks ≤3 there — at most 2 vectors outrank it anywhere),
+    * and probing all nlist lists IS the brute-force scan (same kernel,
+    * same tie-break), so full-probe hits are exactly 3 per query. A probe
+    * or ranking regression breaks one of the booleans and the hash
+    * mismatches; centroids themselves stay non-SQL-derivable.
+    */
+  private val s07 = Op("s07_ivf_recall_curve", (s, d) => {
+    import s.implicits._
+    val nlist = 16
+    val feats = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("fd"),
+        col("embedding"))
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val quant = graft.pipeline.Trainer.fit(s,
+      graft.pipeline.PipelineSpec(23, "K-means", Map("k" -> nlist.toDouble), Nil,
+        "Asynchronous", rounds = 1),
+      feats.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
+    val km = quant.model.asInstanceOf[graft.ml.KMeansState]
+    val centsLit = lit(km.centroids.slice(0, km.filled * km.dim))
+    val listed = feats.withColumn("bucket",
+        element_at(F.nearestCentroids(col("fd"), centsLit, km.dim, 1), 1))
+      .select("vec_id", "embedding", "bucket").cache()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val e = T.embeddings(s, d)
+    val qe = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id")).cache()
+    val nq = qe.count()
+    val qf = feats.filter(col("vec_id") < 16)
+    def hitsAt(nprobe: Int): Long = {
+      val q = qf.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(F.nearestCentroids(col("fd"), centsLit, km.dim, nprobe)).as("bucket"))
+      val ivf = listed.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "vec_id")
+      exact.join(ivf, Seq("q_id", "vec_id")).count()
+    }
+    val probes = Seq(1, 2, 4, nlist)
+    val hits = probes.map(p => p -> hitsAt(p))
+    val rows = hits.zip(Long.MinValue +: hits.map(_._2)).map {
+      case ((p, h), prev) =>
+        (p.toLong, nq, h >= prev, p != nlist || h == 3L * nq)
+    }
+    rows.toDF("nprobe", "n_queries", "recall_monotone", "exact_at_full_probe")
+      .orderBy("nprobe")
+  },
+    Some("""SELECT CAST(nprobe AS BIGINT) AS nprobe,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 16) AS n_queries,
+      |  true AS recall_monotone, true AS exact_at_full_probe
+      |FROM (VALUES (1), (2), (4), (16)) t(nprobe)
+      |ORDER BY nprobe""".stripMargin))
+
   val ops: Seq[Op] = Seq(
     s03,
     s04,
+    s07,
     // ------------------------------------------------------------------
     Op(
       "s01_topk_bruteforce",

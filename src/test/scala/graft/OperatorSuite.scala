@@ -713,6 +713,18 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept > 0, "rule battery rejected the whole fixture corpus")
   }
 
+  test("IVF recall curve: monotone in nprobe, full probe equals brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("s07_ivf_recall_curve")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 16L))
+    for (r <- got) {
+      assert(r.getAs[Long]("n_queries") == 16L)
+      assert(r.getAs[Boolean]("recall_monotone"),
+        s"recall dropped at nprobe ${r.getAs[Long]("nprobe")}")
+      assert(r.getAs[Boolean]("exact_at_full_probe"))
+    }
+  }
+
   test("streaming ANN serve equals the batch LSH ANN bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) =
