@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Op, T}
+import graft.{Num, Op, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -151,5 +151,52 @@ object AsOf {
         |    AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
         |  ORDER BY e.ts, e.event_id LIMIT 1) x ON TRUE
         |ORDER BY o.o_orderkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Batch sessionization (gaps-and-islands): the batch counterpart of
+    // st03's streaming session windows — a new session starts after a
+    // >=30-minute silence (exactly `session_window`'s gap rule, so batch
+    // and streaming sessionization agree row-for-row — asserted in
+    // OperatorSuite), session ids are running sums of the gap marker.
+    // Two windows over ONE (user_id, ts) sort order, so Catalyst plans a
+    // single exchange + sort reused by both; the session rollup then
+    // shuffles on (user_id, session_idx). Deterministic tie-break on
+    // event_id makes the island assignment engine-independent.
+    Op(
+      "q47_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >=
+                30L * 60L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("new_sess").over(w))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            unix_micros(min(col("ts"))).as("start_us"),
+            unix_micros(max(col("ts"))).as("end_us"),
+            Num.dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some(s"""WITH g AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |         - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w)
+        |         >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+        |  ${Num.sqlDsum("value")} AS sum_value
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)),
   )
 }

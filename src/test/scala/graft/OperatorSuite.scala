@@ -713,6 +713,19 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept > 0, "rule battery rejected the whole fixture corpus")
   }
 
+  test("batch sessionization agrees with streaming session windows row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q47_sessionize")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val streamed = SparkEntry.queries("st03_session_window")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(batch.nonEmpty)
+    assert(batch == streamed,
+      "gaps-and-islands must reproduce session_window's sessions exactly")
+  }
+
   test("IVF recall curve: monotone in nprobe, full probe equals brute force") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("s07_ivf_recall_curve")(spark, sf).collect()
