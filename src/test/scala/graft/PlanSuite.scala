@@ -182,4 +182,17 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
       p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
   }
+
+  test("q47: both session window passes share one exchange and sort") {
+    val p = plan("q47_sessionize")
+    // lag and the dependent running sum are two Window nodes by necessity,
+    // but they must ride ONE (user, ts) exchange + sort — a second sort
+    // between them would mean the shared ordering was lost
+    val windows = """\(\d+\) Window""".r.findAllIn(p).length
+    assert(windows == 2, s"expected exactly the two session windows:\n$p")
+    val sorts = """\(\d+\) Sort""".r.findAllIn(p).length
+    assert(sorts <= 2, s"windows stopped sharing their sort:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected exchanges:\n$p")
+  }
 }
