@@ -713,6 +713,60 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept > 0, "rule battery rejected the whole fixture corpus")
   }
 
+  test("incremental dedup reports only true jaccards on a randomized corpus") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100L
+    }
+    val corpusIds = (1L to 2000L).filter(bucket(_) < 90)
+    val newIds = (1L to 2000L).filter(bucket(_) >= 90)
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 200).map(i => s"w$i")
+    def mkDoc(): String =
+      Seq.fill(25)(words(rnd.nextInt(words.length))).mkString(" ")
+    val bases = corpusIds.take(40).map(id => id -> mkDoc())
+    // near-copies of random bases, landing in the new batch, 0-3 tokens edited
+    val copies = newIds.take(12).map { id =>
+      val toks = bases(rnd.nextInt(bases.length))._2.split(" ")
+      val k = rnd.nextInt(4)
+      id -> toks.zipWithIndex.map { case (w, i) =>
+        if (i < k) words(rnd.nextInt(words.length)) else w
+      }.mkString(" ")
+    }
+    val fresh = newIds.slice(12, 18).map(id => id -> mkDoc())
+    val all = (bases ++ copies ++ fresh).toMap
+    val out = Dedup.incrementalDedup(
+      all.toSeq.toDF("doc_id", "text"), 0.3).collect()
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 5) Set.empty
+      else (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val corpusShingles = bases.map { case (id, t) => id -> shingleSet(t) }
+    var rejected = 0
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      val bj = Option(r.getAs[java.lang.Double]("best_j")).map(_.doubleValue)
+      assert(r.getAs[Boolean]("admit") == bj.isEmpty)
+      bj.foreach { j =>
+        rejected += 1
+        assert(j >= 0.3, s"doc $id rejected below threshold: $j")
+        // the reported similarity must be a TRUE jaccard against some
+        // corpus member, not an artifact of the banding
+        val me = shingleSet(all(id))
+        val truths = corpusShingles.map { case (_, o) =>
+          if ((me | o).isEmpty) 0.0
+          else (me & o).size.toDouble / (me | o).size
+        }
+        assert(truths.exists(_ == j), s"doc $id: best_j $j matches no corpus doc")
+      }
+    }
+    assert(rejected >= 8, s"expected most near-copies rejected, got $rejected")
+  }
+
   test("batch sessionization agrees with streaming session windows row-for-row") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("q47_sessionize")(spark, sf).collect()
