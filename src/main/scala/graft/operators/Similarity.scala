@@ -248,10 +248,77 @@ object Similarity {
       |FROM (VALUES (1), (2), (4), (16)) t(nprobe)
       |ORDER BY nprobe""".stripMargin))
 
+  /** IVF index MAINTENANCE (the op an ANN deployment runs every ingest
+    * cycle): the quantizer is trained on the base corpus and then FROZEN —
+    * the arriving batch (derived md5 bucket >= 90, t18 mechanics) is
+    * assigned to inverted lists with the frozen centroids and appended
+    * partition-wise, never triggering a rebuild. Gates: exact base/new
+    * counts (oracle-derivable from the hash split), append completeness
+    * (index row count == corpus count — an append that loses or
+    * duplicates a vector flips it), and full-probe equality with the
+    * brute-force ranking over the WHOLE corpus (the s07 theorem: probing
+    * all lists is the exact scan — so the probe provably sees both the
+    * base and the appended generation).
+    */
+  private val s08 = Op("s08_ivf_index_append", (s, d) => {
+    import s.implicits._
+    val nlist = 16
+    val feats = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("fd"),
+        col("embedding"))
+      .withColumn("ingest", expr(
+        "CAST(conv(substring(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100") >= 90)
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val base = feats.filter(!col("ingest"))
+    val newb = feats.filter(col("ingest"))
+    val quant = graft.pipeline.Trainer.fit(s,
+      graft.pipeline.PipelineSpec(24, "K-means", Map("k" -> nlist.toDouble), Nil,
+        "Asynchronous", rounds = 1),
+      base.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
+    val km = quant.model.asInstanceOf[graft.ml.KMeansState]
+    val centsLit = lit(km.centroids.slice(0, km.filled * km.dim))
+    def listed(df: DataFrame): DataFrame = df.withColumn("bucket",
+        element_at(F.nearestCentroids(col("fd"), centsLit, km.dim, 1), 1))
+      .select("vec_id", "embedding", "bucket")
+    // fresh scratch dir per run: base build, then the ingest APPEND —
+    // partition-wise, no rebuild of existing lists
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfa_").toString
+    listed(base).write.partitionBy("bucket").mode("overwrite").parquet(idxDir)
+    listed(newb).write.partitionBy("bucket").mode("append").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val nBase = base.count(); val nNew = newb.count()
+    val appendComplete = index.count() == nBase + nNew
+    // full probe over the appended index vs brute force over the corpus
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val qe = T.embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def top3(corpus: DataFrame): DataFrame = corpus
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id"))
+    val viaIndex = top3(index.select("vec_id", "embedding"))
+    val exact = top3(T.embeddings(s, d).select("vec_id", "embedding"))
+    val nq = qe.count()
+    val matched = viaIndex.join(exact, Seq("q_id", "rk", "vec_id")).count()
+    val probeExact = matched == 3L * nq && viaIndex.count() == 3L * nq
+    Seq((nBase, nNew, appendComplete, probeExact))
+      .toDF("n_base", "n_new", "append_complete", "probe_equals_bruteforce")
+  },
+    Some("""SELECT
+      |  CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |  CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 >= 90
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  true AS append_complete, true AS probe_equals_bruteforce
+      |FROM embeddings""".stripMargin))
+
   val ops: Seq[Op] = Seq(
     s03,
     s04,
     s07,
+    s08,
     // ------------------------------------------------------------------
     Op(
       "s01_topk_bruteforce",

@@ -780,6 +780,15 @@ class OperatorSuite extends AnyFunSuite {
       "gaps-and-islands must reproduce session_window's sessions exactly")
   }
 
+  test("IVF index append: no vectors lost, probe covers both generations") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("s08_ivf_index_append")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_new") == 500L)
+    assert(r.getAs[Long]("n_new") > 0L, "hash split produced no ingest batch")
+    assert(r.getAs[Boolean]("append_complete"))
+    assert(r.getAs[Boolean]("probe_equals_bruteforce"))
+  }
+
   test("IVF recall curve: monotone in nprobe, full probe equals brute force") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("s07_ivf_recall_curve")(spark, sf).collect()
