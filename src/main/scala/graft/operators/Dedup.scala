@@ -178,7 +178,7 @@ object Dedup {
   private def cappedShingles(s: SparkSession, d: String): DataFrame =
     capShingleDf(shingles(s, d), ShingleDfCap)
 
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     """SELECT DISTINCT doc_id, array_to_string(t[p:p+4], ' ') AS sh FROM (
       |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p FROM (
       |      SELECT doc_id, string_split(text, ' ') AS t FROM documents)
@@ -262,6 +262,24 @@ object Dedup {
       .select(col("doc_id"), col("best_j"), col("best_j").isNull.as("admit"))
       .orderBy("doc_id")
   }
+
+  /** d15's pieces exposed for the streaming admission path (st23): the
+    * derived ingest bucket, UNCAPPED distinct shingles (admission checks a
+    * single arriving doc, whose work is bounded by its own length — the DF
+    * cap is a corpus-self-join optimization that a row-local streaming
+    * signature cannot see), and the shared band derivation.
+    */
+  private[operators] def bucketCol =
+    expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  private[operators] def rawShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+      .distinct()
+
+  private[operators] def bandsOf(sh: DataFrame): DataFrame = minhashBands(sh)
 
   def fuzzyDecontam(docs: DataFrame, benchSource: String,
       threshold: Double): DataFrame = {

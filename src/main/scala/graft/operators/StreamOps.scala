@@ -828,6 +828,116 @@ object StreamOps {
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
         |SELECT q_id, rk, vec_id, bucket, cos FROM r WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming ingest admission (d15's serve path): arriving docs compute
+    // their MinHash band signatures ROW-LOCALLY (array-domain shingling +
+    // 16 perm folds in one projection — no explode→groupBy aggregation, so
+    // the streaming path is stateless) and band-probe the static corpus
+    // index per trigger. Candidates drain to a sink; the admission verdict
+    // (exact-Jaccard verify + per-doc admit/reject) is the batch post-pass
+    // over drained candidates. Signatures here are UNCAPPED by design: the
+    // DF cap is a corpus-self-join bound a row-local wire signature cannot
+    // see, and single-doc admission work is bounded by the doc itself; the
+    // oracle mirrors the uncapped pipeline end-to-end. At 100 TB the
+    // corpus band table is the persisted index (d15), and each trigger
+    // costs its own batch's bands x index probe — no state store growth.
+    Op("st23_stream_admission", (s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val withBucket = docs.withColumn("bucket", Dedup.bucketCol)
+      val shRaw = Dedup.rawShinglesOf(docs).cache()
+      val corpusBands = Dedup.bandsOf(shRaw)
+        .join(withBucket.filter(col("bucket") < 90).select("doc_id"), "doc_id")
+        .select(col("doc_id").as("corp_id"), col("band"), col("sig"))
+      // stage the arriving batch as 2 files -> 2 probe triggers
+      val dir = Streaming.stagedDir("admit", d) { dir =>
+        val nb = withBucket.filter(col("bucket") >= 90).select("doc_id", "text")
+        nb.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(dir)
+        nb.filter(col("doc_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      val candTable = Streaming.withStreamShuffle(s) {
+        val name = uniq("st23")
+        val src = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val banded = src
+          // sequence(1, n) with n < 1 would generate a DESCENDING range —
+          // short docs must be dropped before the shingle expression
+          .filter(expr("size(split(text, ' ')) >= 5"))
+          .withColumn("shd", expr(
+            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
+              "p -> concat_ws(' ', slice(split(text, ' '), p, 5))))"))
+          .withColumn("hs", expr(
+            "transform(shd, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
+          .withColumn("mh", expr(
+            "transform(sequence(0, 15), i -> aggregate(hs, cast(2147483647 as bigint), " +
+              "(acc, h) -> least(acc, ((100003 + 7919*i)*h + (12345 + 104729*i)) % 2147483647)))"))
+          .select(col("doc_id").as("new_id"), explode(expr(
+            "transform(sequence(0, 3), b -> struct(b as band, " +
+              "array_join(transform(slice(mh, 4*b + 1, 4), v -> CAST(v AS STRING)), ',') as sig))"))
+            .as("bs"))
+          .select(col("new_id"), col("bs.band").cast(IntegerType).as("band"),
+            col("bs.sig").as("sig"))
+        val q = banded.join(corpusBands, Seq("band", "sig"))
+          .select("new_id", "corp_id")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q.processAllAvailable(); q.stop()
+        s.table(name)
+      }
+      val cand = candTable.distinct()
+      val inter = cand
+        .join(shRaw.as("sa"), col("new_id") === col("sa.doc_id"))
+        .join(shRaw.as("sb"), col("corp_id") === col("sb.doc_id") &&
+          col("sa.sh") === col("sb.sh"))
+        .groupBy("new_id", "corp_id").agg(count(lit(1)).as("inter"))
+      val sz = shRaw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val best = inter
+        .join(sz.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
+        .join(sz.select(col("doc_id").as("corp_id"), col("n").as("nb")), "corp_id")
+        .withColumn("jaccard",
+          (col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter"))).cast(DoubleType))
+        .filter(col("jaccard") >= 0.3)
+        .groupBy("new_id").agg(max("jaccard").as("best_j"))
+      withBucket.filter(col("bucket") >= 90).select(col("doc_id"))
+        .join(best, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("best_j"), col("best_j").isNull.as("admit"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH sh0 AS (${Dedup.sqlShingles}),
+        |bk AS (SELECT doc_id,
+        |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |         AS bucket FROM documents),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh0),
+        |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
+        |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+        |mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS mh
+        |       FROM hs CROSS JOIN pm GROUP BY doc_id, i),
+        |bands AS (SELECT m.doc_id, k.bucket, i // 4 AS band,
+        |          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM mh m JOIN bk k ON k.doc_id = m.doc_id
+        |          GROUP BY m.doc_id, k.bucket, i // 4),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+        |         FROM bands n JOIN bands c
+        |           ON n.band = c.band AND n.sig = c.sig
+        |         WHERE n.bucket >= 90 AND c.bucket < 90),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+        |iv AS (SELECT c.new_id, c.corp_id, count(*) AS inter
+        |       FROM cand c JOIN sh0 a ON a.doc_id = c.new_id
+        |       JOIN sh0 b ON b.doc_id = c.corp_id AND b.sh = a.sh
+        |       GROUP BY 1, 2),
+        |best AS (SELECT iv.new_id, MAX(CAST(inter AS DOUBLE)
+        |           / (sa.n + sb.n - inter)) AS best_j
+        |         FROM iv JOIN sz sa ON sa.doc_id = iv.new_id
+        |         JOIN sz sb ON sb.doc_id = iv.corp_id
+        |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+        |         GROUP BY 1)
+        |SELECT k.doc_id, best_j, best_j IS NULL AS admit
+        |FROM bk k LEFT JOIN best ON best.new_id = k.doc_id
+        |WHERE k.bucket >= 90 ORDER BY k.doc_id""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the

@@ -767,6 +767,22 @@ class OperatorSuite extends AnyFunSuite {
     assert(rejected >= 8, s"expected most near-copies rejected, got $rejected")
   }
 
+  test("streaming admission agrees with batch incremental dedup on the fixture") {
+    // fixture shingle df max is far below the DF cap, so the capped (d15)
+    // and uncapped (st23) pipelines must produce identical verdicts here
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().map(r =>
+        (r.getAs[Long]("doc_id"),
+          Option(r.getAs[java.lang.Double]("best_j")).map(_.doubleValue),
+          r.getAs[Boolean]("admit"))).toSet
+    val streamed = rows("st23_stream_admission")
+    val batch = rows("d15_incremental_dedup")
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "per-trigger band probe must reproduce the batch admission verdicts")
+  }
+
   test("batch sessionization agrees with streaming session windows row-for-row") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("q47_sessionize")(spark, sf).collect()
