@@ -586,5 +586,54 @@ object Relational2 {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
         |GROUP BY 1 ORDER BY month""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Small-file compaction (the other standing maintenance op besides
+    // q44's bucketing and q46's clustering): streaming ingest leaves many
+    // tiny files; a 100 TB table read pays per-file open/footer cost, so
+    // periodic compaction rewrites them into few large files. The gate
+    // proves the rewrite is lossless (row count + decimal-exact value sum +
+    // an order-independent content checksum all equal the fixture) and
+    // that the layout actually changed (≥16 files before, ≤4 after —
+    // engine-observed booleans the oracle expects true).
+    Op(
+      "q48_compaction",
+      (s, d) => {
+        val tag = Relational2.fixtureTag(d)
+        val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cp_$tag")
+        val smallDir = new java.io.File(base, "small").toString
+        val bigDir = new java.io.File(base, "compact").toString
+        val ev = T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        if (!new java.io.File(smallDir, "_SUCCESS").exists)
+          ev.repartition(32).write.mode("overwrite").parquet(smallDir)
+        if (!new java.io.File(bigDir, "_SUCCESS").exists)
+          s.read.parquet(smallDir).repartition(4)
+            .write.mode("overwrite").parquet(bigDir)
+        def stats(dir: String) = s.read.parquet(dir)
+          // materialize the file name first: input_file_name() may not
+          // appear directly inside an aggregate argument
+          .withColumn("f", input_file_name()).agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("value")).as("sum_value"),
+          sum(expr(
+            "cast(conv(substring(md5(CAST(CAST(event_id AS STRING) AS BINARY)), 1, 8), 16, 10) as bigint)"))
+            .as("content_sum"),
+          countDistinct(col("f")).as("n_files"))
+        val a = stats(smallDir).select(col("n_rows"), col("sum_value"),
+          col("content_sum"), col("n_files").as("files_before"))
+        val b = stats(bigDir).select(col("n_rows").as("nb"),
+          col("sum_value").as("sb"), col("content_sum").as("cb"),
+          col("n_files").as("files_after"))
+        a.crossJoin(b).select(
+          col("n_rows"), col("sum_value"),
+          (col("n_rows") === col("nb") && col("sum_value") === col("sb") &&
+            col("content_sum") === col("cb")).as("contents_equal"),
+          (col("files_before") >= 16L).as("was_fragmented"),
+          (col("files_after") <= 4L).as("is_compacted"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS contents_equal, true AS was_fragmented, true AS is_compacted
+        |FROM events""".stripMargin)),
   )
 }
