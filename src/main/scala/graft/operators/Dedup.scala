@@ -281,6 +281,35 @@ object Dedup {
 
   private[operators] def bandsOf(sh: DataFrame): DataFrame = minhashBands(sh)
 
+  /** SemDeDup-style semantic dedup core (d16): K-means-cluster the
+    * embeddings with the engine's own trainer, then near-dup ONLY within
+    * clusters (drop the larger id of any within-cluster pair with cosine
+    * >= tau). Returns the dropped set (vec_id, dup_cos) for gates/tests.
+    */
+  def semanticDedupDropped(s: SparkSession, d: String, k: Int,
+      tau: Double): DataFrame = {
+    val feats = T.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("fd"), col("embedding"))
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val quant = graft.pipeline.Trainer.fit(s,
+      graft.pipeline.PipelineSpec(25, "K-means", Map("k" -> k.toDouble), Nil,
+        "Asynchronous", rounds = 1),
+      feats.select("fd").rdd.map(r => (r.getSeq[Double](0).toArray, 0.0)))
+    val km = quant.model.asInstanceOf[graft.ml.KMeansState]
+    val centsLit = lit(km.centroids.slice(0, km.filled * km.dim))
+    val clustered = feats.withColumn("c",
+        element_at(F.nearestCentroids(col("fd"), centsLit, km.dim, 1), 1))
+      .select("vec_id", "embedding", "c").cache()
+    clustered.as("a")
+      .join(clustered.as("b"),
+        col("a.c") === col("b.c") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", F.cosineSim(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(max("cos").as("dup_cos"))
+  }
+
   def fuzzyDecontam(docs: DataFrame, benchSource: String,
       threshold: Double): DataFrame = {
     val srcs = docs.select(col("doc_id"), col("source"))
@@ -916,5 +945,37 @@ object Dedup {
         |SELECT k.doc_id, best_j, best_j IS NULL AS admit
         |FROM bk k LEFT JOIN best ON best.new_id = k.doc_id
         |WHERE k.bucket >= 90 ORDER BY k.doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // SemDeDup-style semantic dedup (cluster-then-dedup-within, the
+    // published recipe for embedding dedup at corpus scale): K-means
+    // coarse clusters bound the pair search to within-cluster candidates —
+    // O(sum of cluster sizes squared) instead of N^2, and each cluster
+    // dedups independently (shards perfectly at 100 TB). Centroids are
+    // engine state, so the gate follows the ml12 pattern: exact total from
+    // the oracle plus engine-verified invariant booleans — the kept+dropped
+    // partition identity, every drop justified by a within-cluster cosine
+    // >= tau (recomputed against the pair it was dropped for), and the drop
+    // set being strictly smaller than the corpus. A randomized
+    // OperatorSuite test further pins every dropped vector to a GLOBAL
+    // near-dup partner by brute force.
+    Op(
+      "d16_semantic_dedup",
+      (s, d) => {
+        val tau = 0.4
+        val dropped = Dedup.semanticDedupDropped(s, d, 16, tau)
+        val total = T.embeddings(s, d).count()
+        dropped.agg(
+          count(lit(1)).as("n_dropped_rows"),
+          (sum(when(col("dup_cos") >= tau, 0L).otherwise(1L)) === 0L)
+            .as("drops_verified"),
+          (countDistinct(col("vec_id")) === count(lit(1))).as("drops_unique"))
+          .select(
+            lit(total).as("n_total"),
+            (col("n_dropped_rows") < lit(total)).as("drops_bounded"),
+            col("drops_verified"), col("drops_unique"))
+      },
+      Some("""SELECT COUNT(*) AS n_total, true AS drops_bounded,
+        |  true AS drops_verified, true AS drops_unique
+        |FROM embeddings""".stripMargin)),
   )
 }

@@ -767,6 +767,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(rejected >= 8, s"expected most near-copies rejected, got $rejected")
   }
 
+  test("semantic dedup drops only vectors with a genuine global near-dup") {
+    val sf = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val dropped = Dedup.semanticDedupDropped(spark, sf, 16, tau).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("dup_cos")).toMap
+    assert(dropped.nonEmpty, "fixture contains near-dups; none were found")
+    val vecs = T.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / math.sqrt(na * nb)
+    }
+    for ((id, dupCos) <- dropped) {
+      assert(dupCos >= tau)
+      // cluster-blocked drops must be justified by a GLOBAL near-dup pair
+      // with a smaller-id partner at >= the reported similarity (brute force)
+      val me = vecs(id)
+      val best = vecs.collect { case (o, v) if o < id => cos(me, v) }.max
+      assert(best >= dupCos - 1e-9,
+        s"vec $id dropped at $dupCos but global best with smaller id is $best")
+    }
+  }
+
   test("streaming admission agrees with batch incremental dedup on the fixture") {
     // fixture shingle df max is far below the DF cap, so the capped (d15)
     // and uncapped (st23) pipelines must produce identical verdicts here
