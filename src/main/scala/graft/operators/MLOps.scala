@@ -216,6 +216,46 @@ object MLOps {
         |  true AS fit_bounded, true AS acc_in_range
         |FROM c, t ORDER BY fold""".stripMargin)),
     // ------------------------------------------------------------------
+    // Model-wire roundtrip, hash-gated (K4: the reference's maxMsgParams
+    // chunked model shipping): a trained model is split into capped
+    // ParamBlocks, reassembled into a fresh skeleton, and must serve
+    // EXACTLY the same predictions as the original — params bit-equal,
+    // chunk count exactly ceil(params/cap), predictions pairwise equal
+    // over the whole corpus. Everything but the exact point count is an
+    // engine-verified boolean the oracle expects true; a chunking or
+    // reassembly regression (lost block, reordered payload, dropped bias)
+    // flips one of them.
+    Op("ml15_model_roundtrip", (s, d) => {
+      val df = binary(features(s, d))
+      val fitted = Trainer.fit(s,
+        PipelineSpec(101, "PA", Map("C" -> 0.01),
+          Seq("StandardScaler"), "Synchronous", rounds = 1), toRdd(df))
+      val cap = 16 // far below the param count so chunking genuinely splits
+      val blocks = graft.ml.ModelWire.chunk(fitted.model, cap, replica = 0)
+      val learner = fitted.learner
+      val back = graft.ml.ModelWire.reassemble(blocks,
+        (dim, ps) => learner.init(dim).loadWire(ps)).head
+      val nParams = fitted.model.wireParams.length
+      val chunksExact = blocks.length == (nParams + cap - 1) / cap
+      val paramsEqual = back.wireParams.sameElements(fitted.model.wireParams)
+      val refitted = new FittedPipeline(fitted.spec, fitted.chain, back,
+        learner, fitted.protocolName, fitted.stats, fitted.curve,
+        fitted.testLoss, fitted.score)
+      val p1 = fitted.predict(s, df).withColumnRenamed("prediction", "p_orig")
+      val p2 = refitted.predict(s, df).withColumnRenamed("prediction", "p_back")
+      p1.join(p2, "id").agg(
+        count(lit(1)).as("n_points"),
+        (sum(when(col("p_orig") === col("p_back"), 0L).otherwise(1L)) === 0L)
+          .as("preds_equal"))
+        .select(col("n_points"),
+          lit(chunksExact).as("chunks_exact"),
+          lit(paramsEqual).as("params_equal"),
+          col("preds_equal"))
+    },
+      Some("""SELECT COUNT(*) AS n_points, true AS chunks_exact,
+        |  true AS params_equal, true AS preds_equal
+        |FROM embeddings""".stripMargin)),
+    // ------------------------------------------------------------------
     // Wire-format roundtrip: build DataInstance JSON (ints only, so string
     // formatting is engine-independent), parse via Wire.parseInstances
     // (from_json PERMISSIVE + validity filter + EOS skip), lower to points.
