@@ -635,5 +635,33 @@ object Relational2 {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  true AS contents_equal, true AS was_fragmented, true AS is_compacted
         |FROM events""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Incremental view maintenance with EXACT mergeable partials (the
+    // non-sketch counterpart of q42): the corpus arrives in two batches
+    // split at a date boundary; each batch's per-group partial aggregate
+    // is computed separately and the partials are MERGED — never
+    // recomputing batch 1. The merge is exact because the intermediate
+    // stays DECIMAL (order-independent addition) until the final cast;
+    // the hash gate is full equality with the direct aggregate over all
+    // data, so a wrong merge (double-counting, dropped batch, premature
+    // double rounding) mismatches. At 100 TB this is the nightly-refresh
+    // pattern: O(new batch) per refresh, not O(history).
+    Op(
+      "q49_incremental_agg",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val cut = lit("1995-07-01").cast(TimestampType)
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type").agg(
+            count(lit(1)).as("pn"), sum(dec2(col("value"))).as("sv"))
+        partial(ev.filter(col("ts") < cut))
+          .unionByName(partial(ev.filter(col("ts") >= cut)))
+          .groupBy("event_type")
+          .agg(sum("pn").as("n"), sum("sv").cast(DoubleType).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        |  ${sqlDsum("value")} AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }
