@@ -663,5 +663,54 @@ object Relational2 {
       Some(s"""SELECT event_type, COUNT(*) AS n,
         |  ${sqlDsum("value")} AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Data-quality expectations (the dq/constraint-check pass every
+    // pipeline runs before trusting a batch): PK uniqueness, FK orphan
+    // counts, null and empty-value audits — each as one row with the
+    // observed violation count and its verdict. Every observation is a
+    // plain aggregate (exactly oracle-derivable — no engine state), so the
+    // whole report hash-gates. Each check is one scan or one anti-join;
+    // at 100 TB the checks share scans when composed and none requires a
+    // global sort.
+    Op(
+      "q50_dq_expectations",
+      (s, d) => {
+        import s.implicits._
+        val orders = T.orders(s, d)
+        val li = T.lineitem(s, d)
+        val pkDup = orders.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
+          .head().getLong(0)
+        val orphans = li.join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+        val custNull = T.customer(s, d)
+          .filter(col("c_name").isNull).count()
+        val evNullTs = T.events(s, d).filter(col("ts").isNull).count()
+        val emptyDocs = T.documents(s, d).filter(col("n_chars") <= 0).count()
+        Seq(
+          ("customer_name_nulls", custNull),
+          ("documents_empty", emptyDocs),
+          ("events_ts_nulls", evNullTs),
+          ("lineitem_fk_orphans", orphans),
+          ("orders_pk_duplicates", pkDup))
+          .toDF("check", "violations")
+          .withColumn("passed", col("violations") === 0L)
+          .orderBy("check")
+      },
+      Some("""WITH checks AS (
+        |  SELECT 'customer_name_nulls' AS chk,
+        |    (SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS violations
+        |  UNION ALL SELECT 'documents_empty',
+        |    (SELECT COUNT(*) FROM documents WHERE n_chars <= 0)
+        |  UNION ALL SELECT 'events_ts_nulls',
+        |    (SELECT COUNT(*) FROM events WHERE ts IS NULL)
+        |  UNION ALL SELECT 'lineitem_fk_orphans',
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'orders_pk_duplicates',
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders))
+        |SELECT chk AS "check", CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM checks ORDER BY chk""".stripMargin)),
   )
 }
