@@ -712,5 +712,59 @@ object Relational2 {
         |SELECT chk AS "check", CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS passed
         |FROM checks ORDER BY chk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Per-group z-score outlier detection (the numeric data-quality screen
+    // before training on a metric column): mean/variance are computed from
+    // EXACT integer moments — values are 2-decimal money-like doubles, so
+    // v100 = value*100 as BIGINT is exact, and sum/sum-of-squares over
+    // BIGINT are order-independent. Both engines then evaluate the SAME
+    // double expression tree on those integers, so the flagged counts and
+    // extreme z-scores hash-match bit-for-bit. One scan + one keyed agg +
+    // one broadcast-back join — no sort, scales as a pure pass.
+    Op(
+      "q51_outlier_zscore",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .withColumn("v100", (dec2(col("value")) * 100).cast(LongType))
+        val m = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("v100").as("s1"),
+          sum(col("v100") * col("v100")).as("s2"))
+          .withColumn("mean",
+            (col("s1").cast(DoubleType) / col("n")).cast(DoubleType))
+          .withColumn("variance",
+            (col("s2").cast(DoubleType) / col("n") -
+              col("mean") * col("mean")).cast(DoubleType))
+        ev.join(broadcast(m), "event_type")
+          .withColumn("z",
+            (col("v100").cast(DoubleType) - col("mean")) /
+              sqrt(col("variance")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+            max(abs(col("z"))).as("max_abs_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(v100) AS s1, SUM(v100 * v100) AS s2
+        |  FROM v GROUP BY event_type),
+        |mm AS (
+        |  SELECT event_type, n,
+        |    CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE) AS mean,
+        |    CAST(CAST(s2 AS DOUBLE) / n -
+        |      (CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE) *
+        |       CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE)) AS DOUBLE) AS variance
+        |  FROM m)
+        |SELECT v.event_type, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance)) > 3.0
+        |    THEN 1 ELSE 0 END) AS n_outliers,
+        |  MAX(abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance))) AS max_abs_z
+        |FROM v JOIN mm ON v.event_type = mm.event_type
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
   )
 }
