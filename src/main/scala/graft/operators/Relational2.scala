@@ -766,5 +766,31 @@ object Relational2 {
         |  MAX(abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance))) AS max_abs_z
         |FROM v JOIN mm ON v.event_type = mm.event_type
         |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Deterministic weight-biased sampling (the corpus-subset selection
+    // step when you want long documents favored without an RNG): priority
+    // = md5-hash(doc_id) / n_chars — a heavier doc gets a smaller expected
+    // priority, and the k smallest priorities win. Like q36/q43 the sample
+    // is a pure function of the key, so it is identical under any
+    // partitioning, any retry, any engine — and the top-k is a TakeOrdered
+    // (no global sort materialization). The division of two exact integers
+    // is the same double in both engines, so even the priorities
+    // hash-match.
+    Op(
+      "q52_weighted_sample",
+      (s, d) =>
+        T.documents(s, d)
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("prio",
+            (col("h").cast(DoubleType) / col("n_chars")).cast(DoubleType))
+          .orderBy(col("prio"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_chars"), col("prio")),
+      Some("""SELECT doc_id, n_chars,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    AS DOUBLE) / n_chars AS DOUBLE) AS prio
+        |FROM documents
+        |ORDER BY prio, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -183,6 +183,11 @@ class PlanSuite extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
   }
 
+  test("q52: weighted sample takes the TakeOrdered path, not a global sort") {
+    val p = plan("q52_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("q47: both session window passes share one exchange and sort") {
     val p = plan("q47_sessionize")
     // lag and the dependent running sum are two Window nodes by necessity,
