@@ -29,19 +29,23 @@ object T {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong` (set in [[Session]]); rebuild the
-    * microsecond timestamp from the raw nanosecond long. The DuckDB oracle
-    * reads nanos natively and truncates to micros on cast, matching the
-    * integer division here (values are all positive).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in [[Session]]) and as plain
+    * TIMESTAMP(MICROS) without timezone, which Spark reads as TIMESTAMP_NTZ.
+    * Normalize both to a session-TZ TIMESTAMP (sessions run UTC, so the
+    * NTZ→LTZ cast is instant-preserving) so every consumer can use
+    * `unix_micros`/windowing uniformly. The DuckDB oracle reads either
+    * encoding natively at micros precision.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    // NOTE: integral DIV, not `/` (which is double division and loses
-    // precision above 2^53 — epoch-nanos are ~1.7e18).
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      // NOTE: integral DIV, not `/` (double division loses precision above
+      // 2^53 — epoch-nanos are ~1.7e18).
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 }
 

@@ -977,5 +977,66 @@ object Dedup {
       Some("""SELECT COUNT(*) AS n_total, true AS drops_bounded,
         |  true AS drops_verified, true AS drops_unique
         |FROM embeddings""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Paragraph-level exact dedup (the sub-document granularity modern
+    // corpus pipelines run BEFORE doc-level near-dup: boilerplate
+    // paragraphs repeat across millions of pages that are NOT document
+    // duplicates). Fixture text has no paragraph breaks, so a "paragraph"
+    // is a non-overlapping 20-token window (t20's chunk convention);
+    // occurrences dedup globally with first-seen-wins = the
+    // lexicographically smallest (doc_id, start).
+    //
+    // Scale shape: the winner per chunk-hash comes from a plain min(struct)
+    // AGGREGATION, never a window sort — partial aggregation collapses a
+    // boilerplate chunk repeated 10^9 times to one row per map task, so
+    // there is no hot-key single-task sort (the d09 lesson). The join back
+    // to mark survivors is hash-equi on the 16-byte chunk hash; a skewed
+    // hash there is N x 1 rows, which AQE skew-join splits. Everything
+    // downstream is a per-doc re-aggregation on doc_id.
+    Op(
+      "d17_paragraph_dedup",
+      (s, d) => {
+        val ch = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("n", size(col("t")).cast(LongType))
+          .withColumn("start", explode(expr("sequence(1L, n, 20L)")))
+          .select(col("doc_id"), col("start"),
+            least(lit(20L), col("n") - col("start") + 1L).as("chunk_len"),
+            md5(expr("concat_ws(' ', slice(t, start, 20))")).as("h"))
+        val winners = ch.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("start"))).as("w"))
+        ch.join(winners, "h")
+          .withColumn("kept",
+            col("doc_id") === col("w.doc_id") && col("start") === col("w.start"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+            sum(when(col("kept"), col("chunk_len")).otherwise(0L)).as("kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, tk,
+        |    CAST(unnest(generate_series(1, n, 20)) AS BIGINT) AS start
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, start,
+        |    LEAST(20, n - start + 1) AS chunk_len,
+        |    md5(array_to_string(tk[start:start+19], ' ')) AS h
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, chunk_len,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) = 1 AS kept
+        |  FROM h)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+        |  SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped,
+        |  SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS kept_tokens
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }
