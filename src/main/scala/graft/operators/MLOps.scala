@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Op, T}
+import graft.{Num, Op, T}
 import graft.core._
 import graft.pipeline._
 import org.apache.spark.rdd.RDD
@@ -255,6 +255,60 @@ object MLOps {
       Some("""SELECT COUNT(*) AS n_points, true AS chunks_exact,
         |  true AS params_equal, true AS preds_equal
         |FROM embeddings""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Concept-drift detection: a CUSUM change detector (Page's cumulative
+    // sum, the reference-value form; the same family the reference's
+    // protocol drift gates monitor, cf. OMLDM's GM/FGM violation counters)
+    // over each event_type's value stream in event-time order.
+    //   s_t  = Σ_{i≤t} (x_i − μ0 − δ)  (μ0=50 target, δ=5 slack)
+    //   ph_t = s_t − min_{u≤t} s_u     (alarm when ph_t > λ=500)
+    // Everything stays in DECIMAL(18,2): the cumulative sum and running min
+    // are exact and addition-order independent, so the per-type alarm
+    // positions hash-match the oracle bit-for-bit — no float window sums.
+    // Scale shape: two window passes over the SAME (event_type, ts,
+    // event_id) sort order — one sort shuffle, the second window reuses the
+    // partitioning+ordering — then a per-type aggregation. Sequential-scan
+    // cost per key, constant state; no self-joins.
+    Op("ml16_cusum_drift", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = Num.dec2(col("value")) -
+        lit(new java.math.BigDecimal("55.00")) // μ0 + δ
+      val lam = lit(new java.math.BigDecimal("500.00"))
+      T.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"), dev.as("dev"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("cs", sum(col("dev")).over(run))
+        .withColumn("ph", col("cs") - min(col("cs")).over(run))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(when(col("ph") > lam, 1L).otherwise(0L)).as("n_alarms"),
+          min(when(col("ph") > lam, col("rn"))).cast(LongType)
+            .as("first_alarm_pos"),
+          max(col("ph")).cast(DoubleType).as("max_ph"))
+        .orderBy("event_type")
+    },
+      Some("""WITH s AS (
+        |  SELECT event_type, event_id,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    SUM(CAST(value AS DECIMAL(18,2)) - CAST(55.00 AS DECIMAL(18,2)))
+        |      OVER w AS cs
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |p AS (
+        |  SELECT event_type, rn,
+        |    cs - MIN(cs) OVER (PARTITION BY event_type ORDER BY rn
+        |                       ROWS UNBOUNDED PRECEDING) AS ph
+        |  FROM s)
+        |SELECT event_type, COUNT(*) AS n_points,
+        |  CAST(SUM(CASE WHEN ph > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(MIN(CASE WHEN ph > 500 THEN rn END) AS BIGINT) AS first_alarm_pos,
+        |  CAST(MAX(ph) AS DOUBLE) AS max_ph
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)),
     // ------------------------------------------------------------------
     // Wire-format roundtrip: build DataInstance JSON (ints only, so string
     // formatting is engine-independent), parse via Wire.parseInstances

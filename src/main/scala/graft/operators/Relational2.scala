@@ -792,5 +792,81 @@ object Relational2 {
         |    AS DOUBLE) / n_chars AS DOUBLE) AS prio
         |FROM documents
         |ORDER BY prio, doc_id LIMIT 20""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Runtime-filter join pruning: build a Bloom filter over the selected
+    // dimension keys, broadcast it, and pre-filter the fact scan BEFORE the
+    // join — the pattern that turns a 100 TB shuffle join into a scan that
+    // discards non-candidates at the source (Spark's own
+    // InjectRuntimeFilter does this with BloomFilterAggregate; this op
+    // makes the mechanism explicit and oracle-checkable). The bitset
+    // (m=4096 bits, k=3 md5-derived hashes) is built DISTRIBUTEDLY: each
+    // selected key explodes to its k bit positions, a 64-row bit_or
+    // aggregation ORs map-side partial words, and only the constant-size
+    // 64-word bitset is collected — never O(dim) rows. The fact-side
+    // membership test is pure built-in codegen (element_at + shiftleft on
+    // an array literal); false positives are verified against the exact
+    // semi-join, and no-false-negatives is a hash-gated invariant.
+    Op(
+      "q53_bloom_semijoin",
+      (s, d) => {
+        val m = 4096
+        def pos(key: String, seed: Int): String =
+          s"(CAST(conv(substring(md5(CAST(concat(CAST($key AS STRING), ':$seed') AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $m)"
+        val sel = T.part(s, d).filter(col("p_size") >= 40).select(col("p_partkey"))
+        val words = sel
+          .select(explode(array((0 until 3).map(k =>
+            expr(pos("p_partkey", k))): _*)).as("pos"))
+          .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
+          .collect()
+        val bitset = Array.fill(m / 64)(0L)
+        words.foreach(r => bitset(r.getInt(0)) = r.getLong(1))
+        def test(seed: Int): String = {
+          val p = pos("l_partkey", seed)
+          s"(element_at(__bloom, CAST($p DIV 64 AS INT) + 1) & shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) != 0"
+        }
+        T.lineitem(s, d)
+          .withColumn("__bloom", lit(bitset))
+          .withColumn("bloom_pass",
+            expr(test(0)) && expr(test(1)) && expr(test(2)))
+          .join(broadcast(sel.withColumn("in_sel", lit(true))),
+            col("l_partkey") === col("p_partkey"), "left")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_candidates"),
+            sum(when(col("in_sel").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("bloom_pass") && col("in_sel").isNull, 1L).otherwise(0L))
+              .as("n_false_pos"),
+            (sum(when(col("in_sel").isNotNull && !col("bloom_pass"), 1L)
+              .otherwise(0L)) === 0L).as("no_false_negatives"))
+          .crossJoin(broadcast(sel.agg(count(lit(1)).as("n_selected"))))
+          .select(col("n_selected"), col("n_rows"), col("n_candidates"),
+            col("n_exact"), col("n_false_pos"), col("no_false_negatives"))
+      },
+      Some("""WITH sel AS (SELECT p_partkey FROM part WHERE p_size >= 40),
+        |seeds AS (SELECT * FROM (VALUES (0),(1),(2)) s(seed)),
+        |pos AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':' ||
+        |      CAST(seed AS VARCHAR)), 1, 8))::BIGINT % 4096 AS pos
+        |  FROM sel, seeds),
+        |k AS (
+        |  SELECT l_partkey,
+        |    (SELECT COUNT(*) FROM seeds
+        |     WHERE ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':' ||
+        |       CAST(seed AS VARCHAR)), 1, 8))::BIGINT % 4096
+        |       IN (SELECT pos FROM pos)) = 3 AS bloom_pass,
+        |    l_partkey IN (SELECT p_partkey FROM sel) AS in_sel
+        |  FROM lineitem)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sel) AS n_selected,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_candidates,
+        |  CAST(SUM(CASE WHEN in_sel THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN bloom_pass AND NOT in_sel THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  (SUM(CASE WHEN in_sel AND NOT bloom_pass THEN 1 ELSE 0 END) = 0)
+        |    AS no_false_negatives
+        |FROM k""".stripMargin)),
   )
 }

@@ -74,6 +74,10 @@ def main(sf_dir, out_dir):
         except Exception as ex:
             print(f"ERROR {name}: {ex}")
             n_fail += 1
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(
@@ -104,6 +108,10 @@ def main(sf_dir, out_dir):
         except Exception as ex:
             print(f"ERROR {name}: {ex}")
             n_fail += 1
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
