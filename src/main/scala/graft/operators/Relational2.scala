@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Op, T}
 import graft.Num._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -868,5 +869,50 @@ object Relational2 {
         |  (SUM(CASE WHEN in_sel AND NOT bloom_pass THEN 1 ELSE 0 END) = 0)
         |    AS no_false_negatives
         |FROM k""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Mergeable quantile sketches — the quantile counterpart of q42's HLL
+    // mergeability: percentile_approx (Greenwald–Khanna summaries) carries a
+    // HARD rank-error guarantee eps = 1/accuracy (not probabilistic like
+    // HLL's rsd), so the gate checks the guarantee itself: the true rank of
+    // each approximate percentile lies within eps of the target rank.
+    // Constant memory per group at any scale; partials merge map-side. The
+    // input is deterministically range-partitioned so the GK merge order —
+    // and hence the approximate value — is identical at any session core
+    // count.
+    Op(
+      "q54_quantile_sketch",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .select(col("l_returnflag"), dec2(col("l_extendedprice"))
+            .cast(DoubleType).as("v"))
+          .repartitionByRange(8, col("l_returnflag"))
+        val eps = 0.01 // accuracy=100 => guaranteed rank error <= 1%
+        val approx = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("v"), lit(0.5), lit(100)).as("a50"),
+          percentile_approx(col("v"), lit(0.9), lit(100)).as("a90"))
+        // true rank interval of each approximate value, from one extra
+        // pass; tie-safe: [count(v < a), count(v <= a)] must overlap the
+        // target band [p - eps, p + eps]
+        def rk(a: String, strict: Boolean): Column =
+          (sum(when(if (strict) col("v") < col(a) else col("v") <= col(a),
+            1L).otherwise(0L)).cast(DoubleType) / count(lit(1)))
+        val ranks = li.join(broadcast(approx), "l_returnflag")
+          .groupBy("l_returnflag").agg(
+            rk("a50", strict = true).as("r50lo"),
+            rk("a50", strict = false).as("r50hi"),
+            rk("a90", strict = true).as("r90lo"),
+            rk("a90", strict = false).as("r90hi"))
+        approx.join(ranks, "l_returnflag")
+          .select(col("l_returnflag"), col("n"),
+            (col("r50lo") <= 0.5 + eps && col("r50hi") >= 0.5 - eps)
+              .as("p50_within_eps"),
+            (col("r90lo") <= 0.9 + eps && col("r90hi") >= 0.9 - eps)
+              .as("p90_within_eps"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        |  true AS p50_within_eps, true AS p90_within_eps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

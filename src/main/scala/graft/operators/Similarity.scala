@@ -648,5 +648,69 @@ object Similarity {
         |  true AS codes_in_range, true AS all_topk_complete,
         |  true AS pq_beats_mean, true AS recall_at_3_ge_050
         |FROM embeddings WHERE vec_id < 8""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Late-interaction (ColBERT-style MaxSim) retrieval: documents and
+    // queries are MULTI-vector — here each 64-dim embedding is treated as 4
+    // 16-dim "token" vectors — and score(q, d) = sum over query tokens of
+    // the max dot product against any document token. Unlike single-vector
+    // cosine (s01) this rewards partial matches per token. Everything is
+    // exact double arithmetic with a FIXED fold order (index-order dot
+    // products, left-associated max/sum), so both engines produce
+    // bit-identical scores and the full top-5 ranking hash-matches — no
+    // invariant gates needed. Scale shape: one broadcast of the query set,
+    // one corpus scan computing 16 dots per pair, then per-query top-k via
+    // rank — at 100 TB the scan would sit behind an ANN prefilter (s02/s04)
+    // with MaxSim as the reranker, which is exactly how late-interaction
+    // systems deploy.
+    Op(
+      "s10_maxsim",
+      (s, d) => {
+        val nTok = 4; val sub = 16
+        val corpus = T.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("fd"))
+        val queries = corpus.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), col("fd").as("q_fd"))
+        def dot(qj: Int, dj: Int): String =
+          s"aggregate(zip_with(slice(q_fd, ${qj * sub + 1}, $sub), " +
+            s"slice(fd, ${dj * sub + 1}, $sub), (x, y) -> x * y), " +
+            "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        def maxSim(qj: Int): String =
+          (0 until nTok).map(dj => dot(qj, dj))
+            .reduce((a, b) => s"greatest($a, $b)")
+        val score = (0 until nTok).map(maxSim).reduce((a, b) => s"($a + $b)")
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score", expr(score))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        def dot(qo: Int, dobj: Int): String =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, 16), i -> q_fd[i + $qo] * fd[i + $dobj])), (a, v) -> a + v)"
+        def maxSimSql(qj: Int): String =
+          (0 until 4).map(dj => dot(qj * 16, dj * 16))
+            .reduce((a, b) => s"greatest($a, $b)")
+        val score = (0 until 4).map(maxSimSql).reduce((a, b) => s"($a + $b)")
+        s"""WITH c AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, fd AS q_fd FROM c WHERE vec_id < 4),
+          |sc AS (
+          |  SELECT q.q_id, c.vec_id, $score AS score
+          |  FROM c, q WHERE c.vec_id <> q.q_id),
+          |r AS (
+          |  SELECT q_id, vec_id, score,
+          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+          |      AS rank
+          |  FROM sc)
+          |SELECT q_id, rank, vec_id, score FROM r WHERE rank <= 5
+          |ORDER BY q_id, rank""".stripMargin
+      }),
   )
 }

@@ -948,6 +948,59 @@ object StreamOps {
         |SELECT k.doc_id, best_j, best_j IS NULL AS admit
         |FROM bk k LEFT JOIN best ON best.new_id = k.doc_id
         |WHERE k.bucket >= 90 ORDER BY k.doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Incremental processing with checkpoint RESUME — the nightly-ingest
+    // pattern at 100 TB: day N's run must process only day N's files, not
+    // re-scan the lake. Run 1 streams the first staged file through a
+    // foreachBatch decimal-partial sink and stops; a second file lands; a
+    // NEW query starts against the SAME checkpoint and processes ONLY the
+    // delta (the file-source offset log skips everything already
+    // committed). Gates: the merged partials equal the batch aggregate
+    // over all data (decimal-exact, so the hash match is bit-for-bit), and
+    // `resumed_delta_only` asserts run 2's processed row count equals the
+    // second file's rows — a checkpoint regression (reprocessing file 1)
+    // flips it.
+    Op("st24_incremental_resume", (s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val evA = ev.filter(col("event_id") % 3 =!= 0)
+      val evB = ev.filter(col("event_id") % 3 === 0)
+      val dir = Streaming.scratchDir("graft_incr_src_")
+      val out = Streaming.scratchDir("graft_incr_out_")
+      val schema = ev.schema
+      def runOnce(run: Int): Unit = Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(Num.dec2(col("value"))).as("sv"))
+              .withColumn("run", lit(run))
+              .write.mode("append").parquet(s"$out/partials")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      evA.coalesce(1).write.mode("append").parquet(dir)
+      runOnce(1)
+      evB.coalesce(1).write.mode("append").parquet(dir)
+      runOnce(2)
+      val partials = s.read.parquet(s"$out/partials")
+      val run2Rows = partials.filter(col("run") === 2)
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val deltaOnly = run2Rows == evB.count()
+      partials.groupBy("event_type")
+        .agg(sum("n").as("n"), sum("sv").cast(DoubleType).as("sum_value"))
+        .withColumn("resumed_delta_only", lit(deltaOnly))
+        .select(col("event_type"), col("n"), col("sum_value"),
+          col("resumed_delta_only"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+        |  true AS resumed_delta_only
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the

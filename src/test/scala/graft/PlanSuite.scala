@@ -200,4 +200,43 @@ class PlanSuite extends AnyFunSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
     assert(exchanges <= 2, s"unexpected exchanges:\n$p")
   }
+
+  test("q53: bloom membership test is built-in codegen; dim side broadcasts") {
+    val p = plan("q53_bloom_semijoin")
+    assert(p.contains("BroadcastHashJoin"), "exact semi-check must broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact-side join degraded to SMJ")
+    // the bitset probe is element_at + shiftleft on an array literal — no
+    // UDF node may appear anywhere in the plan
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), "bloom test fell out of codegen")
+  }
+
+  test("ml16: both CUSUM window passes share one (event_type) exchange") {
+    val p = plan("ml16_cusum_drift")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    // one hash exchange for the windows + the final tiny group/sort pair
+    assert(exchanges <= 3, s"CUSUM windows stopped sharing the shuffle:\n$p")
+    val sorts = """\(\d+\) Sort""".r.findAllIn(p).length
+    assert(sorts <= 3, s"extra sort between the window passes:\n$p")
+  }
+
+  test("s10: MaxSim scores in one broadcast pass (no shuffle before rank)") {
+    val p = plan("s10_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "query set must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
+  }
+
+  test("q54: quantile sketch rank-check joins broadcast the 3-row approx side") {
+    val p = plan("q54_quantile_sketch")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d17: paragraph-dedup winner selection is an aggregate, not a window sort") {
+    val p = plan("d17_paragraph_dedup")
+    assert(!p.contains("Window"),
+      "first-seen-wins regressed to a window sort on the chunk-hash hot key")
+  }
 }
