@@ -180,5 +180,51 @@ object SourceOps {
         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY lang_bucket""".stripMargin)),
+    // ------------------------------------------------------------------
+    // JDBC source (embedded Derby — the only RDBMS in this container):
+    // operational-database ingest done the scale-correct way. The read is
+    // PARTITIONED (partitionColumn/lowerBound/upperBound/numPartitions=4),
+    // so Spark issues 4 range-predicate queries in parallel instead of one
+    // single-connection full scan — at a real warehouse extract this is the
+    // difference between one 100-GB cursor and N bounded cursors feeding N
+    // executors. The filter is pushed into the database as SQL (visible as
+    // PushedFilters in the JDBC scan), and the decimal checksum aggregation
+    // proves the roundtrip lossless against the parquet-fixture oracle.
+    Op(
+      "w09_jdbc_source",
+      (s, d) => {
+        val tag = Relational2.fixtureTag(d)
+        val dbDir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_derby_$tag")
+        val url = s"jdbc:derby:${dbDir.getAbsolutePath}/db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val marker = new java.io.File(dbDir, "_loaded")
+        if (!marker.exists()) {
+          T.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .write.mode("overwrite").jdbc(url, "graft_orders", props)
+          marker.createNewFile()
+        }
+        val bounds = T.orders(s, d)
+          .agg(min("o_orderkey"), max("o_orderkey")).head()
+        s.read
+          .option("partitionColumn", "o_orderkey")
+          .option("lowerBound", bounds.getLong(0))
+          .option("upperBound", bounds.getLong(1) + 1)
+          .option("numPartitions", 4)
+          .jdbc(url, "graft_orders", props)
+          .filter(col("o_totalprice") > 100000.0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        |  ${sqlDsum("o_totalprice")} AS revenue,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -932,4 +932,93 @@ class OperatorSuite extends AnyFunSuite {
     assert(got.map(r => r.getAs[String]("month") -> r.getAs[Long]("n_items"))
       .toMap == exp)
   }
+
+  test("ml16 CUSUM alarms match a sequential local recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ml16_cusum_drift")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    // sequential fold per event_type in (ts, event_id) order with BigDecimal
+    // arithmetic — the definitionally-correct single-threaded CUSUM
+    val rows = T.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS tsu", "event_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val mu = BigDecimal("55.00"); val lam = BigDecimal("500.00")
+    rows.foreach { case (et, rs) =>
+      var cs = BigDecimal(0); var mn = BigDecimal(0); var maxPh = BigDecimal(0)
+      var alarms = 0L
+      rs.sortBy(r => (r._2, r._3)).foreach { r =>
+        cs += BigDecimal(r._4).setScale(2) - mu
+        if (cs < mn) mn = cs
+        val ph = cs - mn
+        if (ph > maxPh) maxPh = ph
+        if (ph > lam) alarms += 1
+      }
+      val (n, gotAlarms, gotMax) = got(et)
+      assert(n == rs.size && gotAlarms == alarms &&
+        gotMax == maxPh.toDouble, s"$et: got $gotAlarms/$gotMax want $alarms/$maxPh")
+    }
+  }
+
+  test("d17 paragraph-dedup survivors match a naive first-seen recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d17_paragraph_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val seen = scala.collection.mutable.Map[String, (Long, Long)]()
+    val chunks = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      t.grouped(20).zipWithIndex.map { case (g, i) =>
+        (id, i.toLong * 20 + 1, g.mkString(" "))
+      }
+    }
+    chunks.sortBy(c => (c._1, c._2)).foreach { case (id, st, s) =>
+      if (!seen.contains(s)) seen(s) = (id, st)
+    }
+    val kept = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> (cs.length.toLong,
+        cs.count(c => seen(c._3) == ((c._1, c._2))).toLong)
+    }
+    kept.foreach { case (id, (nChunks, nKept)) =>
+      assert(got(id) == ((nChunks, nKept)),
+        s"doc $id: got ${got(id)} want ($nChunks, $nKept)")
+    }
+  }
+
+  test("bloom bitset membership never rejects an inserted key (pure kernel)") {
+    val m = 4096
+    def md5pos(key: String, seed: Int): Int = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$seed".getBytes("UTF-8"))
+      val v = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      (v % m).toInt
+    }
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 5) {
+      val keys = Seq.fill(300)(rnd.nextLong().toString)
+      val bits = new Array[Long](m / 64)
+      for (k <- keys; s <- 0 until 3) {
+        val p = md5pos(k, s)
+        bits(p / 64) |= 1L << (p % 64)
+      }
+      assert(keys.forall(k => (0 until 3).forall { s =>
+        val p = md5pos(k, s)
+        (bits(p / 64) & (1L << (p % 64))) != 0
+      }), "false negative — bloom construction broken")
+    }
+  }
+
+  test("s09 residual-PQ output is identical across repeated runs") {
+    val sf = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("s09_pq_adc")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("s09_pq_adc")(spark, sf).collect().toSeq
+    assert(a == b, "non-deterministic codebook training or ranking")
+    assert(a.head.getBoolean(1) && a.head.getBoolean(2) &&
+      a.head.getBoolean(3) && a.head.getBoolean(4))
+  }
 }

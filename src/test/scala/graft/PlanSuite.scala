@@ -239,4 +239,12 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("Window"),
       "first-seen-wins regressed to a window sort on the chunk-hash hot key")
   }
+
+  test("w09: JDBC read is range-partitioned and the filter pushes to the DB") {
+    val p = plan("w09_jdbc_source")
+    assert(p.contains("numPartitions=4"),
+      "JDBC extract degraded to a single-connection scan")
+    assert(p.contains("PushedFilters") && p.contains("o_totalprice"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
 }
