@@ -542,6 +542,9 @@ object Similarity {
           .select(col("vec_id"),
             col("embedding").cast(ArrayType(DoubleType)).as("fd"))
           .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+          // shared by the coarse fit, 8 codebook fits, coding, SSE and the
+          // rerank — persist once, released by the harness per-query cleanup
+          .persist()
         def kmeans(id: Int, k: Int, vecs: DataFrame): Array[Double] = {
           val fit = graft.pipeline.Trainer.fit(s,
             graft.pipeline.PipelineSpec(id, "K-means",
@@ -550,12 +553,13 @@ object Similarity {
           val km = fit.model.asInstanceOf[graft.ml.KMeansState]
           km.centroids.slice(0, km.filled * km.dim)
         }
-        val coarse = kmeans(35, 16, feats.select(col("fd").as("sl")))
+        val coarse = kmeans(30, 16, feats.select(col("fd").as("sl")))
         val resid = feats.withColumn("cc", lit(coarse))
           .withColumn("bucket",
             element_at(F.nearestCentroids(col("fd"), lit(coarse), dim, 1), 1))
           .withColumn("res", expr(s"transform(sequence(0, ${dim - 1}), " +
             s"i -> element_at(fd, i + 1) - element_at(cc, bucket * $dim + i + 1))"))
+          .persist() // read by all 8 codebook fits + the coding pass
         def sliceExpr(j: Int) = expr(s"slice(res, ${j * sub + 1}, $sub)")
         val books: Seq[Array[Double]] = (0 until m).map { j =>
           kmeans(31 + j, kCodes, resid.select(sliceExpr(j).as("sl")))

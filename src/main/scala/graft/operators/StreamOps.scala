@@ -1001,6 +1001,72 @@ object StreamOps {
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
         |  true AS resumed_delta_only
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming -> RDBMS serving store: per-trigger aggregates MERGEd into
+    // an embedded-Derby table by key (the "stream keeps a warehouse table
+    // fresh" pattern). Each micro-batch pre-aggregates per event_type (4
+    // partial rows, not 30k events, cross the JDBC boundary), then
+    // foreachPartition executes MERGE INTO ... WHEN MATCHED UPDATE SET
+    // n = n + ?, sv = sv + ? — an ACCUMULATING upsert, so the final table
+    // state is independent of trigger count, batch boundaries, and
+    // partition order (long + DECIMAL addition commutes). At scale this is
+    // per-executor connections and one statement per key per trigger; the
+    // checkpoint (st24) is what makes it effectively-once. The result is
+    // read BACK through the JDBC source and hash-matched against the batch
+    // aggregate over all events — any double-count, lost batch, or decimal
+    // drift through the JDBC type boundary breaks the gate.
+    Op("st25_stream_jdbc_upsert", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
+      val dbDir = Streaming.scratchDir("graft_derbysink_")
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      // create the target table once, driver-side
+      val c0 = java.sql.DriverManager.getConnection(url)
+      c0.createStatement().execute(
+        "CREATE TABLE stats (et VARCHAR(32) PRIMARY KEY, " +
+          "n BIGINT, sv DECIMAL(18,2))")
+      c0.close()
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") =!= "sentinel")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(Num.dec2(col("value"))).as("sv"))
+              .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+                if (rows.nonEmpty) {
+                  val c = java.sql.DriverManager.getConnection(url)
+                  try {
+                    val st = c.prepareStatement(
+                      "MERGE INTO stats t USING SYSIBM.SYSDUMMY1 " +
+                        "ON t.et = ? " +
+                        "WHEN MATCHED THEN UPDATE SET n = t.n + ?, sv = t.sv + ? " +
+                        "WHEN NOT MATCHED THEN INSERT (et, n, sv) VALUES (?, ?, ?)")
+                    rows.foreach { r =>
+                      val et = r.getString(0); val n = r.getLong(1)
+                      val sv = r.getDecimal(2)
+                      st.setString(1, et); st.setLong(2, n); st.setBigDecimal(3, sv)
+                      st.setString(4, et); st.setLong(5, n); st.setBigDecimal(6, sv)
+                      st.executeUpdate()
+                    }
+                  } finally c.close()
+                }
+              }
+            ()
+          }
+          .option("checkpointLocation", s"$dbDir/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.read.jdbc(url, "stats", props)
+        .select(col("et").as("event_type"), col("n"),
+          col("sv").cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the

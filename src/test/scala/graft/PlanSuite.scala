@@ -240,6 +240,14 @@ class PlanSuite extends AnyFunSuite {
       "first-seen-wins regressed to a window sort on the chunk-hash hot key")
   }
 
+  test("q05: per-group top-k is pushed down as WindowGroupLimit (no full sort)") {
+    val p = plan("q05_window_topk")
+    // Spark's InferWindowGroupLimit keeps only k rows per group on both the
+    // map and reduce side of the rank window — the optimizer doing the
+    // top-k pushdown for us; a regression here means full-partition sorts
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
   test("w09: JDBC read is range-partitioned and the filter pushes to the DB") {
     val p = plan("w09_jdbc_source")
     assert(p.contains("numPartitions=4"),
