@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++
     operators.Similarity.ops ++
+    operators.Graph.ops ++
     operators.MLOps.ops ++
     operators.StreamOps.ops ++
     operators.SourceOps.ops ++

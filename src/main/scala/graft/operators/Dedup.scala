@@ -1038,5 +1038,52 @@ object Dedup {
         |  SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped,
         |  SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS kept_tokens
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Dedup AUDIT REPORT — the per-source duplication profile a curation
+    // team reviews before committing a scrub: exact-content duplication
+    // rate, the largest within-source cluster, and cross-source content
+    // leakage (the same text appearing under two sources — usually a
+    // scraper overlap you want to know about before near-dup ever runs).
+    // Two aggregations over the 16-byte content hash + one broadcast-back
+    // join of the (tiny) multi-source content set; dup_ratio is one IEEE
+    // division of two exact integers, so it hash-matches bit-for-bit.
+    Op(
+      "d18_dedup_report",
+      (s, d) => {
+        val hashed = T.documents(s, d)
+          .select(col("source"), md5(col("text")).as("h"))
+        val perContent = hashed.groupBy("source", "h")
+          .agg(count(lit(1)).as("cnt"))
+        val multiSource = perContent.groupBy("h")
+          .agg(countDistinct("source").as("ns"))
+          .filter(col("ns") > 1)
+          .select("h")
+        perContent
+          .join(broadcast(multiSource.withColumn("xs", lit(1L))), Seq("h"), "left")
+          .groupBy("source")
+          .agg(
+            sum(col("cnt")).as("n_docs"),
+            count(lit(1)).as("n_unique_content"),
+            (sum(col("cnt")) - count(lit(1))).as("n_dup_docs"),
+            ((sum(col("cnt")) - count(lit(1))).cast("double") /
+              sum(col("cnt")).cast("double")).as("dup_ratio"),
+            max(col("cnt")).as("largest_cluster"),
+            sum(when(col("xs").isNotNull, 1L).otherwise(0L))
+              .as("n_cross_source_contents"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT source, md5(text) AS h FROM documents),
+        |pc AS (SELECT source, h, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+        |ms AS (SELECT h FROM pc GROUP BY h HAVING COUNT(DISTINCT source) > 1)
+        |SELECT source,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_unique_content,
+        |  CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(CAST(SUM(cnt) - COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE) AS DOUBLE) AS dup_ratio,
+        |  CAST(MAX(cnt) AS BIGINT) AS largest_cluster,
+        |  CAST(SUM(CASE WHEN pc.h IN (SELECT h FROM ms) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross_source_contents
+        |FROM pc GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
