@@ -153,5 +153,96 @@ object Curation {
         |  COALESCE(k.n_tokens, 0) AS n_tokens
         |FROM tot t LEFT JOIN per_source k ON k.source = t.source
         |ORDER BY t.source""".stripMargin)),
+    // ------------------------------------------------------------------
+    // The EMBEDDING-side flagship: p01's counterpart for the vector
+    // pipeline — near-dup removal (d10's deterministic 32-hyperplane LSH,
+    // exact-cosine verify >= 0.4, greedy min-id survivors) → int8
+    // quantization (s05's scheme, gated in-range) → LSH-bucketed index
+    // layout (band-0 key = the s04 partitioning analog, but derived, so
+    // the oracle reproduces it) — composed as one declarative plan with a
+    // single-row audit report. Survivor rule: a vector is removed iff it
+    // has a near-duplicate with a smaller id — deterministic, one
+    // anti-join, no iterative CC needed for reporting.
+    // Scale shape: candidates come from band-equi joins (never all-pairs,
+    // bucket size bounded by bits-per-band), removal is one broadcast
+    // anti-join of the (small) removed set, quantization is scan-cost,
+    // and the bucket histogram is one aggregation on an 8-bit key.
+    Op(
+      "p02_embedding_pipeline",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        import s.implicits._
+        val planes = (0 until 32).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
+        val bands = e.crossJoin(broadcast(planes))
+          .withColumn("dp", graft.functions.F.dotFD(col("embedding"), col("r")))
+          .groupBy(col("vec_id"), expr("p div 8").as("band"))
+          .agg(sum(when(col("dp") > 0,
+            expr("shiftleft(cast(1 as bigint), p % 8)")).otherwise(0L)).as("bkey"))
+          .persist()
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+        val removed = cand
+          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+          .withColumn("cos", graft.functions.F.cosineSim(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("vec_b").as("vec_id"))
+          .distinct()
+        val kept = e.join(broadcast(removed), Seq("vec_id"), "left_anti")
+        // s05 int8 quantization over survivors, in-range gate
+        val quant = kept
+          .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .withColumn("maxabs", expr(
+            "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+          .withColumn("q", expr(
+            "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))"))
+          .withColumn("qmin", expr(
+            "aggregate(q, CAST(127 AS BIGINT), (a, v) -> least(a, v))"))
+          .withColumn("qmax", expr(
+            "aggregate(q, CAST(-128 AS BIGINT), (a, v) -> greatest(a, v))"))
+        // index layout: band-0 bucket key per survivor
+        val layout = quant
+          .join(bands.filter(col("band") === 0)
+            .select(col("vec_id"), col("bkey").as("bucket")), "vec_id")
+        val buckets = layout.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        layout.agg(
+          count(lit(1)).as("n_kept"),
+          (min(col("qmin")) >= -128L && max(col("qmax")) <= 127L)
+            .as("codes_in_range"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_in"))))
+          .crossJoin(broadcast(removed.agg(count(lit(1)).as("n_removed"))))
+          .crossJoin(broadcast(buckets.agg(
+            count(lit(1)).as("n_buckets"), max("bn").as("max_bucket"))))
+          .select(col("n_in"), col("n_removed"), col("n_kept"),
+            (col("n_kept") === col("n_in") - col("n_removed")).as("counts_consistent"),
+            col("codes_in_range"), col("n_buckets"), col("max_bucket"))
+      },
+      Some(s"""WITH pl AS (${Similarity.sqlPlanesUpTo(31)}),
+        |dt AS (SELECT e.vec_id, pl.p, ${VecSql.dot("e.embedding", "pl.r")} AS dp
+        |       FROM embeddings e CROSS JOIN pl),
+        |bd AS (SELECT vec_id, p // 8 AS band,
+        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS BIGINT) AS bkey
+        |       FROM dt GROUP BY vec_id, p // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |         FROM bd x JOIN bd y
+        |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+        |rm AS (SELECT DISTINCT vec_b AS vec_id
+        |       FROM cand JOIN embeddings a ON a.vec_id = vec_a
+        |       JOIN embeddings b ON b.vec_id = vec_b
+        |       WHERE ${VecSql.cos("a.embedding", "b.embedding")} >= 0.4),
+        |kept AS (SELECT * FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM rm)),
+        |bkt AS (SELECT bd.bkey AS bucket, COUNT(*) AS bn
+        |        FROM kept k JOIN bd ON bd.vec_id = k.vec_id AND bd.band = 0
+        |        GROUP BY bd.bkey)
+        |SELECT (SELECT COUNT(*) FROM embeddings) AS n_in,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_removed,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+        |  true AS counts_consistent, true AS codes_in_range,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bkt) AS n_buckets,
+        |  (SELECT CAST(MAX(bn) AS BIGINT) FROM bkt) AS max_bucket""".stripMargin)),
   )
 }
