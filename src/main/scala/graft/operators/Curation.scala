@@ -171,25 +171,8 @@ object Curation {
       "p02_embedding_pipeline",
       (s, d) => {
         val e = T.embeddings(s, d)
-        import s.implicits._
-        val planes = (0 until 32).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
-        val bands = e.crossJoin(broadcast(planes))
-          .withColumn("dp", graft.functions.F.dotFD(col("embedding"), col("r")))
-          .groupBy(col("vec_id"), expr("p div 8").as("band"))
-          .agg(sum(when(col("dp") > 0,
-            expr("shiftleft(cast(1 as bigint), p % 8)")).otherwise(0L)).as("bkey"))
-          .persist()
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-          .distinct()
-        val removed = cand
-          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-          .withColumn("cos", graft.functions.F.cosineSim(col("ea"), col("eb")))
-          .filter(col("cos") >= 0.4)
+        val bands = Dedup.embedBandsOf(s, e).persist()
+        val removed = Dedup.embedNeardupPairs(e, bands)
           .select(col("vec_b").as("vec_id"))
           .distinct()
         val kept = e.join(broadcast(removed), Seq("vec_id"), "left_anti")
@@ -221,15 +204,7 @@ object Curation {
             (col("n_kept") === col("n_in") - col("n_removed")).as("counts_consistent"),
             col("codes_in_range"), col("n_buckets"), col("max_bucket"))
       },
-      Some(s"""WITH pl AS (${Similarity.sqlPlanesUpTo(31)}),
-        |dt AS (SELECT e.vec_id, pl.p, ${VecSql.dot("e.embedding", "pl.r")} AS dp
-        |       FROM embeddings e CROSS JOIN pl),
-        |bd AS (SELECT vec_id, p // 8 AS band,
-        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS BIGINT) AS bkey
-        |       FROM dt GROUP BY vec_id, p // 8),
-        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |         FROM bd x JOIN bd y
-        |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+      Some(s"""WITH ${Dedup.embedLshSqlCtes},
         |rm AS (SELECT DISTINCT vec_b AS vec_id
         |       FROM cand JOIN embeddings a ON a.vec_id = vec_a
         |       JOIN embeddings b ON b.vec_id = vec_b

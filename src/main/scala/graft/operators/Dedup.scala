@@ -18,6 +18,55 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Shared 32-hyperplane embedding LSH (d10 + p02): deterministic sign
+    * bands, 4 bands x 8 bits — bucket population controlled by
+    * bits-per-band regardless of label skew.
+    */
+  private[operators] def embedBandsOf(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val planes = (0 until 32).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
+    e.crossJoin(broadcast(planes))
+      .withColumn("dp", F.dotFD(col("embedding"), col("r")))
+      .groupBy(col("vec_id"), expr("p div 8").as("band"))
+      .agg(sum(when(col("dp") > 0,
+        expr("shiftleft(cast(1 as bigint), p % 8)")).otherwise(0L)).as("bkey"))
+  }
+
+  /** Band-collision candidates verified by exact cosine >= 0.4 — the
+    * near-dup pair set both d10 and p02 consume.
+    */
+  private[operators] def embedNeardupPairs(
+      e: DataFrame, bands: DataFrame): DataFrame = {
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos", F.cosineSim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Oracle mirror of [[embedBandsOf]] + candidate generation: the
+    * pl/dt/bd/cand CTE chain shared by the d10 and p02 oracles.
+    */
+  private[operators] val embedLshSqlCtes: String =
+    s"""pl AS (${Similarity.sqlPlanesUpTo(31)}),
+       |dt AS (SELECT e.vec_id, pl.p, ${VecSql.dot("e.embedding", "pl.r")} AS dp
+       |       FROM embeddings e CROSS JOIN pl),
+       |bd AS (SELECT vec_id, p // 8 AS band,
+       |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS BIGINT) AS bkey
+       |       FROM dt GROUP BY vec_id, p // 8),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM bd x JOIN bd y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)""".stripMargin
+
+
+
   /** Near-dup pairs at Jaccard >= 0.1 over word-5-gram shingles (the d02
     * pipeline without the reporting columns) — shared by d02 and d06.
     */
@@ -631,37 +680,11 @@ object Dedup {
     Op(
       "d10_embed_neardup_lsh",
       (s, d) => {
-        import s.implicits._
         val e = T.embeddings(s, d)
-        val planes = (0 until 32).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
-        val bands = e.crossJoin(broadcast(planes))
-          .withColumn("dp", F.dotFD(col("embedding"), col("r")))
-          .groupBy(col("vec_id"), expr("p div 8").as("band"))
-          .agg(sum(when(col("dp") > 0,
-            expr("shiftleft(cast(1 as bigint), p % 8)")).otherwise(0L)).as("bkey"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-          .distinct()
-        cand
-          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-          .withColumn("cos", F.cosineSim(col("ea"), col("eb")))
-          .filter(col("cos") >= 0.4)
-          .select("vec_a", "vec_b", "cos")
+        embedNeardupPairs(e, embedBandsOf(s, e))
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""WITH pl AS (${Similarity.sqlPlanesUpTo(31)}),
-        |dt AS (SELECT e.vec_id, pl.p, ${VecSql.dot("e.embedding", "pl.r")} AS dp
-        |       FROM embeddings e CROSS JOIN pl),
-        |bd AS (SELECT vec_id, p // 8 AS band,
-        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS BIGINT) AS bkey
-        |       FROM dt GROUP BY vec_id, p // 8),
-        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |         FROM bd x JOIN bd y
-        |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+      Some(s"""WITH $embedLshSqlCtes
         |SELECT vec_a, vec_b, ${VecSql.cos("a.embedding", "b.embedding")} AS cos
         |FROM cand JOIN embeddings a ON a.vec_id = vec_a
         |JOIN embeddings b ON b.vec_id = vec_b

@@ -281,7 +281,12 @@ object MLOps {
         .select(col("event_type"), col("ts"), col("event_id"), dev.as("dev"))
         .withColumn("rn", row_number().over(ord))
         .withColumn("cs", sum(col("dev")).over(run))
-        .withColumn("ph", col("cs") - min(col("cs")).over(run))
+        // standard Page CUSUM: the running min includes the implicit
+        // s_0 = 0 baseline, so an immediate positive drift alarms from the
+        // first samples instead of waiting for the sum to dip below zero
+        .withColumn("ph",
+          col("cs") - least(min(col("cs")).over(run),
+            lit(new java.math.BigDecimal("0.00"))))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_points"),
@@ -299,11 +304,17 @@ object MLOps {
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |               ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT event_type, rn, cs,
+        |    MIN(cs) OVER (PARTITION BY event_type ORDER BY rn
+        |                  ROWS UNBOUNDED PRECEDING) AS mn
+        |  FROM s),
+        |-- CASE, not LEAST: DuckDB's LEAST demotes DECIMAL(38,2) to DOUBLE
         |p AS (
         |  SELECT event_type, rn,
-        |    cs - MIN(cs) OVER (PARTITION BY event_type ORDER BY rn
-        |                       ROWS UNBOUNDED PRECEDING) AS ph
-        |  FROM s)
+        |    cs - (CASE WHEN mn < CAST(0.00 AS DECIMAL(38,2)) THEN mn
+        |               ELSE CAST(0.00 AS DECIMAL(38,2)) END) AS ph
+        |  FROM m)
         |SELECT event_type, COUNT(*) AS n_points,
         |  CAST(SUM(CASE WHEN ph > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
         |  CAST(MIN(CASE WHEN ph > 500 THEN rn END) AS BIGINT) AS first_alarm_pos,

@@ -15,13 +15,22 @@ import org.apache.spark.sql.types._
   */
 object Relational2 {
 
-  /** Collision-free fixture-dir fingerprint for cached bucketed-table names:
-    * an md5 of the full path (a `hashCode` key could make two dirs silently
-    * share one bucketed table).
+  /** Collision-free fixture fingerprint for cached derived artifacts
+    * (bucketed tables, compaction copies, the w09 Derby database): an md5
+    * of the full path PLUS the (name, size, mtime) of every parquet file in
+    * the fixture dir — so a REGENERATED fixture at the same path gets a
+    * fresh tag and stale caches are never served (a path-only or hashCode
+    * key would silently reuse them).
     */
-  private[graft] def fixtureTag(d: String): String =
+  private[graft] def fixtureTag(d: String): String = {
+    val files = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$d|$files".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
@@ -876,16 +885,18 @@ object Relational2 {
     // HLL's rsd), so the gate checks the guarantee itself: the true rank of
     // each approximate percentile lies within eps of the target rank.
     // Constant memory per group at any scale; partials merge map-side. The
-    // input is deterministically range-partitioned so the GK merge order —
-    // and hence the approximate value — is identical at any session core
-    // count.
+    // approximate VALUE may vary with partitioning (GK merges are
+    // layout-dependent), but the emitted columns — counts and the
+    // guarantee booleans — are layout-independent, which is exactly why
+    // the gate checks the guarantee and not the value. The projection is
+    // persisted: both the sketch pass and the rank-audit pass read it.
     Op(
       "q54_quantile_sketch",
       (s, d) => {
         val li = T.lineitem(s, d)
           .select(col("l_returnflag"), dec2(col("l_extendedprice"))
             .cast(DoubleType).as("v"))
-          .repartitionByRange(8, col("l_returnflag"))
+          .persist()
         val eps = 0.01 // accuracy=100 => guaranteed rank error <= 1%
         val approx = li.groupBy("l_returnflag").agg(
           count(lit(1)).as("n"),

@@ -520,19 +520,19 @@ object Similarity {
     // Residual product quantization + asymmetric-distance (ADC) ranking —
     // IVF-PQ proper, the memory-side scale path complementing s04's
     // IO-side pruning: a coarse K-means quantizer (16 centroids) absorbs
-    // the cluster structure, then per-subspace codebooks (m=4 subspaces x
-    // 16 codes, trained on the RESIDUALS with the engine's own distributed
+    // the cluster structure, then per-subspace codebooks (m=8 subspaces x
+    // 32 codes, trained on the RESIDUALS with the engine's own distributed
     // Trainer) capture intra-cluster variation — a 64-dim float vector
-    // (256 B) compresses to 1 bucket byte + 4 code bytes. At 100 TB the
-    // codes table is ~50x smaller than the corpus, fits hot storage, and
+    // (256 B) compresses to 1 bucket byte + 8 code bytes. At 100 TB the
+    // codes table is ~28x smaller than the corpus, fits hot storage, and
     // the ADC scan never touches raw vectors (per-query distance LUTs of
     // kCodes x m entries replace the per-row subspace loops used here);
     // the exact rerank fetches only |shortlist| full vectors per query.
     // Codebooks are not SQL-derivable, so the hash gate checks invariants
     // the oracle reproduces (s03 pattern): codes in range, complete top-3,
     // residual-PQ reconstruction strictly better than the global-mean
-    // baseline, and shortlist+rerank recall@3 vs the exact L2 ranking
-    // above threshold.
+    // baseline, and top-64-shortlist + exact-rerank recall@3 vs the exact
+    // L2 ranking above threshold.
     Op(
       "s09_pq_adc",
       (s, d) => {

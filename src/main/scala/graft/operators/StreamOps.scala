@@ -1009,9 +1009,13 @@ object StreamOps {
     // foreachPartition executes MERGE INTO ... WHEN MATCHED UPDATE SET
     // n = n + ?, sv = sv + ? — an ACCUMULATING upsert, so the final table
     // state is independent of trigger count, batch boundaries, and
-    // partition order (long + DECIMAL addition commutes). At scale this is
-    // per-executor connections and one statement per key per trigger; the
-    // checkpoint (st24) is what makes it effectively-once. The result is
+    // partition order (long + DECIMAL addition commutes). foreachBatch is
+    // only at-least-once, so each partition's applies run in ONE Derby
+    // transaction that FIRST inserts (batch_id, partition_id) into an
+    // applied-ledger with a primary key: a replayed task hits the
+    // duplicate-key error and skips its applies — the additive MERGE
+    // becomes idempotent per (batch, partition), which together with the
+    // source checkpoint makes the sink effectively-once. The result is
     // read BACK through the JDBC source and hash-matched against the batch
     // aggregate over all events — any double-count, lost batch, or decimal
     // drift through the JDBC type boundary breaks the gate.
@@ -1024,30 +1028,49 @@ object StreamOps {
       c0.createStatement().execute(
         "CREATE TABLE stats (et VARCHAR(32) PRIMARY KEY, " +
           "n BIGINT, sv DECIMAL(18,2))")
+      c0.createStatement().execute(
+        "CREATE TABLE applied (batch_id BIGINT, part_id INT, " +
+          "PRIMARY KEY (batch_id, part_id))")
       c0.close()
       Streaming.withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .filter(col("event_type") =!= "sentinel")
           .writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
             b.groupBy("event_type")
               .agg(count(lit(1)).as("n"), sum(Num.dec2(col("value"))).as("sv"))
               .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
                 if (rows.nonEmpty) {
+                  val pid = org.apache.spark.TaskContext.getPartitionId()
                   val c = java.sql.DriverManager.getConnection(url)
                   try {
-                    val st = c.prepareStatement(
-                      "MERGE INTO stats t USING SYSIBM.SYSDUMMY1 " +
-                        "ON t.et = ? " +
-                        "WHEN MATCHED THEN UPDATE SET n = t.n + ?, sv = t.sv + ? " +
-                        "WHEN NOT MATCHED THEN INSERT (et, n, sv) VALUES (?, ?, ?)")
-                    rows.foreach { r =>
-                      val et = r.getString(0); val n = r.getLong(1)
-                      val sv = r.getDecimal(2)
-                      st.setString(1, et); st.setLong(2, n); st.setBigDecimal(3, sv)
-                      st.setString(4, et); st.setLong(5, n); st.setBigDecimal(6, sv)
-                      st.executeUpdate()
+                    c.setAutoCommit(false)
+                    val claimed = try {
+                      c.prepareStatement(
+                        s"INSERT INTO applied VALUES ($batchId, $pid)")
+                        .executeUpdate()
+                      true
+                    } catch {
+                      // duplicate key = this (batch, partition) already
+                      // applied by an earlier attempt — replay is a no-op
+                      case _: java.sql.SQLIntegrityConstraintViolationException =>
+                        c.rollback(); false
+                    }
+                    if (claimed) {
+                      val st = c.prepareStatement(
+                        "MERGE INTO stats t USING SYSIBM.SYSDUMMY1 " +
+                          "ON t.et = ? " +
+                          "WHEN MATCHED THEN UPDATE SET n = t.n + ?, sv = t.sv + ? " +
+                          "WHEN NOT MATCHED THEN INSERT (et, n, sv) VALUES (?, ?, ?)")
+                      rows.foreach { r =>
+                        val et = r.getString(0); val n = r.getLong(1)
+                        val sv = r.getDecimal(2)
+                        st.setString(1, et); st.setLong(2, n); st.setBigDecimal(3, sv)
+                        st.setString(4, et); st.setLong(5, n); st.setBigDecimal(6, sv)
+                        st.executeUpdate()
+                      }
+                      c.commit()
                     }
                   } finally c.close()
                 }

@@ -971,7 +971,9 @@ class OperatorSuite extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1))
     val seen = scala.collection.mutable.Map[String, (Long, Long)]()
     val chunks = docs.flatMap { case (id, text) =>
-      val t = text.split(" ")
+      // -1 keeps trailing empty tokens — Spark's split and DuckDB's
+      // string_split both do; Java's default drops them
+      val t = text.split(" ", -1)
       t.grouped(20).zipWithIndex.map { case (g, i) =>
         (id, i.toLong * 20 + 1, g.mkString(" "))
       }
