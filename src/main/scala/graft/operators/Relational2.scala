@@ -879,6 +879,69 @@ object Relational2 {
         |    AS no_false_negatives
         |FROM k""".stripMargin)),
     // ------------------------------------------------------------------
+    // Z-ORDER (Morton) layout — q46's multi-dimensional sibling: q46's
+    // range clustering prunes on ONE column; interleaving the bits of two
+    // bucketized keys gives every file a tight min/max range on BOTH
+    // columns, so a box predicate (orderkey range AND partkey range)
+    // prunes files on either dimension — the Delta/Iceberg OPTIMIZE ZORDER
+    // trick, done with nothing but integer arithmetic in the sort key.
+    // Gates: the box aggregate from the z-ordered copy hash-matches the
+    // raw-table oracle (losslessness), the layout lands in the planned
+    // file count, and the per-file stats prune at least half the files
+    // for the box (gate >= 8 of 16; holds at sf0.001/0.01/0.1).
+    Op(
+      "q55_zorder_layout",
+      (s, d) => {
+        val tag = Relational2.fixtureTag(d)
+        val path = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), s"graft_zo_$tag"),
+          "lineitem").toString
+        val bounds = T.lineitem(s, d)
+          .agg(max("l_orderkey"), max("l_partkey")).head()
+        val (maxOk, maxPk) = (bounds.getLong(0), bounds.getLong(1))
+        // 10-bit buckets per dimension; morton interleaves them
+        val bo = s"CAST(l_orderkey * 1024 DIV ${maxOk + 1} AS BIGINT)"
+        val bp = s"CAST(l_partkey * 1024 DIV ${maxPk + 1} AS BIGINT)"
+        val morton = (0 until 10).map(i =>
+          s"(shiftleft(($bo >> $i) & 1, ${2 * i}) + " +
+            s"shiftleft(($bp >> $i) & 1, ${2 * i + 1}))").mkString(" + ")
+        if (!new java.io.File(path, "_SUCCESS").exists)
+          T.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+              expr(morton).as("z"))
+            .repartitionByRange(16, col("z"))
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite").parquet(path)
+        val zl = s.read.parquet(path)
+        // deterministic mid-range box on both dimensions
+        val (lo1, hi1) = ((maxOk + 1) / 4, (maxOk + 1) * 2 / 5)
+        val (lo2, hi2) = ((maxPk + 1) / 4, (maxPk + 1) * 2 / 5)
+        val layout = zl.groupBy(input_file_name().as("f"))
+          .agg(min("l_orderkey").as("olo"), max("l_orderkey").as("ohi"),
+            min("l_partkey").as("plo"), max("l_partkey").as("phi"))
+          .agg(
+            (count(lit(1)) === 16L).as("files_as_planned"),
+            (sum(when(col("ohi") < lo1 || col("olo") > hi1 ||
+              col("phi") < lo2 || col("plo") > hi2, 1L).otherwise(0L)) >= 8L)
+              .as("zorder_prunes_most"))
+        zl.filter(col("l_orderkey") >= lo1 && col("l_orderkey") <= hi1 &&
+            col("l_partkey") >= lo2 && col("l_partkey") <= hi2)
+          .agg(count(lit(1)).as("n_rows_box"),
+            dsum(col("l_quantity")).as("sum_qty_box"))
+          .crossJoin(layout)
+          .select(col("n_rows_box"), col("sum_qty_box"),
+            col("files_as_planned"), col("zorder_prunes_most"))
+      },
+      Some(s"""WITH b AS (SELECT MAX(l_orderkey) AS mo, MAX(l_partkey) AS mp
+        |  FROM lineitem)
+        |SELECT COUNT(*) AS n_rows_box, ${sqlDsum("l_quantity")} AS sum_qty_box,
+        |  true AS files_as_planned, true AS zorder_prunes_most
+        |FROM lineitem, b
+        |WHERE l_orderkey >= (mo + 1) // 4 AND l_orderkey <= (mo + 1) * 2 // 5
+        |  AND l_partkey >= (mp + 1) // 4 AND l_partkey <= (mp + 1) * 2 // 5"""
+        .stripMargin)),
+    // ------------------------------------------------------------------
     // Mergeable quantile sketches — the quantile counterpart of q42's HLL
     // mergeability: percentile_approx (Greenwald–Khanna summaries) carries a
     // HARD rank-error guarantee eps = 1/accuracy (not probabilistic like
