@@ -1090,6 +1090,113 @@ object StreamOps {
     },
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // CONTINUOUS drift detection: ml16's Page CUSUM run as a stream with
+    // DURABLE state across checkpoint-resumed runs. The event stream is
+    // staged in event-time order (first half by ts, then the rest lands
+    // between runs, st24-style), each micro-batch folds the detector
+    // per event_type over its rows sorted by (ts, event_id) — distributed
+    // flatMapGroups, with the prior per-key state (a 5-row table) carried
+    // through a parquet state store versioned by batch — and the final
+    // state bit-matches the BATCH CUSUM oracle: same decimal arithmetic,
+    // same alarm positions, same max excursion. This is the deployment
+    // shape of ml16 at 100 TB: per-key sequential folds shard across the
+    // cluster, state is O(keys), and a restart resumes mid-stream from
+    // the checkpoint + state-store pair without recounting a single row.
+    Op("st26_stream_cusum", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), Num.dec2(col("value")).as("v"))
+      val midTs = ev.agg(((min("tsu") + max("tsu")) / 2).cast(LongType))
+        .head().getLong(0)
+      val dir = Streaming.scratchDir("graft_cusum_src_")
+      val out = Streaming.scratchDir("graft_cusum_out_")
+      val schema = ev.schema
+      def stateAt(version: Long): Map[String, CusumState] =
+        if (version < 0) Map.empty
+        else s.read.parquet(s"$out/state_$version").as[CusumState]
+          .collect().map(st => st.event_type -> st).toMap
+      def runOnce(): Unit = Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            // state versions follow the GLOBAL batch id, which the
+            // checkpoint keeps monotonic across runs; prior state is
+            // O(keys) rows, shipped in the task closures
+            val prior = stateAt(batchId - 1)
+            val next = b.as[(String, Long, Long, java.math.BigDecimal)]
+              .groupByKey(_._1)
+              .flatMapGroups { (et, it) =>
+                val st0 = prior.getOrElse(et,
+                  CusumState(et, "0.00", "0.00", "0.00", 0L, 0L, -1L))
+                val folded = it.toSeq.sortBy(r => (r._2, r._3))
+                  .foldLeft(st0) { (st, r) =>
+                    val cs = BigDecimal(st.cs) + BigDecimal(r._4) -
+                      BigDecimal("55.00")
+                    val mn = BigDecimal(st.mn).min(cs)
+                    val ph = cs - mn
+                    CusumState(et, cs.toString, mn.toString,
+                      BigDecimal(st.maxPh).max(ph).toString,
+                      st.nPts + 1,
+                      st.nAlarms + (if (ph > BigDecimal("500.00")) 1 else 0),
+                      if (st.firstAlarm >= 0) st.firstAlarm
+                      else if (ph > BigDecimal("500.00")) st.nPts + 1
+                      else -1L)
+                  }
+                Iterator.single(folded)
+              }.collect() // O(keys): the detector state, never the data
+            // keys absent from this batch carry forward unchanged
+            val merged = (prior ++ next.map(st => st.event_type -> st)).values
+            b.sparkSession.createDataset(merged.toSeq)(
+              org.apache.spark.sql.Encoders.product[CusumState])
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$out/state_$batchId")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      ev.filter(col("tsu") <= midTs).coalesce(1)
+        .write.mode("append").parquet(dir)
+      runOnce() // batch 0: first half, in event-time order
+      ev.filter(col("tsu") > midTs).coalesce(1)
+        .write.mode("append").parquet(dir)
+      runOnce() // batch 1: resumes from the checkpoint, only the delta
+      s.read.parquet(s"$out/state_1").as[CusumState]
+        .collect().toSeq.sortBy(_.event_type)
+        .map(st => (st.event_type, st.nPts, st.nAlarms,
+          if (st.firstAlarm >= 0) Some(st.firstAlarm) else None,
+          BigDecimal(st.maxPh).toDouble))
+        .toDF("event_type", "n_points", "n_alarms", "first_alarm_pos",
+          "max_ph")
+    },
+      // same oracle as ml16 — the stream must reproduce the batch CUSUM
+      Some("""WITH s AS (
+        |  SELECT event_type, event_id,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    SUM(CAST(value AS DECIMAL(18,2)) - CAST(55.00 AS DECIMAL(18,2)))
+        |      OVER w AS cs
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT event_type, rn, cs,
+        |    MIN(cs) OVER (PARTITION BY event_type ORDER BY rn
+        |                  ROWS UNBOUNDED PRECEDING) AS mn
+        |  FROM s),
+        |p AS (
+        |  SELECT event_type, rn,
+        |    cs - (CASE WHEN mn < CAST(0.00 AS DECIMAL(38,2)) THEN mn
+        |               ELSE CAST(0.00 AS DECIMAL(38,2)) END) AS ph
+        |  FROM m)
+        |SELECT event_type, COUNT(*) AS n_points,
+        |  CAST(SUM(CASE WHEN ph > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(MIN(CASE WHEN ph > 500 THEN rn END) AS BIGINT) AS first_alarm_pos,
+        |  CAST(MAX(ph) AS DOUBLE) AS max_ph
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the
@@ -1127,3 +1234,9 @@ object StreamOps {
     (s"$out/data", out)
   }
 }
+
+/** Durable per-key CUSUM detector state (st26): decimals as strings so
+  * the parquet state schema stays exact across resumes.
+  */
+case class CusumState(event_type: String, cs: String, mn: String,
+    maxPh: String, nPts: Long, nAlarms: Long, firstAlarm: Long)
