@@ -248,6 +248,14 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
+  test("g01: final ranking takes the TakeOrdered path; ranks broadcast") {
+    val p = plan("g01_pagerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 ranking regressed to a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "iteration join degraded — rank table must broadcast")
+  }
+
   test("w09: JDBC read is range-partitioned and the filter pushes to the DB") {
     val p = plan("w09_jdbc_source")
     assert(p.contains("numPartitions=4"),
