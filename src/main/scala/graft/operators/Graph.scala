@@ -30,7 +30,61 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  private val Scale = 1000000000000L // 1e12: rank mass; 85x fits int64
+  private[graft] val Scale = 1000000000000L // 1e12: rank mass; 85x fits int64
+
+  /** Fixed-point integer PageRank over a DIRECTED edge list (a -> b),
+    * `iters` rounds. Exposed for the randomized brute-force parity test.
+    */
+  private[graft] def pagerankFp(es: DataFrame, iters: Int): DataFrame = {
+    val deg = es.groupBy("a").agg(count(lit(1)).as("deg"))
+    // degree folded into the edge list ONCE — each iteration then costs
+    // a single broadcast join (the O(nodes) rank table) + one aggregate,
+    // instead of re-joining deg against the O(edges) side every round
+    val ej = es.join(deg, "a").persist()
+    val n = deg.count()
+    val base = Scale / n
+    var ranks: DataFrame = deg.select(col("a").as("node"), lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ej
+        .join(broadcast(ranks), ej("a") === ranks("node"))
+        .select(col("b").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("s"))
+      ranks = contrib
+        .select(col("node"),
+          (lit(15L * base / 100L) + expr("(85 * s) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Degree-oriented wedge/triangle counts over an UNDIRECTED distinct
+    * edge list (a < b): (n_edges, n_wedges, n_triangles) as one row.
+    * Exposed for the randomized brute-force parity test.
+    */
+  private[graft] def orientedTriangles(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val ed = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val wedges = ed.as("e1")
+      .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val tri = wedges.join(ed.as("e3"),
+      col("x") === col("e3.src") && col("z") === col("e3.dst"))
+    und.agg(count(lit(1)).as("n_edges_sampled"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
 
   val ops: Seq[Op] = Seq(
     Op(
@@ -42,26 +96,8 @@ object Graph {
             col("l1.l_partkey") =!= col("l2.l_partkey"))
           .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
           .distinct()
-        val deg = es.groupBy("a").agg(count(lit(1)).as("deg"))
-        // degree folded into the edge list ONCE — each iteration then costs
-        // a single broadcast join (the O(nodes) rank table) + one aggregate,
-        // instead of re-joining deg against the O(edges) side every round
-        val ej = es.join(deg, "a").persist()
-        val n = deg.count()
-        val base = Scale / n
-        var ranks: DataFrame = deg.select(col("a").as("node"), lit(base).as("r"))
-        for (_ <- 1 to 5) {
-          val contrib = ej
-            .join(broadcast(ranks), ej("a") === ranks("node"))
-            .select(col("b").as("node"), expr("r DIV deg").as("c"))
-            .groupBy("node")
-            .agg(sum("c").as("s"))
-          ranks = contrib
-            .select(col("node"),
-              (lit(15L * base / 100L) + expr("(85 * s) DIV 100")).as("r"))
-            .localCheckpoint()
-        }
-        ranks.orderBy(col("r").desc, col("node")).limit(20)
+        pagerankFp(es, 5)
+          .orderBy(col("r").desc, col("node")).limit(20)
           .select(col("node"), col("r").as("rank_fp"))
       },
       Some {
@@ -110,27 +146,7 @@ object Graph {
           .filter(substring(md5(concat(col("a").cast("string"), lit(":"),
             col("b").cast("string"))), 1, 1) === "0")
           .persist()
-        val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("dg"))
-        val ed = und
-          .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
-          .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
-          .select(
-            when(col("da") < col("db") ||
-              (col("da") === col("db") && col("a") < col("b")),
-              col("a")).otherwise(col("b")).as("src"),
-            when(col("da") < col("db") ||
-              (col("da") === col("db") && col("a") < col("b")),
-              col("b")).otherwise(col("a")).as("dst"))
-        val wedges = ed.as("e1")
-          .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
-          .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-            col("e2.dst").as("z"))
-        val tri = wedges.join(ed.as("e3"),
-          col("x") === col("e3.src") && col("z") === col("e3.dst"))
-        und.agg(count(lit(1)).as("n_edges_sampled"))
-          .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        orientedTriangles(und)
       },
       Some("""WITH und AS (
         |  SELECT a, b FROM (

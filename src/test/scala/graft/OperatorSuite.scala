@@ -1015,6 +1015,62 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("fixed-point PageRank matches a sequential recompute on random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(5150)
+    for (trial <- 1 to 3) {
+      val nNodes = 12 + trial * 6
+      // symmetric random edges so every node has in- and out-degree
+      val base = (0 until nNodes * 3).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (x, y) => x != y }.distinct
+      val edges = (base ++ base.map(_.swap)).distinct
+      val got = Graph.pagerankFp(edges.toDF("a", "b"), 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential reference: identical integer recurrence
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val n = deg.size
+      val base0 = Graph.Scale / n
+      var r = deg.keys.map(_ -> base0).toMap
+      for (_ <- 1 to 4) {
+        val in = scala.collection.mutable.Map[Long, Long]()
+        edges.foreach { case (a, b) =>
+          in.update(b, in.getOrElse(b, 0L) + r(a) / deg(a)) }
+        r = in.map { case (node, sum) =>
+          node -> (15L * base0 / 100L + 85L * sum / 100L)
+        }.toMap
+      }
+      assert(got == r, s"trial $trial: distributed != sequential PageRank")
+    }
+  }
+
+  test("oriented triangle count matches brute force on random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(6021)
+    for (trial <- 1 to 3) {
+      val nNodes = 10 + trial * 5
+      val und = (0 until nNodes * 2).map { _ =>
+        val x = rnd.nextInt(nNodes).toLong; val y = rnd.nextInt(nNodes).toLong
+        (math.min(x, y), math.max(x, y))
+      }.filter { case (x, y) => x != y }.distinct
+      val row = Graph.orientedTriangles(und.toDF("a", "b")).head()
+      val edgeSet = und.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var triangles = 0L
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        k <- (j + 1) until nodes.size
+        if edgeSet((nodes(i), nodes(j))) && edgeSet((nodes(j), nodes(k))) &&
+          edgeSet((nodes(i), nodes(k)))
+      } triangles += 1
+      assert(row.getLong(0) == und.size.toLong)
+      assert(row.getLong(2) == triangles,
+        s"trial $trial: oriented count ${row.getLong(2)} != brute $triangles")
+    }
+  }
+
   test("s09 residual-PQ output is identical across repeated runs") {
     val sf = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("s09_pq_adc")(spark, sf).collect().toSeq
