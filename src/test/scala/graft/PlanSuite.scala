@@ -256,6 +256,20 @@ class PlanSuite extends AnyFunSuite {
       "iteration join degraded — rank table must broadcast")
   }
 
+  test("q55: both box dimensions push down to the z-ordered scan") {
+    val p = plan("q55_zorder_layout")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_orderkey") && pushed.contains("l_partkey"),
+      s"box predicate lost a dimension at the scan:\n$pushed")
+  }
+
+  test("p02: removal is a broadcast anti-join; no cartesian products") {
+    val p = plan("p02_embedding_pipeline")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "survivor filter lost its broadcast anti-join")
+    assert(!p.contains("CartesianProduct"), "unbounded cross join in p02")
+  }
+
   test("w09: JDBC read is range-partitioned and the filter pushes to the DB") {
     val p = plan("w09_jdbc_source")
     assert(p.contains("numPartitions=4"),
