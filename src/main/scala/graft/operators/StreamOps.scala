@@ -1091,6 +1091,40 @@ object StreamOps {
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     // ------------------------------------------------------------------
+    // Windowed approximate-distinct UNDER THE STREAMING ENGINE: HLL++
+    // partials merge inside a watermarked event-time window aggregation —
+    // the property that lets a 100 TB/day stream keep per-window unique
+    // users in constant memory (an exact distinct would hold every key in
+    // the state store). Gated the q37 way (the r3 advice lesson): the
+    // sketch estimate must sit within 3x rsd (15%) of the exact count,
+    // asserted engine-side against a batch-exact join, and the exact
+    // per-window row counts hash-match the oracle directly.
+    Op("st27_stream_hll", (s, d) => {
+      val (dir, schema, maxTs) = Streaming.stageEventsCached(s, d, 2)
+      val res = Streaming.runStream(s, dir, schema, uniq("st27"), src =>
+        src.withWatermark("ts", "35 days")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n"),
+            approx_count_distinct(col("user_id"), 0.05).as("est"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("n"), col("est")))
+      val exact = T.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(countDistinct("user_id").as("exact_users"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("exact_users"))
+      res.filter(col("window_start_us") <= maxTs)
+        .join(exact, "window_start_us")
+        .select(col("window_start_us"), col("n"),
+          (abs(col("est") - col("exact_users")).cast(DoubleType) /
+            col("exact_users") <= 0.15).as("est_within_3rsd"))
+        .orderBy("window_start_us")
+    },
+      Some("""SELECT epoch_us(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)))
+        |    AS window_start_us,
+        |  COUNT(*) AS n, true AS est_within_3rsd
+        |FROM events GROUP BY 1 ORDER BY window_start_us""".stripMargin)),
+    // ------------------------------------------------------------------
     // CONTINUOUS drift detection: ml16's Page CUSUM run as a stream with
     // DURABLE state across checkpoint-resumed runs. The event stream is
     // staged in event-time order (first half by ts, then the rest lands
