@@ -1057,9 +1057,9 @@ object Dedup {
         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) = 1 AS kept
         |  FROM h)
         |SELECT doc_id, COUNT(*) AS n_chunks,
-        |  SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
-        |  SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped,
-        |  SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS kept_tokens
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     // ------------------------------------------------------------------
     // Dedup AUDIT REPORT — the per-source duplication profile a curation

@@ -771,8 +771,8 @@ object Relational2 {
         |       CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE)) AS DOUBLE) AS variance
         |  FROM m)
         |SELECT v.event_type, COUNT(*) AS n_events,
-        |  SUM(CASE WHEN abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance)) > 3.0
-        |    THEN 1 ELSE 0 END) AS n_outliers,
+        |  CAST(SUM(CASE WHEN abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance)) > 3.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  MAX(abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance))) AS max_abs_z
         |FROM v JOIN mm ON v.event_type = mm.event_type
         |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),

@@ -28,7 +28,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Tag floats so an int-valued float (e.g. DuckDB HUGEINT fetched by
+        # pandas as float64) does NOT compare equal to a Python int — the
+        # driver's hash is type-sensitive ("33" vs "33.0"), and 33 == 33.0
+        # here silently hid exactly that class of oracle-type mismatch
+        # (r5 d17/q51 driver hash-FAILs).
+        return ("f", v)
     # timestamps/dates -> isoformat strings for comparison
     if hasattr(v, "isoformat"):
         return v.isoformat()
