@@ -18,30 +18,51 @@ import org.apache.spark.sql.functions._
   * division is deterministic and identical in both engines (all values
   * positive, so floor == truncate).
   *
-  * Scale shape: degree folds into the persisted edge list once; each
-  * iteration is then ONE broadcast join of the O(nodes) rank table against
-  * the edge scan + ONE aggregation on the destination — the edge list never
-  * re-shuffles. The rank table is localCheckpointed between iterations (the
+  * Scale shape: two physical strategies behind one integer recurrence.
+  * (a) BROADCAST (node count ≤ spark.graft.pagerank.broadcastMaxNodes):
+  * degree folds into the persisted edge list once; each iteration is ONE
+  * broadcast join of the O(nodes) rank table against the edge scan + ONE
+  * aggregation on the destination — the edge list never re-shuffles.
+  * (b) CO-PARTITIONED (rank table past broadcast size — the 100 TB graph):
+  * the degree-annotated edge list is hash-partitioned by source ONCE and
+  * persisted; every iteration shuffles ONLY the O(nodes) rank table to the
+  * same partitioning and shuffle-hash-joins against the cached edge side
+  * with ZERO exchange on the O(edges) side — no driver-sized broadcast
+  * anywhere in the plan. Both paths are bit-identical (integer arithmetic
+  * is addition-order independent), so which one runs is purely a physical
+  * choice. The rank table is localCheckpointed between iterations (the
   * d06 lesson: unbounded lazy plan chaining turns 5 iterations into 5
-  * recomputations of everything). At 100 TB, when the rank table outgrows a
-  * broadcast, pre-partition the edge list by source and co-partition the
-  * rank table — every iteration is then a zero-exchange join on the big
-  * side.
+  * recomputations of everything).
   */
 object Graph {
 
   private[graft] val Scale = 1000000000000L // 1e12: rank mass; 85x fits int64
 
+  /** Above this node count the rank table stops broadcasting and the
+    * co-partitioned plan takes over (~16 B/row → 1M nodes ≈ 16 MB, past
+    * the point a per-iteration driver broadcast is sane on a real cluster).
+    */
+  private[graft] val BroadcastMaxNodesKey = "spark.graft.pagerank.broadcastMaxNodes"
+
   /** Fixed-point integer PageRank over a DIRECTED edge list (a -> b),
-    * `iters` rounds. Exposed for the randomized brute-force parity test.
+    * `iters` rounds; picks broadcast vs co-partitioned per the node count.
+    * Exposed for the randomized brute-force parity test.
     */
   private[graft] def pagerankFp(es: DataFrame, iters: Int): DataFrame = {
+    val maxBcast = es.sparkSession.conf
+      .getOption(BroadcastMaxNodesKey).map(_.toLong).getOrElse(1000000L)
     val deg = es.groupBy("a").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    if (n <= maxBcast) pagerankFpBroadcast(es, deg, n, iters)
+    else pagerankFpCoPartitioned(es, deg, n, iters)
+  }
+
+  private def pagerankFpBroadcast(
+      es: DataFrame, deg: DataFrame, n: Long, iters: Int): DataFrame = {
     // degree folded into the edge list ONCE — each iteration then costs
     // a single broadcast join (the O(nodes) rank table) + one aggregate,
     // instead of re-joining deg against the O(edges) side every round
     val ej = es.join(deg, "a").persist()
-    val n = deg.count()
     val base = Scale / n
     var ranks: DataFrame = deg.select(col("a").as("node"), lit(base).as("r"))
     for (_ <- 1 to iters) {
@@ -55,6 +76,49 @@ object Graph {
           (lit(15L * base / 100L) + expr("(85 * s) DIV 100")).as("r"))
         .localCheckpoint()
     }
+    ranks
+  }
+
+  /** ONE-TIME cost of the co-partitioned plan: hash-partition the
+    * degree-annotated edge list by source and pin it. deg is already
+    * partitioned by a (it came from groupBy(a)), so this join itself only
+    * exchanges the raw edge scan. Exposed for the PlanSuite guard.
+    */
+  private[graft] def coPartPrep(es: DataFrame, p: Int): DataFrame = {
+    val ej = es.repartition(p, col("a"))
+      .join(es.groupBy("a").agg(count(lit(1)).as("deg"))
+        .repartition(p, col("a")), "a")
+      .persist()
+    ej.count() // materialize so iterations hit the partitioned cache
+    ej
+  }
+
+  /** One co-partitioned iteration: only the O(nodes) rank table moves —
+    * it is shuffled to the edge list's partitioning and becomes the
+    * SHUFFLE_HASH build side; the cached O(edges) side satisfies the
+    * join's distribution as-is (zero exchange, no broadcast — the
+    * PlanSuite guard pins both). Exposed for that guard.
+    */
+  private[graft] def coPartIteration(
+      ej: DataFrame, ranks: DataFrame, base: Long, p: Int): DataFrame = {
+    val r2 = ranks.repartition(p, col("node")).hint("SHUFFLE_HASH")
+    ej.join(r2, col("a") === col("node"))
+      .select(col("b").as("node"), expr("r DIV deg").as("c"))
+      .groupBy("node")
+      .agg(sum("c").as("s"))
+      .select(col("node"),
+        (lit(15L * base / 100L) + expr("(85 * s) DIV 100")).as("r"))
+  }
+
+  private def pagerankFpCoPartitioned(
+      es: DataFrame, deg: DataFrame, n: Long, iters: Int): DataFrame = {
+    val p = es.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ej = coPartPrep(es, p)
+    val base = Scale / n
+    var ranks: DataFrame = deg.select(col("a").as("node"), lit(base).as("r"))
+    for (_ <- 1 to iters)
+      ranks = coPartIteration(ej, ranks, base, p).localCheckpoint()
+    ej.unpersist(blocking = false)
     ranks
   }
 

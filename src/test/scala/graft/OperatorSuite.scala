@@ -1045,6 +1045,26 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("co-partitioned PageRank is bit-identical to the broadcast path") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(917)
+    val nNodes = 40
+    val half = (0 until nNodes * 4).map(_ =>
+      (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      .filter { case (x, y) => x != y }.distinct
+    val df = (half ++ half.map(_.swap)).distinct.toDF("a", "b")
+    val bcast = Graph.pagerankFp(df, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(Graph.BroadcastMaxNodesKey, "1") // force co-partitioned
+    try {
+      val copart = Graph.pagerankFp(df, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(copart == bcast,
+        "co-partitioned plan drifted from the broadcast recurrence")
+    } finally spark.conf.unset(Graph.BroadcastMaxNodesKey)
+  }
+
   test("oriented triangle count matches brute force on random graphs") {
     import spark.implicits._
     import graft.operators.Graph

@@ -256,6 +256,43 @@ class PlanSuite extends AnyFunSuite {
       "iteration join degraded — rank table must broadcast")
   }
 
+  test("g01 co-partitioned mode: no broadcast, zero exchange on the edge side") {
+    import graft.operators.Graph
+    val es = spark.range(400)
+      .selectExpr("id % 60 AS a", "(id * 7 + 1) % 60 AS b")
+      .filter("a <> b").distinct()
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ej = Graph.coPartPrep(es, p)
+    try {
+      // ranks arrive localCheckpointed mid-loop (an RDD scan), so the only
+      // exchanges in a real iteration are the ones the iteration adds
+      val ranks = es.select(org.apache.spark.sql.functions.col("a").as("node"))
+        .distinct()
+        .withColumn("r", org.apache.spark.sql.functions.lit(1000000L))
+        .localCheckpoint()
+      // AQE off for a fully-materialized static tree; collect() does not
+      // descend into InMemoryRelation innerChildren, so the one-time prep
+      // plan (where tiny deg may legitimately broadcast) stays out of scope
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val nodeNames = try {
+        val iter = Graph.coPartIteration(ej, ranks, 1000000L, p)
+        iter.queryExecution.executedPlan.collect {
+          case n => n.getClass.getSimpleName
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(nodeNames.exists(_.contains("ShuffledHashJoin")),
+        s"rank join is not a shuffled hash join: $nodeNames")
+      assert(!nodeNames.exists(_.contains("Broadcast")),
+        s"co-partitioned mode must never broadcast the rank table: $nodeNames")
+      // exactly two exchanges: the O(nodes) rank shuffle + the destination
+      // aggregation; the cached O(edges) side must satisfy the join's
+      // distribution with NO exchange of its own
+      val nEx = nodeNames.count(_.contains("ShuffleExchange"))
+      assert(nEx == 2,
+        s"expected 2 exchanges (rank side + dest agg), got $nEx: $nodeNames")
+    } finally ej.unpersist(blocking = true)
+  }
+
   test("q55: both box dimensions push down to the z-ordered scan") {
     val p = plan("q55_zorder_layout")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
