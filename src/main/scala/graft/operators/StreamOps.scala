@@ -1128,15 +1128,20 @@ object StreamOps {
     // CONTINUOUS drift detection: ml16's Page CUSUM run as a stream with
     // DURABLE state across checkpoint-resumed runs. The event stream is
     // staged in event-time order (first half by ts, then the rest lands
-    // between runs, st24-style), each micro-batch folds the detector
-    // per event_type over its rows sorted by (ts, event_id) — distributed
-    // flatMapGroups, with the prior per-key state (a 5-row table) carried
-    // through a parquet state store versioned by batch — and the final
-    // state bit-matches the BATCH CUSUM oracle: same decimal arithmetic,
-    // same alarm positions, same max excursion. This is the deployment
-    // shape of ml16 at 100 TB: per-key sequential folds shard across the
-    // cluster, state is O(keys), and a restart resumes mid-stream from
-    // the checkpoint + state-store pair without recounting a single row.
+    // between runs, st24-style). Each micro-batch repartitions by
+    // event_type, sorts WITHIN partitions by (key, ts, event_id), and runs
+    // a constant-memory iterator fold per partition (cusumFold) — a task
+    // never materializes its group, so a skewed event_type that dominates
+    // a batch streams through the fold instead of OOMing a toSeq. The
+    // prior per-key state (a 5-row table) is carried through a parquet
+    // state store versioned by the GLOBAL batch id; the resume read picks
+    // the highest version below the current batch by LISTING state_*
+    // (never assuming which ids ran), and the final state bit-matches the
+    // BATCH CUSUM oracle: same decimal arithmetic, same alarm positions,
+    // same max excursion. This is the deployment shape of ml16 at 100 TB:
+    // per-key sequential folds shard across the cluster, sorted spill
+    // handles any skew, state is O(keys), and a restart resumes mid-stream
+    // from the checkpoint + state-store pair without recounting a row.
     Op("st26_stream_cusum", (s, d) => {
       import s.implicits._
       val ev = T.events(s, d)
@@ -1147,40 +1152,32 @@ object StreamOps {
       val dir = Streaming.scratchDir("graft_cusum_src_")
       val out = Streaming.scratchDir("graft_cusum_out_")
       val schema = ev.schema
-      def stateAt(version: Long): Map[String, CusumState] =
-        if (version < 0) Map.empty
-        else s.read.parquet(s"$out/state_$version").as[CusumState]
-          .collect().map(st => st.event_type -> st).toMap
+      def stateVersions(): Seq[Long] =
+        Option(new java.io.File(out).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.startsWith("state_"))
+          .map(_.stripPrefix("state_").toLong).sorted
+      // highest persisted version strictly below `batch` — robust to
+      // no-data batches and to extra staged files shifting batch ids
+      def stateBelow(batch: Long): Map[String, CusumState] =
+        stateVersions().filter(_ < batch).lastOption match {
+          case None => Map.empty
+          case Some(ver) =>
+            s.read.parquet(s"$out/state_$ver").as[CusumState]
+              .collect().map(st => st.event_type -> st).toMap
+        }
       def runOnce(): Unit = Streaming.withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            // state versions follow the GLOBAL batch id, which the
-            // checkpoint keeps monotonic across runs; prior state is
-            // O(keys) rows, shipped in the task closures
-            val prior = stateAt(batchId - 1)
-            val next = b.as[(String, Long, Long, java.math.BigDecimal)]
-              .groupByKey(_._1)
-              .flatMapGroups { (et, it) =>
-                val st0 = prior.getOrElse(et,
-                  CusumState(et, "0.00", "0.00", "0.00", 0L, 0L, -1L))
-                val folded = it.toSeq.sortBy(r => (r._2, r._3))
-                  .foldLeft(st0) { (st, r) =>
-                    val cs = BigDecimal(st.cs) + BigDecimal(r._4) -
-                      BigDecimal("55.00")
-                    val mn = BigDecimal(st.mn).min(cs)
-                    val ph = cs - mn
-                    CusumState(et, cs.toString, mn.toString,
-                      BigDecimal(st.maxPh).max(ph).toString,
-                      st.nPts + 1,
-                      st.nAlarms + (if (ph > BigDecimal("500.00")) 1 else 0),
-                      if (st.firstAlarm >= 0) st.firstAlarm
-                      else if (ph > BigDecimal("500.00")) st.nPts + 1
-                      else -1L)
-                  }
-                Iterator.single(folded)
-              }.collect() // O(keys): the detector state, never the data
+            // prior state is O(keys) rows, shipped in the task closures
+            val prior = stateBelow(batchId)
+            val next = b.repartition(col("event_type"))
+              .sortWithinPartitions("event_type", "tsu", "event_id")
+              .as[(String, Long, Long, java.math.BigDecimal)]
+              .mapPartitions(rows => cusumFold(prior, rows))(
+                org.apache.spark.sql.Encoders.product[CusumState])
+              .collect() // O(keys): the detector state, never the data
             // keys absent from this batch carry forward unchanged
             val merged = (prior ++ next.map(st => st.event_type -> st)).values
             b.sparkSession.createDataset(merged.toSeq)(
@@ -1199,7 +1196,7 @@ object StreamOps {
       ev.filter(col("tsu") > midTs).coalesce(1)
         .write.mode("append").parquet(dir)
       runOnce() // batch 1: resumes from the checkpoint, only the delta
-      s.read.parquet(s"$out/state_1").as[CusumState]
+      s.read.parquet(s"$out/state_${stateVersions().last}").as[CusumState]
         .collect().toSeq.sortBy(_.event_type)
         .map(st => (st.event_type, st.nPts, st.nAlarms,
           if (st.firstAlarm >= 0) Some(st.firstAlarm) else None,
@@ -1266,6 +1263,51 @@ object StreamOps {
       q.processAllAvailable(); q.stop()
     }
     (s"$out/data", out)
+  }
+
+  /** st26's per-partition CUSUM fold. Expects rows grouped by event_type
+    * and (ts, event_id)-ordered within each key — the contract
+    * repartition(key) + sortWithinPartitions(key, ts, id) provides — and
+    * advances each key's detector in ONE sequential pass holding only the
+    * current key's state: a batch where one event_type dominates streams
+    * through instead of materializing as a toSeq. Exposed for the skew
+    * unit test.
+    */
+  private[graft] def cusumFold(
+      prior: Map[String, CusumState],
+      rows: Iterator[(String, Long, Long, java.math.BigDecimal)])
+      : Iterator[CusumState] = {
+    def step(st: CusumState, v: java.math.BigDecimal): CusumState = {
+      val cs = BigDecimal(st.cs) + BigDecimal(v) - BigDecimal("55.00")
+      val mn = BigDecimal(st.mn).min(cs)
+      val ph = cs - mn
+      CusumState(st.event_type, cs.toString, mn.toString,
+        BigDecimal(st.maxPh).max(ph).toString,
+        st.nPts + 1,
+        st.nAlarms + (if (ph > BigDecimal("500.00")) 1 else 0),
+        if (st.firstAlarm >= 0) st.firstAlarm
+        else if (ph > BigDecimal("500.00")) st.nPts + 1
+        else -1L)
+    }
+    new Iterator[CusumState] {
+      private var pending: CusumState = advance()
+      private var cur: (String, Long, Long, java.math.BigDecimal) = _
+      private def advance(): CusumState = {
+        if (cur == null) { if (!rows.hasNext) return null; cur = rows.next() }
+        val key = cur._1
+        var st = prior.getOrElse(key,
+          CusumState(key, "0.00", "0.00", "0.00", 0L, 0L, -1L))
+        while (cur != null && cur._1 == key) {
+          st = step(st, cur._4)
+          cur = if (rows.hasNext) rows.next() else null
+        }
+        st
+      }
+      def hasNext: Boolean = pending != null
+      def next(): CusumState = {
+        val out = pending; pending = advance(); out
+      }
+    }
   }
 }
 

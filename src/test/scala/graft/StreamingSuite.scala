@@ -468,4 +468,43 @@ class StreamingSuite extends AnyFunSuite {
     val out2 = Spoke.process(1, Iterator(ctl(10, "Query")), st).toSeq
     assert(out2.head.info.startsWith("fitted=2,"))
   }
+
+  test("st26 cusumFold survives one dominant key and matches a naive fold") {
+    import graft.operators.{CusumState, StreamOps}
+    def bd(i: Int) = new java.math.BigDecimal(s"${50 + (i % 23)}.0${i % 10}")
+    // one hot key with 50k rows (the skewed event_type), two cold keys;
+    // rows pre-sorted per the repartition+sortWithinPartitions contract
+    val hot = (0 until 50000).map(i => ("hot", i.toLong, i.toLong, bd(i)))
+    val cold = Seq("cold_a", "cold_b").flatMap(k =>
+      (0 until 10).map(i => (k, i.toLong, i.toLong, bd(i + 7))))
+    val rows = (cold.filter(_._1 == "cold_a") ++ hot ++
+      cold.filter(_._1 == "cold_b")).iterator
+    val prior = Map("hot" ->
+      CusumState("hot", "12.00", "-3.00", "15.00", 4L, 0L, -1L))
+    val got = StreamOps.cusumFold(prior, rows)
+      .map(st => st.event_type -> st).toMap
+    // naive reference: per-key toSeq fold with the same decimal recurrence
+    def naive(key: String, vs: Seq[java.math.BigDecimal]): CusumState = {
+      var st = prior.getOrElse(key,
+        CusumState(key, "0.00", "0.00", "0.00", 0L, 0L, -1L))
+      for (v <- vs) {
+        val cs = BigDecimal(st.cs) + BigDecimal(v) - BigDecimal("55.00")
+        val mn = BigDecimal(st.mn).min(cs)
+        val ph = cs - mn
+        st = CusumState(key, cs.toString, mn.toString,
+          BigDecimal(st.maxPh).max(ph).toString, st.nPts + 1,
+          st.nAlarms + (if (ph > BigDecimal("500.00")) 1 else 0),
+          if (st.firstAlarm >= 0) st.firstAlarm
+          else if (ph > BigDecimal("500.00")) st.nPts + 1 else -1L)
+      }
+      st
+    }
+    val all = cold ++ hot
+    for (key <- Seq("hot", "cold_a", "cold_b")) {
+      val exp = naive(key, all.filter(_._1 == key).sortBy(r => (r._2, r._3))
+        .map(_._4))
+      assert(got(key) == exp, s"$key: iterator fold != naive fold")
+    }
+    assert(got("hot").nPts == 50004L) // prior 4 + this batch's 50k
+  }
 }
