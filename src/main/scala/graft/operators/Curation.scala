@@ -44,10 +44,16 @@ object Curation {
               "acc + (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1001) - 500)"))
           .filter(col("score_num") > 0L)
           .select("doc_id", "source", "text")
-        // 2. exact dedup: min doc_id per content hash (d01)
-        val w1 = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-        val dedup = surv1.withColumn("rk", row_number().over(w1))
-          .filter(col("rk") === 1).drop("rk")
+        // 2. exact dedup: min doc_id per content hash (d01). The keeper
+        // set is a groupBy with map-side partial min — boilerplate content
+        // repeated 10^9x collapses on the map side instead of landing as
+        // one window partition's single-task sort — then a semi-join on
+        // the unique doc_id brings the surviving rows back.
+        val keep1 = surv1
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val dedup = surv1.join(keep1, Seq("doc_id"), "left_semi")
         // 3. decontamination vs the src19 benchmark slice (d11): the
         // benchmark shingle set is fixed (all src19 docs), broadcast to
         // the survivor shingles; contaminated >= 5% overlap is dropped,
@@ -181,12 +187,17 @@ object Curation {
           .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .withColumn("maxabs", expr(
             "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+          // greatest(maxabs, 1e-30) guards the all-zero embedding: without
+          // it the divide yields NaN codes that cast to NULL, and the
+          // null-skipping least/greatest gates below would report the
+          // degenerate row as in-range
           .withColumn("q", expr(
-            "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))"))
+            "transform(xd, x -> CAST(floor(x * 127.0D / greatest(maxabs, 1e-30D)) AS BIGINT))"))
           .withColumn("qmin", expr(
             "aggregate(q, CAST(127 AS BIGINT), (a, v) -> least(a, v))"))
           .withColumn("qmax", expr(
             "aggregate(q, CAST(-128 AS BIGINT), (a, v) -> greatest(a, v))"))
+          .withColumn("q_has_null", expr("exists(q, v -> v IS NULL)"))
         // index layout: band-0 bucket key per survivor
         val layout = quant
           .join(bands.filter(col("band") === 0)
@@ -194,7 +205,8 @@ object Curation {
         val buckets = layout.groupBy("bucket").agg(count(lit(1)).as("bn"))
         layout.agg(
           count(lit(1)).as("n_kept"),
-          (min(col("qmin")) >= -128L && max(col("qmax")) <= 127L)
+          (min(col("qmin")) >= -128L && max(col("qmax")) <= 127L &&
+            max(col("q_has_null").cast(IntegerType)) === 0)
             .as("codes_in_range"))
           .crossJoin(broadcast(e.agg(count(lit(1)).as("n_in"))))
           .crossJoin(broadcast(removed.agg(count(lit(1)).as("n_removed"))))

@@ -128,6 +128,13 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       "a global-order window snuck into the curation chain")
     assert(!p.contains("CartesianProduct"), "unbounded cross join")
+    // exactly the two per-source windows (quota pick + packing offset) may
+    // remain; a third means exact-dedup regressed from the d01 min-per-hash
+    // aggregate back to a single-task window sort on the content-hash
+    // hot key
+    val windows = """\(\d+\) Window\b""".r.findAllIn(p).length
+    assert(windows == 2,
+      s"expected 2 per-source windows, got $windows — exact dedup must stay an aggregate")
   }
 
   test("t15: hashed classifier is a pure projection (no exchange before sort)") {
