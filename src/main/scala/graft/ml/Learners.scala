@@ -13,6 +13,10 @@ package graft.ml
 trait ModelState extends Serializable {
   var n: Long = 0L          // points fitted
   var cumLoss: Double = 0.0 // prequential cumulative loss
+  /** Global-model round this replica was seeded from (SSP staleness
+    * accounting — see [[SSP]]); 0 for models outside a training round.
+    */
+  var seedRound: Long = 0L
   def deepCopy: ModelState
   def params: Array[Double] // flattened snapshot for QueryResponse
   /** Whether the full merge-relevant state has a flat wire form (so shipped
@@ -39,7 +43,7 @@ trait ModelState extends Serializable {
     */
   def wireDim: Int = -1
   protected def copyCountersFrom(o: ModelState): this.type = {
-    n = o.n; cumLoss = o.cumLoss; this
+    n = o.n; cumLoss = o.cumLoss; seedRound = o.seedRound; this
   }
 }
 

@@ -24,7 +24,10 @@ final case class ParamBlock(
     /** Fallback for models with no flat wire form (HT's tree, K-means'
       * init buffer) — SingleLearner-forced, so at most one such replica
       * ever ships. */
-    whole: Option[ModelState])
+    whole: Option[ModelState],
+    /** Global-model round the replica was seeded from — rides the wire so
+      * SSP's merge-side staleness gate sees it after reassembly. */
+    seedRound: Long = 0L)
 
 object ModelWire {
 
@@ -32,14 +35,16 @@ object ModelWire {
   def chunk(m: ModelState, maxMsgParams: Int, replica: Int): Seq[ParamBlock] = {
     require(maxMsgParams > 0, s"maxMsgParams must be positive: $maxMsgParams")
     if (!m.wireSupported)
-      Seq(ParamBlock(replica, 0, 1, m.wireDim, m.n, m.cumLoss, Array.empty, Some(m)))
+      Seq(ParamBlock(replica, 0, 1, m.wireDim, m.n, m.cumLoss, Array.empty,
+        Some(m), m.seedRound))
     else {
       val ps = m.wireParams
       val groups =
         if (ps.isEmpty) Seq(Array.empty[Double])
         else ps.grouped(maxMsgParams).toSeq
       groups.zipWithIndex.map { case (g, i) =>
-        ParamBlock(replica, i, groups.length, m.wireDim, m.n, m.cumLoss, g, None)
+        ParamBlock(replica, i, groups.length, m.wireDim, m.n, m.cumLoss, g,
+          None, m.seedRound)
       }
     }
   }
@@ -61,6 +66,7 @@ object ModelWire {
       }
       m.n = sorted.head.n
       m.cumLoss = sorted.head.cumLoss
+      m.seedRound = sorted.head.seedRound
       m
     }
 }

@@ -10,9 +10,11 @@ package graft.ml
   * every round each partition trains a replica seeded from the global model,
   * then the protocol decides how replicas fold into the next global.
   * Semantic deltas vs the reference (documented, per SURVEY §2.6):
-  * Asynchronous/SSP collapse onto Synchronous averaging at round boundaries;
-  * GM/FGM keep their communication-skipping semantics via the drift
-  * threshold (replicas that moved less than the threshold don't ship).
+  * Asynchronous collapses onto Synchronous averaging at round boundaries;
+  * SSP keeps a REAL staleness bound (workers read globals up to s rounds
+  * stale, over-stale updates are skip-merged — see [[SSP]]); GM/FGM keep
+  * their communication-skipping semantics via the drift threshold
+  * (replicas that moved less than the threshold don't ship).
   */
 /** `blocks` counts maxMsgParams-bounded parameter blocks shipped to the
   * merge (see [[ModelWire]]) — the reference's message count, not a round
@@ -57,10 +59,41 @@ case object Synchronous extends Protocol { def name = "Synchronous" }
   */
 case object Asynchronous extends Protocol { def name = "Asynchronous" }
 
-/** Stale-synchronous parallel: with bounded staleness s, a round boundary is
-  * a full synchronization — identical here to Synchronous. Documented delta.
+/** Stale-synchronous parallel with a REAL staleness bound s (reference
+  * MLNodeGenerator.scala:26-64): workers may compute on a global model up
+  * to s rounds behind the freshest view (the Trainer seeds partition pid
+  * from the global of round r-1-(pid mod (s+1)) — deterministic
+  * heterogeneity inside the bound), and the merge ADMITS ONLY replicas
+  * within s rounds of the round frontier — an over-stale straggler's
+  * update is skip-merged exactly like a non-drifted GM replica, because
+  * the reference's SSP would have blocked that worker before it produced
+  * one. s = 0 collapses to Synchronous (every worker reads the freshest
+  * global, nothing can be stale); s = MaxValue is the asynchronous limit
+  * (any staleness admitted).
   */
-case object SSP extends Protocol { def name = "SSP" }
+final case class SSP(s: Int) extends Protocol {
+  def name = "SSP"
+  override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats,
+      totalReplicas: Long = -1L): ModelState = {
+    val frontier = if (replicas.isEmpty) 0L else replicas.map(_.seedRound).max
+    val admitted = replicas.filter(r => frontier - r.seedRound <= s.toLong)
+    if (admitted.isEmpty) prev match {
+      // all replicas over-stale: global advances by zero, with zeroed
+      // per-round counters (same double-count hazard as DriftGated)
+      case Some(pm) =>
+        val keep = pm.deepCopy
+        keep.n = 0L
+        keep.cumLoss = 0.0
+        keep
+      case None => learner.merge(admitted, prev)
+    } else {
+      stats.modelsShipped += admitted.length
+      stats.bytesShipped += admitted.map(_.params.length.toLong * 8L).sum
+      learner.merge(admitted, prev)
+    }
+  }
+}
 
 case object CentralizedTraining extends Protocol {
   def name = "CentralizedTraining"
@@ -155,7 +188,7 @@ object Protocols {
   def create(name: String, hp: Map[String, Double] = Map.empty): Protocol = name match {
     case "Synchronous" => Synchronous
     case "Asynchronous" => Asynchronous
-    case "SSP" => SSP
+    case "SSP" => SSP(hp.getOrElse("staleness", 1.0).toInt)
     case "CentralizedTraining" => CentralizedTraining
     case "SingleLearner" => SingleLearner
     case "EASGD" => EASGD(hp.getOrElse("alpha", 0.5))

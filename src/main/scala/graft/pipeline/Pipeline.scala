@@ -113,16 +113,48 @@ object Trainer {
       // Log-depth tree merge applies when the protocol is a plain weighted
       // average (Synchronous family), the learner's pairwise merge is
       // associative, and there are enough partitions that a driver collect
-      // of W models would be the bottleneck (SCALE.md).
+      // of W models would be the bottleneck (SCALE.md). SSP qualifies: its
+      // merge is the same average, and in-fit no replica can exceed the
+      // staleness bound (seeding clamps lag to s), so the admit-all tree
+      // fold coincides with SSP.aggregate.
       val useTreeMerge =
         Set("Synchronous", "Asynchronous", "SSP").contains(protocol.name) &&
           learner.mergeIsAssociative &&
           tdata.getNumPartitions > spec.treeMergeThreshold
 
-      for (_ <- 1 to spec.rounds) {
-        val bcGlobal = sc.broadcast(global)
+      // SSP's bounded-stale reads: keep a window of recent globals,
+      // recent(k) = global after round (r-1-k), newest first. Partition pid
+      // reads lag pid mod (s+1) — deterministic worker-progress
+      // heterogeneity inside the bound; s=0 degenerates to everyone
+      // reading the freshest global (Synchronous). Window size is
+      // min(s, W-1)+1 models of driver memory — the price of simulating
+      // stale reads on a round engine; production s is small.
+      val sspS: Option[Int] = protocol match {
+        case SSP(s) => Some(s)
+        case _ => None
+      }
+      val numParts = tdata.getNumPartitions
+      val histCap = sspS
+        .map(s => math.min(s.toLong, (numParts - 1).toLong).toInt + 1)
+        .getOrElse(1)
+      val recent = mutable.ArrayDeque[Option[ModelState]](None)
+
+      for (r <- 1 to spec.rounds) {
+        val bcSeeds = sc.broadcast(recent.toIndexedSeq)
+        val sBound = sspS.getOrElse(0)
+        val freshRound = r - 1 // round of the freshest global in the window
         val replRdd = tdata.mapPartitions { it =>
-          val m = bcGlobal.value.map(_.deepCopy).getOrElse(learner.init(dim))
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val lag =
+            if (sBound <= 0) 0
+            else {
+              // pid < numParts, so s >= numParts-1 (incl. MaxValue) means
+              // the modulus never bites — skip it to dodge s+1 overflow
+              val want = if (sBound >= numParts - 1) pid else pid % (sBound + 1)
+              math.min(want, bcSeeds.value.length - 1)
+            }
+          val m = bcSeeds.value(lag).map(_.deepCopy).getOrElse(learner.init(dim))
+          m.seedRound = (freshRound - lag).toLong
           m.n = 0L; m.cumLoss = 0.0 // per-round counters; totals tracked outside
           val ring = new Array[(Array[Double], Double)](testCap)
           var ringSize = 0; var ringPos = 0; var cnt = 0L
@@ -169,7 +201,7 @@ object Trainer {
             val collected = replRdd.mapPartitions { it =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
               it.flatMap { m =>
-                if (protocol.ships(m, bcGlobal.value))
+                if (protocol.ships(m, bcSeeds.value.head))
                   ModelWire.chunk(m, maxP, pid).iterator.map(Option(_))
                 else Iterator.single(Option.empty[ParamBlock])
               }
@@ -192,6 +224,10 @@ object Trainer {
           global = Some(merged)
           curve += evaluate(sc, tdata, learner, global.get, testCap)._1
         }
+        // advance the stale-read window even on a no-merge round, so
+        // recent(k) stays aligned with "global after round r-k"
+        recent.prepend(global)
+        while (recent.length > histCap) recent.removeLast()
       }
       val model = global.getOrElse(learner.init(dim))
       val (testLoss, score) = evaluate(sc, tdata, learner, model, testCap)

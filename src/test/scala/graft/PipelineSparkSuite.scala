@@ -188,6 +188,48 @@ class PipelineSparkSuite extends AnyFunSuite {
       s"fitted-count inflation: ${fitted.model.n} vs ${oneRound.model.n}")
   }
 
+  test("SSP(0) is bit-identical to Synchronous; the async limit diverges but converges") {
+    val data = spark.sparkContext.parallelize(synthetic(6000, 5, 303L), 6)
+    def run(proto: String, hp: Map[String, Double] = Map.empty) =
+      Trainer.fit(spark, PipelineSpec(43, "PA", Map("C" -> 0.01), Nil, proto,
+        protocolHp = hp, rounds = 4), data)
+    val sync = run("Synchronous")
+    val ssp0 = run("SSP", Map("staleness" -> 0.0))
+    assert(ssp0.model.params.sameElements(sync.model.params),
+      "SSP(0) must be exactly Synchronous — every worker reads the freshest global")
+    assert(ssp0.score == sync.score && ssp0.model.n == sync.model.n)
+    // staleness -> infinity is the asynchronous limit: worker pid reads a
+    // model pid rounds stale; the trajectory must actually differ from
+    // Synchronous yet still converge on this separable problem
+    val sspInf = run("SSP", Map("staleness" -> Int.MaxValue.toDouble))
+    assert(!sspInf.model.params.sameElements(sync.model.params),
+      "unbounded staleness did not change the trajectory — stale reads are not wired in")
+    assert(sync.score >= 0.85, s"sync score ${sync.score}")
+    assert(sspInf.score >= 0.85, s"async-limit SSP score ${sspInf.score}")
+  }
+
+  test("SSP merge admits only replicas within s rounds of the frontier") {
+    val learner = Learners.create("PA", Map.empty)
+    def replica(seed: Long, w0: Double): ModelState = {
+      val m = new LinearModel(Array(w0, 0.0), 0.0)
+      m.n = 1; m.seedRound = seed; m
+    }
+    val stats = ProtocolStats()
+    // replicas seeded at rounds 5, 5, 2 with s=1: the round-2 replica is
+    // 3 rounds behind the frontier and must not contribute
+    val merged = SSP(1).aggregate(
+      Seq(replica(5, 1.0), replica(5, 3.0), replica(2, 100.0)),
+      None, learner, stats)
+    assert(math.abs(merged.params(0) - 2.0) < 1e-12,
+      s"over-stale replica leaked into the merge: w0=${merged.params(0)}")
+    assert(stats.modelsShipped == 2)
+    // no admissible replica at all: the global survives with zeroed
+    // per-round counters (no fitted-count inflation)
+    val prev = replica(5, 7.0); prev.n = 42
+    val kept = SSP(0).aggregate(Seq.empty, Some(prev), learner, stats)
+    assert(kept.params(0) == 7.0 && kept.n == 0L)
+  }
+
   test("maxMsgParams: big models ship in ceil(params/2000) blocks, weights unchanged") {
     // ml05 shape: MultiClassPA over PolynomialFeatures(64 dims) -> >21k
     // params per replica, far beyond the reference's 2000-param message cap
