@@ -469,6 +469,50 @@ class StreamingSuite extends AnyFunSuite {
     assert(out2.head.info.startsWith("fitted=2,"))
   }
 
+  test("transformWithState checkpoint survives adding a state field (avro evolution)") {
+    // The documented fMGWS limitation is that SpokeState cannot gain a
+    // field without abandoning the checkpoint; TwsSpoke is the fix path.
+    // This gate proves the transformWithState + avro-encoding combination
+    // actually reopens a PRE-EVOLUTION checkpoint after the state case
+    // class grows an Option field, carrying old counts forward.
+    val spark = TestSession.spark
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_twsevo_").toString
+    def stage(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => EvoRec(i % 4, i.toLong)).toDS()
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    def run(proc: org.apache.spark.sql.streaming.StatefulProcessor[Int, EvoRec, EvoOut])
+        : Unit = {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val src = s2.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EvoRec]].schema)
+        .parquet(s"$dir/data").as[EvoRec]
+      // file sink, not memory: the memory sink refuses checkpoint recovery,
+      // and reopening the checkpoint is the whole point of this gate
+      val q = src.groupByKey(_.k)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/_ckpt").start()
+      q.processAllAvailable(); q.stop()
+    }
+    stage(0, 40)
+    run(new EvoProcV1) // checkpoint written with EvoStateV1
+    stage(40, 60)
+    run(new EvoProcV2) // same checkpoint, evolved state
+    val out = s2.read.parquet(s"$dir/out").as[EvoOut].collect()
+    for (k <- 0 until 4) {
+      val last = out.filter(_.k == k).maxBy(_.cnt)
+      assert(last.cnt == 15L,
+        s"key $k: pre-evolution count lost on reopen — got ${last.cnt}")
+      assert(last.maxSeq == 56L + k, s"key $k: maxSeq ${last.maxSeq}")
+    }
+  }
+
   test("st26 cusumFold survives one dominant key and matches a naive fold") {
     import graft.operators.{CusumState, StreamOps}
     def bd(i: Int) = new java.math.BigDecimal(s"${50 + (i % 23)}.0${i % 10}")
@@ -506,5 +550,53 @@ class StreamingSuite extends AnyFunSuite {
       assert(got(key) == exp, s"$key: iterator fold != naive fold")
     }
     assert(got("hot").nPts == 50004L) // prior 4 + this batch's 50k
+  }
+}
+
+// --- transformWithState schema-evolution fixtures (top-level: Spark must
+// serialize the processors and encode the case classes) ---
+
+case class EvoRec(k: Int, seq: Long)
+case class EvoStateV1(cnt: Long)
+/** V1 + one Option field — the exact "state gained a field" shape the
+  * fMGWS SpokeState cannot survive; avro-encoded tws state must.
+  */
+case class EvoStateV2(cnt: Long, maxSeq: Option[Long])
+case class EvoOut(k: Int, cnt: Long, maxSeq: Long)
+
+class EvoProcV1
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, EvoRec, EvoOut] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var st: ValueState[EvoStateV1] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[EvoStateV1]("cnt",
+      Encoders.product[EvoStateV1], TTLConfig.NONE)
+  override def handleInputRows(key: Int, rows: Iterator[EvoRec],
+      timerValues: TimerValues): Iterator[EvoOut] = {
+    val c = (if (st.exists()) st.get().cnt else 0L) + rows.size
+    st.update(EvoStateV1(c))
+    Iterator.single(EvoOut(key, c, -1L))
+  }
+}
+
+class EvoProcV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, EvoRec, EvoOut] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var st: ValueState[EvoStateV2] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[EvoStateV2]("cnt",
+      Encoders.product[EvoStateV2], TTLConfig.NONE)
+  override def handleInputRows(key: Int, rows: Iterator[EvoRec],
+      timerValues: TimerValues): Iterator[EvoOut] = {
+    val prev = if (st.exists()) Some(st.get()) else None
+    var c = prev.map(_.cnt).getOrElse(0L)
+    var mx = prev.flatMap(_.maxSeq).getOrElse(-1L)
+    rows.foreach { r => c += 1; mx = math.max(mx, r.seq) }
+    st.update(EvoStateV2(c, Some(mx)))
+    Iterator.single(EvoOut(key, c, mx))
   }
 }
