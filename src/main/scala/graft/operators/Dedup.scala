@@ -95,6 +95,12 @@ object Dedup {
     * 100TB-graph scale the loop becomes large-star/small-star contraction
     * (O(log n) rounds of the same join/agg primitives) — see SCALE.md.
     */
+  /** Rounds the last [[connectedComponents]] call took to converge
+    * (driver-side telemetry: the number is the graph diameter + 1, the
+    * quantity that decides label-prop vs star-contraction — see SCALE.md).
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
@@ -103,6 +109,7 @@ object Dedup {
       .withColumn("label", col("node"))
     var prevSig = -1L
     var converged = false
+    var rounds = 0
     while (!converged) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
@@ -113,7 +120,9 @@ object Dedup {
       val sig = labels.agg(sum(col("label"))).head().getLong(0)
       converged = sig == prevSig
       prevSig = sig
+      rounds += 1
     }
+    lastCcRounds = rounds
     labels
   }
 

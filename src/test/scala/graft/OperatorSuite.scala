@@ -22,6 +22,9 @@ class OperatorSuite extends AnyFunSuite {
     assert((0L to 40L).forall(labels(_) == 0L))
     assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
     assert(Seq(200L, 201L).forall(labels(_) == 200L))
+    // rounds telemetry = diameter + 1 (the last round only detects the
+    // stable signature); the d06-vs-d09 algorithm choice reads this
+    assert(Dedup.lastCcRounds == 41, s"rounds=${Dedup.lastCcRounds}")
   }
 
   test("large-star/small-star CC agrees with label propagation on random graphs") {
