@@ -35,63 +35,162 @@ object MLOps {
   private def binary(df: DataFrame): DataFrame =
     df.withColumn("target", when(col("target") >= 5.0, 1.0).otherwise(-1.0))
 
-  /** Train one pipeline and emit its chunked QueryResponses as rows. */
+  /** Train one pipeline and emit its chunked QueryResponses as HASH-GATED
+    * rows (the ml12/d18 boolean-invariant pattern): chunk layout, pipeline
+    * identity, protocol resolution, and exact parameter counts are
+    * oracle-reproduced from the data's dimensionality alone, and the
+    * floating outputs are gated — the fitted count must sit inside the
+    * exact window the per-partition 2-of-10 held-out ring implies, the
+    * cumulative loss must be finite and non-negative, and the score must be
+    * a valid probability (classifiers) / non-positive finite (regressors,
+    * clustering). A broken merge, a dropped replica, a mis-resolved
+    * protocol, or a wrong preprocessor output dimension each flip a column
+    * the driver hashes.
+    */
   private def trainOp(name: String, spec: PipelineSpec,
-      prep: DataFrame => DataFrame = identity): Op =
+      prep: DataFrame => DataFrame = identity,
+      oracle: Option[String] = None): Op =
     Op(name, (s, d) => {
+      val df = prep(features(s, d))
+      val fitted = Trainer.fit(s, spec, toRdd(df))
+      val n = df.count()
+      val parts =
+        if (Set("SingleLearner", "CentralizedTraining")(fitted.protocolName)) 1
+        else 8
+      // every round fits at most all n rows; the held-out ring parks at
+      // most 256 rows per partition, and round 1 always ships (no prev to
+      // drift against), so the total can never fall below n - parts*256
+      val fittedOk = fitted.model.n >= math.max(1L, n - parts.toLong * 256L) &&
+        fitted.model.n <= spec.rounds.toLong * n
+      val cl = fitted.model.cumLoss
+      val lossOk = !cl.isNaN && !cl.isInfinite && cl >= 0.0
+      val sc = fitted.score
+      val scoreOk =
+        if (fitted.learner.isClassifier) sc >= 0.0 && sc <= 1.0
+        else !sc.isNaN && !sc.isInfinite && sc <= 0.0
       import s.implicits._
-      val fitted = Trainer.fit(s, spec, toRdd(prep(features(s, d))))
       fitted.responses(requestId = 1L).toDF()
-        .select(col("responseId"), col("id"), col("mlpId"), col("learner"),
-          col("protocol"), col("dataFitted"), col("loss"), col("cumulativeLoss"),
-          col("score"), col("paramsCount"))
-        .orderBy("id")
-    })
+        .select(col("id").as("chunk_id"), col("mlpId").as("pipeline_id"),
+          col("learner"), col("protocol"),
+          col("paramsCount").cast(LongType).as("params_count"))
+        .withColumn("n_points", lit(n))
+        .withColumn("fitted_in_bounds", lit(fittedOk))
+        .withColumn("loss_valid", lit(lossOk))
+        .withColumn("score_valid", lit(scoreOk))
+        .orderBy("chunk_id")
+    }, oracle)
+
+  /** Oracle for a single-chunk [[trainOp]]: every column derived from the
+    * embeddings table's dimensionality (`paramsOfD` is a SQL expression in
+    * `d`, the feature dim) — the engine's training result must land on
+    * exactly this identity row or the hash gate fails.
+    */
+  private def trainOracle(pipelineId: Int, learner: String, protocol: String,
+      paramsOfD: String): String =
+    s"""WITH p AS (SELECT MAX(len(embedding)) AS d, COUNT(*) AS n FROM embeddings)
+       |SELECT CAST(0 AS INTEGER) AS chunk_id,
+       |  CAST($pipelineId AS INTEGER) AS pipeline_id,
+       |  '$learner' AS learner, '$protocol' AS protocol,
+       |  CAST($paramsOfD AS BIGINT) AS params_count,
+       |  CAST(n AS BIGINT) AS n_points, true AS fitted_in_bounds,
+       |  true AS loss_valid, true AS score_valid
+       |FROM p""".stripMargin
 
   val ops: Seq[Op] = Seq(
     trainOp("ml01_pa_train",
       PipelineSpec(1, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous"),
-      binary),
+      binary,
+      Some(trainOracle(1, "PA", "Synchronous", "d + 1"))),
     trainOp("ml02_regressorpa_train",
       PipelineSpec(2, "RegressorPA", Map("C" -> 0.01, "epsilon" -> 0.1),
-        Seq("MinMaxScaler"), "EASGD")),
+        Seq("MinMaxScaler"), "EASGD"),
+      oracle = Some(trainOracle(2, "RegressorPA", "EASGD", "d + 1"))),
     trainOp("ml03_orr_train",
-      PipelineSpec(3, "ORR", Map("lambda" -> 1.0), Nil, "Synchronous")),
+      PipelineSpec(3, "ORR", Map("lambda" -> 1.0), Nil, "Synchronous"),
+      oracle = Some(trainOracle(3, "ORR", "Synchronous", "d + 1"))),
     trainOp("ml04_svm_train",
       PipelineSpec(4, "SVM", Map("lambda" -> 1e-4), Seq("StandardScaler"), "FGM"),
-      binary),
-    // PolynomialFeatures blows 64 dims to 2144; k=10 classes => >21k params,
-    // exercising the 10k-entry QueryResponse chunking (FlinkNetwork.scala:50).
+      binary,
+      Some(trainOracle(4, "SVM", "FGM", "d + 1"))),
+    // PolynomialFeatures blows 64 dims to 2144 (+bias per class); k=10
+    // classes => 21450 params, exercising the 10k-entry QueryResponse
+    // chunking (FlinkNetwork.scala:50) — the oracle reproduces the exact
+    // 10000/10000/1450 chunk layout from the data's dimensionality.
     trainOp("ml05_multiclasspa_train",
       PipelineSpec(5, "MultiClassPA", Map("C" -> 0.01, "classes" -> 10.0),
-        Seq("PolynomialFeatures"), "Asynchronous")),
+        Seq("PolynomialFeatures"), "Asynchronous"),
+      oracle = Some(
+        """WITH p AS (SELECT MAX(len(embedding)) AS d, COUNT(*) AS n FROM embeddings),
+          |t AS (SELECT (2*d + d*(d-1)/2 + 1) * 10 AS tot, n FROM p),
+          |c AS (SELECT UNNEST(range(0, CAST(CEIL(tot / 10000.0) AS INTEGER))) AS cid,
+          |        tot, n FROM t)
+          |SELECT CAST(cid AS INTEGER) AS chunk_id,
+          |  CAST(5 AS INTEGER) AS pipeline_id,
+          |  'MultiClassPA' AS learner, 'Asynchronous' AS protocol,
+          |  CAST(CASE WHEN (cid+1)*10000 <= tot THEN 10000
+          |            ELSE tot - cid*10000 END AS BIGINT) AS params_count,
+          |  CAST(n AS BIGINT) AS n_points, true AS fitted_in_bounds,
+          |  true AS loss_valid, true AS score_valid
+          |FROM c ORDER BY chunk_id""".stripMargin)),
+    // K-means is SingleLearner-FORCED (reference FlinkSpoke.scala:203-211):
+    // the oracle pins the resolved protocol, not the requested one.
     trainOp("ml06_kmeans_train",
-      PipelineSpec(6, "K-means", Map("k" -> 8.0), Nil, "Asynchronous")),
+      PipelineSpec(6, "K-means", Map("k" -> 8.0), Nil, "Asynchronous"),
+      oracle = Some(trainOracle(6, "K-means", "SingleLearner", "8 * d"))),
     trainOp("ml07_nn_train",
       PipelineSpec(7, "NN", Map("hidden" -> 16.0, "classes" -> 10.0, "lr" -> 0.05),
-        Seq("StandardScaler"), "SSP")),
+        Seq("StandardScaler"), "SSP"),
+      oracle = Some(trainOracle(7, "NN", "SSP", "(d + 1) * 16 + 17 * 10"))),
+    // HT stays rows-only: its params snapshot is the grown tree, whose size
+    // is structural state, not a function of the input dimensionality.
     trainOp("ml08_ht_train",
       PipelineSpec(8, "HT", Map("classes" -> 10.0, "grace" -> 50.0), Nil,
         "Asynchronous")),
     // ------------------------------------------------------------------
     // Training at the largest fixture volume (600k lineitem rows at sf0.1):
     // demonstrates the ingest+train path at scale, not learner quality.
+    // Hash-gated like the trainOps: identity/layout exact from lineitem's
+    // row count and the 4 engineered features, floats gated.
     Op("ml11_volume_train", (s, d) => {
       import s.implicits._
       val df = T.lineitem(s, d).select(
         array(col("l_quantity"), col("l_extendedprice") / lit(1000.0),
           col("l_discount") * lit(10.0), col("l_tax") * lit(10.0)).as("features"),
         when(col("l_returnflag") === "R", 1.0).otherwise(-1.0).as("target"))
+      val rdd = df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
       val fitted = Trainer.fit(s,
         PipelineSpec(12, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous",
           rounds = 2),
-        df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1))))
+        rdd)
+      val n = df.count()
+      val parts = rdd.getNumPartitions.toLong // file-split-derived, engine-side
+      val fittedOk = fitted.model.n >= math.max(1L, n - parts * 256L) &&
+        fitted.model.n <= 2L * n
+      val cl = fitted.model.cumLoss
+      val lossOk = !cl.isNaN && !cl.isInfinite && cl >= 0.0
+      val scoreOk = fitted.score >= 0.0 && fitted.score <= 1.0
+      // the resolved protocol depends on the scan's split count (one
+      // parquet split forces CentralizedTraining, reference rule) — gate
+      // it as "a legal resolution of Synchronous" instead of pinning one
+      val protocolOk = Set("Synchronous", "CentralizedTraining")(
+        fitted.protocolName)
       fitted.responses(requestId = 2L).toDF()
-        .select(col("responseId"), col("id"), col("mlpId"), col("learner"),
-          col("protocol"), col("dataFitted"), col("loss"), col("cumulativeLoss"),
-          col("score"), col("paramsCount"))
-        .orderBy("id")
-    }),
+        .select(col("id").as("chunk_id"), col("mlpId").as("pipeline_id"),
+          col("learner"),
+          col("paramsCount").cast(LongType).as("params_count"))
+        .withColumn("protocol_valid", lit(protocolOk))
+        .withColumn("n_points", lit(n))
+        .withColumn("fitted_in_bounds", lit(fittedOk))
+        .withColumn("loss_valid", lit(lossOk))
+        .withColumn("score_valid", lit(scoreOk))
+        .orderBy("chunk_id")
+    },
+      Some("""SELECT CAST(0 AS INTEGER) AS chunk_id,
+        |  CAST(12 AS INTEGER) AS pipeline_id, 'PA' AS learner,
+        |  CAST(5 AS BIGINT) AS params_count, true AS protocol_valid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points, true AS fitted_in_bounds,
+        |  true AS loss_valid, true AS score_valid
+        |FROM lineitem""".stripMargin)),
     // ------------------------------------------------------------------
     Op("ml09_predictions", (s, d) => {
       val df = binary(features(s, d))
@@ -101,6 +200,16 @@ object MLOps {
       fitted.predict(s, df).orderBy("id")
     }),
     // ------------------------------------------------------------------
+    // Hash-gated hub statistics: every communication counter is EXACTLY
+    // reproduced by the oracle from the data's dimensionality alone —
+    // Synchronous ships all 8 replicas for all 3 rounds (24 models,
+    // 24·(d+1)·8 bytes, 24 one-block payloads); GM-over-ORR also ships 24
+    // (an RLS replica that saw data always drifts past threshold 0), but
+    // its wire form is the information state (2(d+1)² + 2(d+1) doubles),
+    // so the oracle derives the 5-blocks-per-replica chunk count the
+    // maxMsgParams cap implies. A protocol that over- or under-ships, a
+    // wire format that grows or shrinks, or a chunker regression all land
+    // on different integers and fail the hash.
     Op("ml10_job_statistics", (s, d) => {
       import s.implicits._
       val df = features(s, d)
@@ -108,12 +217,40 @@ object MLOps {
         PipelineSpec(1, "PA", Map("C" -> 0.01), Nil, "Synchronous"), toRdd(binary(df)))
       val p2 = Trainer.fit(s,
         PipelineSpec(2, "ORR", Map("lambda" -> 1.0), Nil, "GM"), toRdd(df))
-      Seq(p1.statistics, p2.statistics).toDF()
-        .select(col("pipelineId"), col("protocol"), col("modelsShipped"),
-          col("bytesShipped"), col("blocks"), col("fitted"),
-          size(col("learningCurve")).as("curve_len"), col("score"))
-        .orderBy("pipelineId")
-    }),
+      val n = df.count()
+      def gates(f: FittedPipeline, classifier: Boolean): (Boolean, Boolean) = {
+        val fittedOk = f.model.n >= math.max(1L, n - 8L * 256L) &&
+          f.model.n <= 3L * n
+        val scoreOk =
+          if (classifier) f.score >= 0.0 && f.score <= 1.0
+          else !f.score.isNaN && !f.score.isInfinite && f.score <= 0.0
+        (fittedOk, scoreOk)
+      }
+      val (f1, s1) = gates(p1, classifier = true)
+      val (f2, s2) = gates(p2, classifier = false)
+      Seq((p1.statistics, f1, s1), (p2.statistics, f2, s2))
+        .map { case (st, fOk, sOk) =>
+          (st.pipelineId, st.protocol, st.modelsShipped, st.bytesShipped,
+            st.blocks, st.learningCurve.size, fOk, sOk)
+        }
+        .toDF("pipeline_id", "protocol", "models_shipped", "bytes_shipped",
+          "blocks", "curve_len", "fitted_in_bounds", "score_valid")
+        .orderBy("pipeline_id")
+    },
+      Some("""WITH p AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+        |x AS (SELECT d + 1 AS dp, 2*(d+1)*(d+1) + 2*(d+1) AS wire FROM p)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS pipeline_id, 'Synchronous' AS protocol,
+        |    CAST(24 AS BIGINT) AS models_shipped,
+        |    CAST(24 * dp * 8 AS BIGINT) AS bytes_shipped,
+        |    CAST(24 AS BIGINT) AS blocks, CAST(3 AS INTEGER) AS curve_len,
+        |    true AS fitted_in_bounds, true AS score_valid FROM x
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), 'GM', CAST(24 AS BIGINT),
+        |    CAST(24 * dp * 8 AS BIGINT),
+        |    CAST(24 * CAST(CEIL(wire / 2000.0) AS BIGINT) AS BIGINT),
+        |    CAST(3 AS INTEGER), true, true FROM x)
+        |ORDER BY pipeline_id""".stripMargin)),
     // ------------------------------------------------------------------
     // Hash-gated K-means invariants (the q42/t10 boolean pattern on the
     // iterative surface): the oracle reproduces the exact point count; the
