@@ -23,13 +23,31 @@ object Relational2 {
     * key would silently reuse them).
     */
   private[graft] def fixtureTag(d: String): String = {
-    val files = Option(new java.io.File(d).listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+    // Files.walk (not listFiles): a directory-per-table layout nests the
+    // parquet parts one level down, and an empty fingerprint would silently
+    // degrade to a path-only tag — the stale-cache bug this exists to stop.
+    val root = java.nio.file.Paths.get(d)
+    val files =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val walk = java.nio.file.Files.walk(root, 2)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p))
+            .map(p => (root.relativize(p).toString,
+              java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+            .toSeq.sortBy(_._1)
+        } finally walk.close()
+      }
+    require(files.nonEmpty,
+      s"fixtureTag: no parquet files under $d — refusing a path-only tag " +
+        "(it would serve stale cached artifacts for a regenerated fixture)")
+    val sig = files.map { case (n, sz, mt) => s"$n:$sz:$mt" }.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$files".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   val ops: Seq[Op] = Seq(

@@ -973,10 +973,14 @@ object StreamOps {
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            // batchId-keyed path + overwrite = idempotent under foreachBatch's
+            // at-least-once contract: a replayed batch rewrites its own
+            // directory instead of double-appending partial rows (the same
+            // reason st25 keeps an idempotence ledger)
             b.groupBy("event_type")
               .agg(count(lit(1)).as("n"), sum(Num.dec2(col("value"))).as("sv"))
               .withColumn("run", lit(run))
-              .write.mode("append").parquet(s"$out/partials")
+              .write.mode("overwrite").parquet(s"$out/partials/batch=$id")
             ()
           }
           .option("checkpointLocation", s"$out/_ckpt")
