@@ -239,5 +239,85 @@ object Graph {
         |     JOIN ed e3 ON w.x = e3.src AND w.z = e3.dst) AS n_triangles"""
         .stripMargin),
     ),
+    // ------------------------------------------------------------------
+    // k-core PEELING (k=2, 3 rounds) over the deterministically-sampled
+    // co-purchase graph — the standard dense-subgraph screen (spam rings,
+    // bot cliques, coordinated duplication) before expensive per-cluster
+    // work. Each round drops nodes with degree < k and the edges touching
+    // them; a production run iterates this same primitive to the fixpoint,
+    // here three rounds are unrolled so the oracle can replay them as
+    // chained CTEs and hash-match the per-round survivor counts exactly.
+    // Scale shape per round: ONE degree aggregation (map-side partial) +
+    // two semi-joins of the edge list against the O(nodes) survivor set
+    // (broadcast when it fits, AQE decides) — no windows, no sorts, and
+    // the edge list shrinks monotonically so later rounds get cheaper.
+    Op(
+      "g03_kcore_peel",
+      (s, d) => {
+        import s.implicits._
+        val li = T.lineitem(s, d).select("l_orderkey", "l_partkey")
+        var e = li.as("l1")
+          .join(li.as("l2"), col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+          .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+          .distinct()
+          .filter(substring(md5(concat(col("a").cast("string"), lit(":"),
+            col("b").cast("string"))), 1, 1) === "0")
+          .localCheckpoint()
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+        for (round <- 1 to 3) {
+          val deg = e.select(col("a").as("n"))
+            .unionByName(e.select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+          val keep = deg.filter(col("dg") >= 2).select("n")
+          e = e
+            .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+            .localCheckpoint() // truncate the iterative lineage (d06 rule)
+          val nEdges = e.count()
+          val nNodes = e.select(col("a").as("n"))
+            .unionByName(e.select(col("b").as("n"))).distinct().count()
+          out += ((round, nNodes, nEdges))
+        }
+        out.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
+      },
+      Some {
+        def peel(k: Int): String =
+          s"""d$k AS (
+             |  SELECT n, COUNT(*) AS dg FROM (
+             |    SELECT a AS n FROM e${k - 1} UNION ALL SELECT b FROM e${k - 1})
+             |  GROUP BY n),
+             |e$k AS (
+             |  SELECT a, b FROM e${k - 1}
+             |  WHERE a IN (SELECT n FROM d$k WHERE dg >= 2)
+             |    AND b IN (SELECT n FROM d$k WHERE dg >= 2))""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT a, b FROM (
+           |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           |    FROM lineitem l1 JOIN lineitem l2
+           |      ON l1.l_orderkey = l2.l_orderkey
+           |     AND l1.l_partkey < l2.l_partkey)
+           |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+           |               1, 1) = '0'),
+           |${(1 to 3).map(peel).mkString(",\n")}
+           |SELECT CAST(r AS INTEGER) AS round, CAST(nn AS BIGINT) AS n_nodes,
+           |  CAST(ne AS BIGINT) AS n_edges
+           |FROM (
+           |  SELECT 1 AS r,
+           |    (SELECT COUNT(DISTINCT n) FROM
+           |      (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)) AS nn,
+           |    (SELECT COUNT(*) FROM e1) AS ne
+           |  UNION ALL
+           |  SELECT 2,
+           |    (SELECT COUNT(DISTINCT n) FROM
+           |      (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)),
+           |    (SELECT COUNT(*) FROM e2)
+           |  UNION ALL
+           |  SELECT 3,
+           |    (SELECT COUNT(DISTINCT n) FROM
+           |      (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)),
+           |    (SELECT COUNT(*) FROM e3))
+           |ORDER BY round""".stripMargin
+      }),
   )
 }

@@ -1006,5 +1006,80 @@ object Relational2 {
       Some("""SELECT l_returnflag, COUNT(*) AS n,
         |  true AS p50_within_eps, true AS p90_within_eps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // SCD Type-2 dimension MERGE — the warehouse upsert every nightly
+    // dimension load runs (MERGE INTO with history retention). The change
+    // batch is derived deterministically from the base dimension (keys
+    // ending %7==3 get a +100.00 balance update; %97==5 spawn a brand-new
+    // key offset by 1e6), then applied with the canonical FULL-OUTER-join
+    // classification: matched rows close their old version (is_current
+    // false) and open version 2 with the new balance; unmatched base rows
+    // stay version-1 current; not-matched-by-source rows insert as
+    // version-1 current. Decimal-exact balances keep the hash bit-stable.
+    // Scale shape: ONE shuffle join on the dimension key (the update
+    // batch broadcasts when small, AQE decides), plus a unionByName of
+    // three narrow projections — no window, no global sort except the
+    // presentation ORDER BY; at a 10^9-row dimension this is the same
+    // single-join plan Delta/Iceberg MERGE compiles to.
+    Op(
+      "q56_scd2_merge",
+      (s, d) => {
+        val base = T.customer(s, d)
+          .select(col("c_custkey").as("k"), dec2(col("c_acctbal")).as("bal"))
+        val hundred = lit(BigDecimal("100.00")).cast(DecimalType(18, 2))
+        val updates = base.filter(col("k") % 7 === 3)
+          .select(col("k"), (col("bal") + hundred).as("new_bal"))
+        val inserts = base.filter(col("k") % 97 === 5)
+          .select((col("k") + 1000000L).as("k"), hundred.as("new_bal"))
+        val changes = updates.unionByName(inserts)
+        val joined = base.join(changes, Seq("k"), "full_outer")
+        val closedOld = joined
+          .filter(col("bal").isNotNull && col("new_bal").isNotNull)
+          .select(col("k"), lit(1).as("version"),
+            col("bal").cast(DoubleType).as("acctbal"),
+            lit(false).as("is_current"))
+        val openedNew = joined
+          .filter(col("bal").isNotNull && col("new_bal").isNotNull)
+          .select(col("k"), lit(2).as("version"),
+            col("new_bal").cast(DoubleType).as("acctbal"),
+            lit(true).as("is_current"))
+        val untouched = joined
+          .filter(col("bal").isNotNull && col("new_bal").isNull)
+          .select(col("k"), lit(1).as("version"),
+            col("bal").cast(DoubleType).as("acctbal"),
+            lit(true).as("is_current"))
+        val inserted = joined
+          .filter(col("bal").isNull)
+          .select(col("k"), lit(1).as("version"),
+            col("new_bal").cast(DoubleType).as("acctbal"),
+            lit(true).as("is_current"))
+        closedOld.unionByName(openedNew).unionByName(untouched)
+          .unionByName(inserted)
+          .orderBy("k", "version")
+      },
+      Some("""WITH base AS (
+        |  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |changes AS (
+        |  SELECT k, bal + 100.00 AS new_bal FROM base WHERE k % 7 = 3
+        |  UNION ALL
+        |  SELECT k + 1000000, CAST(100.00 AS DECIMAL(18,2)) FROM base
+        |  WHERE k % 97 = 5),
+        |j AS (SELECT base.k AS bk, changes.k AS ck, bal, new_bal
+        |      FROM base FULL OUTER JOIN changes ON base.k = changes.k)
+        |SELECT COALESCE(bk, ck) AS k, CAST(v AS INTEGER) AS version,
+        |  CAST(acctbal AS DOUBLE) AS acctbal, is_current
+        |FROM (
+        |  SELECT bk, ck, 1 AS v, bal AS acctbal, false AS is_current
+        |  FROM j WHERE bal IS NOT NULL AND new_bal IS NOT NULL
+        |  UNION ALL
+        |  SELECT bk, ck, 2, new_bal, true
+        |  FROM j WHERE bal IS NOT NULL AND new_bal IS NOT NULL
+        |  UNION ALL
+        |  SELECT bk, ck, 1, bal, true
+        |  FROM j WHERE bal IS NOT NULL AND new_bal IS NULL
+        |  UNION ALL
+        |  SELECT bk, ck, 1, new_bal, true FROM j WHERE bal IS NULL)
+        |ORDER BY k, version""".stripMargin)),
   )
 }

@@ -822,5 +822,163 @@ object TextAnalysis {
         |  word_count_ok AND mean_len_ok AND alpha_ok AND sym_ok AND stop_ok
         |    AS keep
         |FROM r ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // BPE-style merge TRAINING (the tokenizer/phrase-vocab learning loop,
+    // word2phrase lineage): 3 rounds of "count every adjacent token pair
+    // across the corpus, fuse the most frequent one everywhere, repeat".
+    // Cross-engine parity scheme: the corpus rides as a separator-encoded
+    // string — U+001F around every token, so boundaries are DOUBLE
+    // separators and a pair's pattern (sep a sep sep b sep) can never
+    // match overlapping occurrences; both engines' plain replace() is
+    // left-to-right non-overlapping, which IS greedy BPE application, and
+    // the fused token keeps a U+001E joint so later rounds can merge
+    // merged tokens. Ties break (count desc, a asc, b asc) — binary
+    // collation in both engines. The per-round argmax is a 1-row driver
+    // action (control plane); everything heavy is scan + map-side-combined
+    // pair counting, so each round is one aggregation pass at any corpus
+    // size — exactly how distributed BPE trainers shard.
+    Op(
+      "t22_bpe_merge_train",
+      (s, d) => {
+        import s.implicits._
+        val SEP = "\u001f"; val JOIN = "\u001e"
+        def tokens(c: org.apache.spark.sql.Column) =
+          split(trim(c, SEP), SEP + SEP)
+        var corpus = T.documents(s, d)
+          .select(concat(lit(SEP),
+            array_join(split(col("text"), " "), SEP + SEP),
+            lit(SEP)).as("s"))
+          .persist()
+        val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+        for (round <- 1 to 3) {
+          val top = corpus.select(tokens(col("s")).as("tk"))
+            .filter(size(col("tk")) >= 2)
+            .withColumn("i", explode(expr("sequence(0, size(tk) - 2)")))
+            .select(expr("tk[i]").as("a"), expr("tk[i + 1]").as("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+            .head() // 1-row argmax: the learned merge of this round
+          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          val next = corpus
+            .select(replace(col("s"),
+              lit(SEP + a + SEP + SEP + b + SEP),
+              lit(SEP + a + JOIN + b + SEP)).as("s"))
+            .persist()
+          val tokensAfter = next
+            .select(size(tokens(col("s"))).cast(LongType).as("n"))
+            .agg(sum("n")).head().getLong(0)
+          corpus.unpersist(blocking = false)
+          corpus = next
+          out += ((round, a.replace(JOIN, "+"), b.replace(JOIN, "+"), c, tokensAfter))
+        }
+        corpus.unpersist(blocking = false)
+        out.toSeq.toDF("round", "pair_a", "pair_b", "pair_n", "tokens_after")
+          .orderBy("round")
+      },
+      Some {
+        // the same 3 rounds unrolled as CTEs; CHR(31)/CHR(30) = the seps
+        def roundCtes(k: Int): String =
+          s"""p$k AS (
+             |  SELECT tk[i] AS a, tk[i + 1] AS b, COUNT(*) AS c FROM (
+             |    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM (
+             |      SELECT string_split(trim(s, CHR(31)), CHR(31) || CHR(31)) AS tk
+             |      FROM d${k - 1}))
+             |  GROUP BY 1, 2),
+             |m$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+             |d$k AS (
+             |  SELECT replace(s,
+             |    CHR(31) || (SELECT a FROM m$k) || CHR(31) || CHR(31) ||
+             |      (SELECT b FROM m$k) || CHR(31),
+             |    CHR(31) || (SELECT a FROM m$k) || CHR(30) ||
+             |      (SELECT b FROM m$k) || CHR(31)) AS s
+             |  FROM d${k - 1}),
+             |n$k AS (
+             |  SELECT SUM(len(string_split(trim(s, CHR(31)),
+             |    CHR(31) || CHR(31)))) AS tokens_after
+             |  FROM d$k)""".stripMargin
+        s"""WITH d0 AS (
+           |  SELECT CHR(31) || array_to_string(string_split(text, ' '),
+           |    CHR(31) || CHR(31)) || CHR(31) AS s
+           |  FROM documents),
+           |${(1 to 3).map(roundCtes).mkString(",\n")}
+           |SELECT CAST(r AS INTEGER) AS round,
+           |  replace(a, CHR(30), '+') AS pair_a,
+           |  replace(b, CHR(30), '+') AS pair_b,
+           |  CAST(c AS BIGINT) AS pair_n,
+           |  CAST(tokens_after AS BIGINT) AS tokens_after
+           |FROM (
+           |  SELECT 1 AS r, a, b, c, (SELECT tokens_after FROM n1) AS tokens_after FROM m1
+           |  UNION ALL
+           |  SELECT 2, a, b, c, (SELECT tokens_after FROM n2) FROM m2
+           |  UNION ALL
+           |  SELECT 3, a, b, c, (SELECT tokens_after FROM n3) FROM m3)
+           |ORDER BY round""".stripMargin
+      }),
+    // ------------------------------------------------------------------
+    // DSIR-style importance selection (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023 lineage):
+    // rank raw-corpus docs by affinity to a target domain (the src19
+    // slice, the same convention d11's decontamination uses) using n-gram
+    // statistics. INTEGER-EXACT surrogate for the log-likelihood ratio so
+    // the ranking hash-matches across engines: per doc, num = how often
+    // its bigrams occur in the target domain, den = how often they occur
+    // in the whole raw corpus; importance = num/den (one IEEE division of
+    // two exact int64 sums — identical everywhere) favors docs whose
+    // phrasing is target-like but corpus-rare, which is the DSIR signal
+    // without the engine-dependent low bits of log(). Scale shape: bigram
+    // explode is scan-cost; the target table is domain-sized (broadcasts);
+    // the corpus-count join shuffles once on the bigram key with map-side
+    // partial counts; top-20 is a TakeOrdered, never a global sort.
+    Op(
+      "t23_importance_select",
+      (s, d) => {
+        val bi = T.documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .withColumn("i", explode(expr("sequence(0, size(tk) - 2)")))
+          .select(col("doc_id"), col("source"),
+            concat(expr("tk[i]"), lit(" "), expr("tk[i + 1]")).as("g"))
+          .persist()
+        val target = bi.filter(col("source") === "src19")
+          .groupBy("g").agg(count(lit(1)).as("ct"))
+        val corpus = bi.filter(col("source") =!= "src19")
+        val ccnt = corpus.groupBy("g").agg(count(lit(1)).as("cc"))
+        corpus
+          .join(broadcast(target), Seq("g"), "left")
+          .join(ccnt, Seq("g"))
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("ct"), lit(0L))).as("target_hits"),
+            sum(col("cc")).as("corpus_mass"),
+            count(lit(1)).as("n_bigrams"))
+          .withColumn("importance",
+            (col("target_hits").cast(DoubleType) / col("corpus_mass"))
+              .cast(DoubleType))
+          .orderBy(col("importance").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("n_bigrams"), col("target_hits"),
+            col("corpus_mass"), col("importance"))
+      },
+      Some("""WITH bi AS (
+        |  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS g FROM (
+        |    SELECT doc_id, source, tk,
+        |      unnest(generate_series(1, len(tk) - 1)) AS i FROM (
+        |      SELECT doc_id, source, string_split(text, ' ') AS tk
+        |      FROM documents)
+        |    WHERE len(tk) >= 2)),
+        |t AS (SELECT g, COUNT(*) AS ct FROM bi WHERE source = 'src19'
+        |      GROUP BY g),
+        |c AS (SELECT g, COUNT(*) AS cc FROM bi WHERE source <> 'src19'
+        |      GROUP BY g),
+        |r AS (
+        |  SELECT b.doc_id,
+        |    CAST(SUM(COALESCE(t.ct, 0)) AS BIGINT) AS target_hits,
+        |    CAST(SUM(c.cc) AS BIGINT) AS corpus_mass,
+        |    COUNT(*) AS n_bigrams
+        |  FROM bi b LEFT JOIN t ON t.g = b.g JOIN c ON c.g = b.g
+        |  WHERE b.source <> 'src19'
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, target_hits, corpus_mass,
+        |  CAST(CAST(target_hits AS DOUBLE) / corpus_mass AS DOUBLE)
+        |    AS importance
+        |FROM r ORDER BY importance DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }
