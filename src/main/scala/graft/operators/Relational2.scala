@@ -1081,5 +1081,73 @@ object Relational2 {
         |  UNION ALL
         |  SELECT bk, ck, 1, new_bal, true FROM j WHERE bal IS NULL)
         |ORDER BY k, version""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Gaps-and-islands interval coalescing (the classic warehouse merge of
+    // overlapping validity/activity intervals; reference test lineage: the
+    // sessionization family around OMLDM's event-time windows, but as a
+    // BATCH set operation rather than a stream window). Each event opens a
+    // 300s activity interval; overlapping or touching intervals per user
+    // fuse into islands via the running-max-end trick: an interval starts a
+    // new island iff its start exceeds the max end of everything before it
+    // (ROWS UNBOUNDED PRECEDING..1 PRECEDING), and a running sum of those
+    // starts numbers the islands. All arithmetic is exact epoch-micros
+    // int64, so island boundaries — and the hash — are engine-independent.
+    // Scale shape: two windows + one aggregate, ALL partitioned by user_id
+    // (per-key data is bounded); one shuffle on user_id total, no global
+    // sort, no island ever crosses a partition.
+    Op(
+      "q57_interval_merge",
+      (s, d) => {
+        val span = 300000000L // 300s in micros
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy("st", "event_id")
+        val iv = T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("st"))
+          .withColumn("en", col("st") + lit(span))
+        val isl = iv
+          .withColumn("prev_max_en",
+            max("en").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_isl",
+            when(col("prev_max_en").isNull ||
+              col("st") > col("prev_max_en"), 1L).otherwise(0L))
+          .withColumn("isl",
+            sum("new_isl").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "isl")
+          .agg(min("st").as("i_st"), max("en").as("i_en"),
+            count(lit(1)).as("i_n"))
+        isl.groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("i_en") - col("i_st")).as("covered_us"),
+            max(col("i_en") - col("i_st")).as("max_island_us"),
+            max("i_n").as("max_island_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS en
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_isl
+        |  FROM iv),
+        |numbered AS (
+        |  SELECT user_id, st, en,
+        |    sum(new_isl) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked),
+        |islands AS (
+        |  SELECT user_id, isl, min(st) AS i_st, max(en) AS i_en,
+        |    count(*) AS i_n
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(i_en - i_st) AS BIGINT) AS covered_us,
+        |  CAST(max(i_en - i_st) AS BIGINT) AS max_island_us,
+        |  CAST(max(i_n) AS BIGINT) AS max_island_events
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

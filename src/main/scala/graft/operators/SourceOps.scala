@@ -226,5 +226,41 @@ object SourceOps {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_totalprice > 100000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // binaryFile source: the raw-blob ingestion path every multimodal
+    // pipeline starts from (image/audio/video files on object storage →
+    // one row per file with path metadata + `content` bytes; the mm01-mm06
+    // family then takes over on the binary column). Staging writes a
+    // bounded 40-doc slice as UTF-8 .bin files (driver-side FIXTURE PREP,
+    // not the data path — at scale the files already exist on storage);
+    // the measured path is Spark's binaryFile DataSource: a distributed
+    // file-listing scan with pathGlobFilter pushdown, no schema inference,
+    // content read once per file. Identity is verified end-to-end: byte
+    // length and md5-of-bytes per recovered doc_id must hash-match DuckDB
+    // computing the same from the parquet fixture (both md5s are over the
+    // UTF-8 encoding, so any staging/transport corruption breaks the gate).
+    Op(
+      "w10_binaryfile_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bin_").toString
+        T.documents(s, d).filter(col("doc_id") < 40)
+          .select("doc_id", "text").collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast(LongType).as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin)),
   )
 }

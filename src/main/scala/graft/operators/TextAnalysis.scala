@@ -980,5 +980,103 @@ object TextAnalysis {
         |  CAST(CAST(target_hits AS DOUBLE) / corpus_mass AS DOUBLE)
         |    AS importance
         |FROM r ORDER BY importance DESC, doc_id LIMIT 20""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Tokenizer APPLICATION at corpus scale — the consumer side of t22's
+    // merge training: learn the 3 top merges on the full corpus (same
+    // separator-encoded greedy-replace scheme, see t22 for the parity
+    // argument), then apply them to every document and report the
+    // per-source compression the learned vocabulary buys. This is the
+    // "re-tokenize the whole 100 TB corpus with the new tokenizer" job:
+    // each merge application is ONE scan-cost map pass (replace() is
+    // per-row, no shuffle), and the before/after stats are map-side-
+    // combined aggregates on `source` — so the whole op is 3 counting
+    // passes + 3 map passes + 2 small aggregates regardless of corpus
+    // size. compression divides two exact int64 sums once (IEEE-identical
+    // in both engines), so the report hash-matches.
+    Op(
+      "t24_bpe_apply",
+      (s, d) => {
+        val SEP = "\u001f"; val JOIN = "\u001e"
+        def tokens(c: org.apache.spark.sql.Column) =
+          split(trim(c, SEP), SEP + SEP)
+        var corpus = T.documents(s, d)
+          .select(col("source"), concat(lit(SEP),
+            array_join(split(col("text"), " "), SEP + SEP),
+            lit(SEP)).as("s"))
+          .persist()
+        val before = corpus.groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(size(tokens(col("s"))).cast(LongType)).as("tokens_before"))
+        for (_ <- 1 to 3) {
+          val top = corpus.select(tokens(col("s")).as("tk"))
+            .filter(size(col("tk")) >= 2)
+            .withColumn("i", explode(expr("sequence(0, size(tk) - 2)")))
+            .select(expr("tk[i]").as("a"), expr("tk[i + 1]").as("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+            .head() // 1-row argmax: control plane, not data path
+          val (a, b) = (top.getString(0), top.getString(1))
+          val next = corpus
+            .select(col("source"), replace(col("s"),
+              lit(SEP + a + SEP + SEP + b + SEP),
+              lit(SEP + a + JOIN + b + SEP)).as("s"))
+            .persist()
+          corpus.unpersist(blocking = false)
+          corpus = next
+        }
+        val after = corpus.groupBy("source")
+          .agg(sum(size(tokens(col("s"))).cast(LongType)).as("tokens_after"))
+        val out = before.join(after, "source")
+          .withColumn("saved", col("tokens_before") - col("tokens_after"))
+          .withColumn("compression",
+            (col("tokens_after").cast(DoubleType) / col("tokens_before"))
+              .cast(DoubleType))
+          .select("source", "docs", "tokens_before", "tokens_after",
+            "saved", "compression")
+          .orderBy("source")
+        val materialized = out.localCheckpoint()
+        corpus.unpersist(blocking = false)
+        materialized
+      },
+      Some {
+        def roundCtes(k: Int): String =
+          s"""p$k AS (
+             |  SELECT tk[i] AS a, tk[i + 1] AS b, COUNT(*) AS c FROM (
+             |    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM (
+             |      SELECT string_split(trim(s, CHR(31)), CHR(31) || CHR(31)) AS tk
+             |      FROM d${k - 1}))
+             |  GROUP BY 1, 2),
+             |m$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+             |d$k AS (
+             |  SELECT source, replace(s,
+             |    CHR(31) || (SELECT a FROM m$k) || CHR(31) || CHR(31) ||
+             |      (SELECT b FROM m$k) || CHR(31),
+             |    CHR(31) || (SELECT a FROM m$k) || CHR(30) ||
+             |      (SELECT b FROM m$k) || CHR(31)) AS s
+             |  FROM d${k - 1})""".stripMargin
+        s"""WITH d0 AS (
+           |  SELECT source, CHR(31) || array_to_string(string_split(text, ' '),
+           |    CHR(31) || CHR(31)) || CHR(31) AS s
+           |  FROM documents),
+           |${(1 to 3).map(roundCtes).mkString(",\n")},
+           |bf AS (
+           |  SELECT source, COUNT(*) AS docs,
+           |    SUM(len(string_split(trim(s, CHR(31)),
+           |      CHR(31) || CHR(31)))) AS tokens_before
+           |  FROM d0 GROUP BY source),
+           |af AS (
+           |  SELECT source,
+           |    SUM(len(string_split(trim(s, CHR(31)),
+           |      CHR(31) || CHR(31)))) AS tokens_after
+           |  FROM d3 GROUP BY source)
+           |SELECT bf.source, docs,
+           |  CAST(tokens_before AS BIGINT) AS tokens_before,
+           |  CAST(tokens_after AS BIGINT) AS tokens_after,
+           |  CAST(tokens_before - tokens_after AS BIGINT) AS saved,
+           |  CAST(CAST(tokens_after AS DOUBLE) / tokens_before AS DOUBLE)
+           |    AS compression
+           |FROM bf JOIN af ON af.source = bf.source
+           |ORDER BY bf.source""".stripMargin
+      }),
   )
 }

@@ -1122,4 +1122,137 @@ class OperatorSuite extends AnyFunSuite {
     assert(a.head.getBoolean(1) && a.head.getBoolean(2) &&
       a.head.getBoolean(3) && a.head.getBoolean(4))
   }
+
+  test("q57 interval islands match a sequential per-user sweep") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q57_interval_merge")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val span = 300000000L
+    val evs = T.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS st").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).map { case (u, rows) =>
+      // constant span => interval ends are monotone in start, so the
+      // running-max-end sweep reduces to comparing against the head island
+      var islands = List.empty[(Long, Long, Long)] // (st, en, n_events)
+      rows.sortBy(r => (r._3, r._2)).foreach { case (_, _, st) =>
+        islands = islands match {
+          case (ist, ien, n) :: rest if st <= ien =>
+            (ist, math.max(ien, st + span), n + 1) :: rest
+          case _ => (st, st + span, 1L) :: islands
+        }
+      }
+      u -> ((islands.length.toLong,
+        islands.map(i => i._2 - i._1).sum,
+        islands.map(i => i._2 - i._1).max,
+        islands.map(_._3).max))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) =>
+      assert(got(u) == w, s"user $u: got ${got(u)} want $w")
+    }
+  }
+
+  test("d19 prefix-filtered pair list equals the unfiltered exact Jaccard join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d19_allpairs_prefix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force WITHOUT prefix filtering: the completeness proof that
+    // the filter loses no qualifying pair (and admits no extra)
+    val sets = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        r.getLong(0) -> tk.sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      inter = sets(i).intersect(sets(j)).size if inter > 0
+      if inter.toDouble / (sets(i).size + sets(j).size - inter) >= 0.5
+    } yield (i, j)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("t24 learned merges and compression match a sequential BPE recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t24_bpe_apply")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    var corpus = T.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toVector))
+    val before = corpus.groupBy(_._1).map { case (src, rs) =>
+      src -> ((rs.length.toLong, rs.map(_._2.size.toLong).sum))
+    }
+    for (_ <- 1 to 3) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      corpus.foreach { case (_, tk) =>
+        tk.iterator.zip(tk.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+      val (pa, pb) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+      corpus = corpus.map { case (src, tk) =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < tk.length) {
+          if (i + 1 < tk.length && tk(i) == pa && tk(i + 1) == pb) {
+            buf += pa + "\u001e" + pb; i += 2
+          } else { buf += tk(i); i += 1 }
+        }
+        (src, buf.toVector)
+      }
+    }
+    val after = corpus.groupBy(_._1).map { case (src, rs) =>
+      src -> rs.map(_._2.size.toLong).sum
+    }
+    before.foreach { case (src, (docs, tb)) =>
+      val ta = after(src)
+      assert(got(src) == ((docs, tb, ta, tb - ta)),
+        s"$src: got ${got(src)} want ($docs, $tb, $ta, ${tb - ta})")
+    }
+  }
+
+  test("BFS layers match a sequential BFS on random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(60931)
+    for (trial <- 1 to 3) {
+      val nNodes = 30 + trial * 10
+      val edges = (0 until nNodes * 2).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (x, y) => x != y }.distinct
+      val src = edges.map(_._1).min
+      val got = Graph.bfsLayers(edges.toDF("a", "b"), src, 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // sequential BFS to depth 4
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val dist = scala.collection.mutable.Map(src -> 0)
+      var frontier = Set(src)
+      for (k <- 1 to 4) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = k)
+      }
+      assert(got == dist.toMap, s"trial $trial: distributed != sequential BFS")
+    }
+  }
+
+  test("w10 binaryFile roundtrip recovers byte-exact content for every staged doc") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w10_binaryfile_source")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val want = T.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+      .selectExpr("doc_id",
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)",
+        "md5(encode(text, 'UTF-8'))")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(want.nonEmpty && got == want)
+  }
 }
