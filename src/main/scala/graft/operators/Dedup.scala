@@ -55,7 +55,10 @@ object Dedup {
   /** Oracle mirror of [[embedBandsOf]] + candidate generation: the
     * pl/dt/bd/cand CTE chain shared by the d10 and p02 oracles.
     */
-  private[operators] val embedLshSqlCtes: String =
+  // def, not val: Similarity.ops splices this during ITS object init while
+  // Dedup may itself be mid-init (Dedup.ops calls Similarity.planeVec) — a
+  // val would read as null inside the cycle and corrupt the oracle SQL.
+  private[operators] def embedLshSqlCtes: String =
     s"""pl AS (${Similarity.sqlPlanesUpTo(31)}),
        |dt AS (SELECT e.vec_id, pl.p, ${VecSql.dot("e.embedding", "pl.r")} AS dp
        |       FROM embeddings e CROSS JOIN pl),

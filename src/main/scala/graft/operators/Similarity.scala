@@ -716,5 +716,69 @@ object Similarity {
           |SELECT q_id, rank, vec_id, score FROM r WHERE rank <= 5
           |ORDER BY q_id, rank""".stripMargin
       }),
+    // ------------------------------------------------------------------
+    // kNN-GRAPH construction: every corpus vector gets its top-3 nearest
+    // neighbors — the corpus×corpus self-join primitive behind
+    // SemDeDup-style cluster curation, graph label propagation and
+    // diversity sampling. Distinct from s01–s10, which rank a SMALL query
+    // set against the corpus; here both sides are the full corpus, so the
+    // all-pairs cosine is O(N²) and unthinkable at 100 TB. Candidates
+    // instead come from the shared 32-hyperplane LSH bands (4 bands × 8
+    // sign bits — the same deterministic quantization d10/p02 block on):
+    // each vector is compared only against its band cohorts, exact cosine
+    // (the codegen'd single-pass kernel, bit-identical to the oracle's
+    // list_reduce folds) re-ranks, and a per-vector window keeps rank<=3.
+    // Scale shape: the band self-join shuffles on (band, bkey) with bucket
+    // population controlled by bits-per-band (tunable to executor memory);
+    // the top-k window partitions by vec_id (cohort-bounded rows per key);
+    // nothing O(N) is broadcast and there is no crossJoin. Output is
+    // deterministic: the cosine fold order is pinned and ties break on
+    // neighbor id, so the whole graph hash-matches.
+    Op(
+      "s11_knn_graph",
+      (s, d) => {
+        val e = T.embeddings(s, d).select("vec_id", "embedding")
+        // persist: the band table feeds both sides of the self-join and the
+        // candidate set feeds both directions of the union — without it the
+        // plane-projection subtree executes 4x
+        val bands = Dedup.embedBandsOf(s, e).persist()
+        val und = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("v"), col("y.vec_id").as("nb"))
+          .distinct()
+          .persist()
+        val dir = und.unionByName(
+          und.select(col("nb").as("v"), col("v").as("nb")))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("neighbor"))
+        dir
+          .join(e.select(col("vec_id").as("v"), col("embedding").as("ea")), "v")
+          .join(e.select(col("vec_id").as("nb"), col("embedding").as("eb")), "nb")
+          .select(col("v").as("vec_id"), col("nb").as("neighbor"),
+            F.cosineSim(col("ea"), col("eb")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 3)
+          .select("vec_id", "rank", "neighbor", "cos")
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${Dedup.embedLshSqlCtes},
+        |pairs AS (
+        |  SELECT vec_a AS vec_id, vec_b AS neighbor FROM cand
+        |  UNION ALL SELECT vec_b, vec_a FROM cand),
+        |cs AS (
+        |  SELECT p.vec_id, p.neighbor,
+        |    CAST(${VecSql.cos("ea.embedding", "eb.embedding")} AS DOUBLE) AS cos
+        |  FROM pairs p
+        |  JOIN embeddings ea ON ea.vec_id = p.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = p.neighbor),
+        |rk AS (
+        |  SELECT vec_id, neighbor, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+        |      AS rank
+        |  FROM cs)
+        |SELECT vec_id, rank, neighbor, cos FROM rk WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin)),
   )
 }

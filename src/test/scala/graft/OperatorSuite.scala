@@ -1255,4 +1255,46 @@ class OperatorSuite extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(want.nonEmpty && got == want)
   }
+
+  test("s11 kNN graph matches a sequential cohort-blocked brute force") {
+    val sf = "/root/testdata/sf0.001"
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val got = SparkEntry.queries("s11_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), bits(r.getDouble(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val vecs = T.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planes =
+      (0 until 32).map(p => graft.operators.Similarity.planeVec(p).toArray)
+    def bkey(v: Array[Float], band: Int): Long =
+      (0 until 8).map { bit =>
+        val p = band * 8 + bit
+        var dp = 0.0; var i = 0
+        while (i < v.length) { dp += v(i).toDouble * planes(p)(i); i += 1 }
+        if (dp > 0) 1L << bit else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val keys = ids.map(id =>
+      id -> (0 until 4).map(b => (b, bkey(vecs(id), b))).toSet).toMap
+    val want = ids.flatMap { v =>
+      val cands = ids.filter(u => u != v && keys(v).exists(keys(u).contains))
+      cands.map(u => (u, cos(vecs(v), vecs(u))))
+        .sortWith { case ((u1, c1), (u2, c2)) =>
+          val cmp = java.lang.Double.compare(c2, c1) // NaN greatest, desc
+          if (cmp != 0) cmp < 0 else u1 < u2
+        }
+        .take(3).zipWithIndex
+        .map { case ((u, c), i) => (v, (i + 1).toLong, u, bits(c)) }
+    }.sortBy(r => (r._1, r._2))
+    assert(want.nonEmpty && got == want,
+      s"sizes got=${got.size} want=${want.size}")
+  }
 }

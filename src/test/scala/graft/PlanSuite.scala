@@ -321,4 +321,18 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("o_totalprice"),
       p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
   }
+
+  test("s11: kNN graph blocks on LSH bands — no cartesian, top-k group-limited") {
+    val p = plan("s11_knn_graph")
+    assert(!p.contains("CartesianProduct"), "unbounded cross join in s11")
+    // the only nested-loop joins allowed are bounded 32-row hyperplane
+    // broadcasts (Cross BuildRight) inside embedBandsOf; the
+    // vector-vs-vector candidate join must never appear as a nested loop
+    val badNlj = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("+-"))
+      .filterNot(_.contains("Cross BuildRight")).toSeq
+    assert(badNlj.isEmpty, s"non-plane nested-loop joins: $badNlj")
+    assert(p.contains("WindowGroupLimit"),
+      "per-vector rank<=3 lost its group-limit pushdown (full window sort)")
+  }
 }
