@@ -185,5 +185,76 @@ object Multimodal {
         |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
         |FROM documents WHERE doc_id % 3 = 1
         |GROUP BY 1 ORDER BY modality""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Perceptual-hash near-duplicate detection — the image-dedup on-ramp
+    // (LAION-style corpora dedup on pHash, not byte equality, because
+    // re-encodes/resizes change bytes but not content). The decode→DCT
+    // step of a real pHash is stubbed the mm02 way: a 64-bit signature of
+    // the payload's STRIPE-ENERGY structure (bit i = stripe i's sample-sum
+    // exceeds the per-stripe mean, compared in exact integer arithmetic
+    // as e*64 > total — no division), which is decode-shaped (robust to
+    // local edits, position-structured) yet engine-exact. Near-dups =
+    // hamming <= 7, found by 8x8-bit band blocking: by pigeonhole any
+    // pair within 7 bit-flips shares >= 1 intact band, so banding is
+    // LOSSLESS at this threshold and the oracle verifies with an
+    // unfiltered self-join. Scale shape: the signature is one per-row
+    // O(n) fold (no per-sample explode); the self-join only meets
+    // band-colliding rows; hamming re-checks exactly (bit_count ^). At
+    // 100 TB the band join shuffles O(corpus) signature rows — 16 bytes
+    // each — never payloads.
+    Op("mm07_phash_neardup", (s, d) => {
+      val ph = T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(LongType).as("n"))
+        .filter(col("n") >= 64)
+        .withColumn("en", expr(
+          """transform(sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT)), i ->
+            |  aggregate(sequence(i, n, 64), CAST(0 AS BIGINT),
+            |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))""".stripMargin))
+        .withColumn("tot", expr("aggregate(en, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("phash", expr(
+          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
+            |  a + IF(en[i] * 64 > tot,
+            |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
+        .select("doc_id", "phash")
+        .cache()
+      val bands = ph.select(col("doc_id"), col("phash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bits"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("bit_count(x.phash ^ y.phash)").cast(LongType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 64),
+        |en AS (
+        |  SELECT doc_id, (p - 1) % 64 AS stripe, SUM(unicode(text[p:p])) AS e
+        |  FROM base, LATERAL (SELECT unnest(generate_series(1, n)) AS p)
+        |  GROUP BY doc_id, (p - 1) % 64),
+        |tot AS (SELECT doc_id, SUM(e) AS tot FROM en GROUP BY doc_id),
+        |ph AS (
+        |  SELECT en.doc_id,
+        |    -- stripe 63 spelled as int64-min: DuckDB raises on 1<<63 where
+        |    -- Spark's shiftleft wraps to the sign bit
+        |    CAST(SUM(CASE WHEN e * 64 > tot
+        |      THEN CASE WHEN stripe = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |           ELSE CAST(1 AS BIGINT) << CAST(stripe AS INT) END
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+        |  FROM en JOIN tot ON tot.doc_id = en.doc_id GROUP BY en.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

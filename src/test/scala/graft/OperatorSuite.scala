@@ -1297,4 +1297,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       s"sizes got=${got.size} want=${want.size}")
   }
+
+  test("mm07 banded pHash pairs equal the unfiltered brute-force hamming join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mm07_phash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sequential stripe-energy pHash + all-pairs hamming — proves the
+    // 8x8-bit banding loses no pair at threshold 7 (pigeonhole) and the
+    // engine's fold matches a direct recompute
+    val hashes = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r => r.getLong(0) -> r.getString(1) }
+      .filter(_._2.length >= 64)
+      .map { case (id, t) =>
+        val en = Array.fill(64)(0L)
+        var p = 0
+        while (p < t.length) { en(p % 64) += t.charAt(p).toLong; p += 1 }
+        val tot = en.sum
+        var h = 0L
+        for (i <- 0 until 64) if (en(i) * 64 > tot) h |= (1L << i)
+        id -> h
+      }
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      hm = java.lang.Long.bitCount(ha ^ hb).toLong if hm <= 7
+    } yield (a, b, hm)).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
