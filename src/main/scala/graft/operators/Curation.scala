@@ -231,5 +231,86 @@ object Curation {
         |  true AS counts_consistent, true AS codes_in_range,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bkt) AS n_buckets,
         |  (SELECT CAST(MAX(bn) AS BIGINT) FROM bkt) AS max_bucket""".stripMargin)),
+    // ------------------------------------------------------------------
+    // The MULTIMODAL flagship: p01/p02's counterpart for binary media —
+    // ingest (payload + modality + byte metadata, the mm01/mm06
+    // derivations) → WITHIN-MODALITY perceptual-hash near-dup removal
+    // (mm07's stripe-energy signature, lossless 8x8-bit banding at
+    // hamming <= 7; images dedup only against images — cross-modality
+    // collisions are meaningless and would shuffle pointlessly) →
+    // per-modality curation report (kept/removed counts, surviving bytes,
+    // dup rate). Survivor rule is p02's: a doc is removed iff it has a
+    // near-dup with a smaller id — one distinct + one broadcast
+    // anti-join, no iterative CC. Scale shape: signatures are one O(n)
+    // per-row fold (payloads never shuffle); the band join key is
+    // (modality, band, bits) so each modality's cohort blocks
+    // independently; the report is two map-side-combinable aggregates.
+    Op(
+      "p03_multimodal_pipeline",
+      (s, d) => {
+        val docs = T.documents(s, d).select(
+          col("doc_id"), col("text"),
+          length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+          expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
+            .as("modality"))
+        val ph = Multimodal.phashOf(docs)
+          .join(docs.select("doc_id", "modality"), "doc_id")
+          .persist()
+        val bands = Multimodal.phashBands(ph.select("doc_id", "phash"))
+          .join(ph.select("doc_id", "modality"), "doc_id")
+        val removed = bands.as("x")
+          .join(bands.as("y"),
+            col("x.modality") === col("y.modality") &&
+              col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("bit_count(x.phash ^ y.phash)") <= 7)
+          .select(col("y.doc_id").as("doc_id"))
+          .distinct()
+        val kept = docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
+        val tot = docs.groupBy("modality").agg(
+          count(lit(1)).as("n_total"), sum("n_bytes").as("total_bytes"))
+        val rm = removed.join(docs.select("doc_id", "modality"), "doc_id")
+          .groupBy("modality").agg(count(lit(1)).as("n_removed"))
+        val kp = kept.groupBy("modality").agg(
+          count(lit(1)).as("n_kept"), sum("n_bytes").as("kept_bytes"))
+        tot.join(rm, Seq("modality"), "left").join(kp, Seq("modality"), "left")
+          .na.fill(0L, Seq("n_removed"))
+          .withColumn("dup_rate",
+            (col("n_removed").cast(DoubleType) / col("n_total"))
+              .cast(DoubleType))
+          .select("modality", "n_total", "n_removed", "n_kept",
+            "kept_bytes", "dup_rate")
+          .orderBy("modality")
+      },
+      Some(s"""WITH md AS (
+        |  SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |  FROM documents),
+        |${Multimodal.sqlPhashCtes},
+        |rmv AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  JOIN md ma ON ma.doc_id = a.doc_id
+        |  JOIN md mb ON mb.doc_id = b.doc_id
+        |  WHERE ma.modality = mb.modality
+        |    AND bit_count(xor(a.phash, b.phash)) <= 7),
+        |mt AS (SELECT modality, COUNT(*) AS n_total,
+        |       SUM(n_bytes) AS total_bytes FROM md GROUP BY modality),
+        |rm AS (SELECT md.modality, COUNT(*) AS n_removed
+        |       FROM rmv JOIN md ON md.doc_id = rmv.doc_id GROUP BY md.modality),
+        |kp AS (SELECT modality, COUNT(*) AS n_kept,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS kept_bytes
+        |       FROM md WHERE doc_id NOT IN (SELECT doc_id FROM rmv)
+        |       GROUP BY modality)
+        |SELECT t.modality, t.n_total,
+        |  CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+        |  kp.n_kept, kp.kept_bytes,
+        |  CAST(CAST(COALESCE(rm.n_removed, 0) AS DOUBLE) / t.n_total AS DOUBLE)
+        |    AS dup_rate
+        |FROM mt t LEFT JOIN rm ON rm.modality = t.modality
+        |JOIN kp ON kp.modality = t.modality
+        |ORDER BY t.modality""".stripMargin)),
   )
 }

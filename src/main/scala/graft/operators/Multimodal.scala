@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -203,27 +204,8 @@ object Multimodal {
     // 100 TB the band join shuffles O(corpus) signature rows — 16 bytes
     // each — never payloads.
     Op("mm07_phash_neardup", (s, d) => {
-      val ph = T.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          length(col("text")).cast(LongType).as("n"))
-        .filter(col("n") >= 64)
-        .withColumn("en", expr(
-          """transform(sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT)), i ->
-            |  aggregate(sequence(i, n, 64), CAST(0 AS BIGINT),
-            |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))""".stripMargin))
-        .withColumn("tot", expr("aggregate(en, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .withColumn("phash", expr(
-          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
-            |  a + IF(en[i] * 64 > tot,
-            |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
-        .select("doc_id", "phash")
-        .cache()
-      val bands = ph.select(col("doc_id"), col("phash"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bits"))
+      val ph = phashOf(T.documents(s, d)).cache()
+      val bands = phashBands(ph)
       bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
@@ -234,27 +216,63 @@ object Multimodal {
         .filter(col("hamming") <= 7)
         .orderBy("doc_a", "doc_b")
     },
-      Some("""WITH base AS (
-        |  SELECT doc_id, text, length(text) AS n FROM documents
-        |  WHERE length(text) >= 64),
-        |en AS (
-        |  SELECT doc_id, (p - 1) % 64 AS stripe, SUM(unicode(text[p:p])) AS e
-        |  FROM base, LATERAL (SELECT unnest(generate_series(1, n)) AS p)
-        |  GROUP BY doc_id, (p - 1) % 64),
-        |tot AS (SELECT doc_id, SUM(e) AS tot FROM en GROUP BY doc_id),
-        |ph AS (
-        |  SELECT en.doc_id,
-        |    -- stripe 63 spelled as int64-min: DuckDB raises on 1<<63 where
-        |    -- Spark's shiftleft wraps to the sign bit
-        |    CAST(SUM(CASE WHEN e * 64 > tot
-        |      THEN CASE WHEN stripe = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
-        |           ELSE CAST(1 AS BIGINT) << CAST(stripe AS INT) END
-        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
-        |  FROM en JOIN tot ON tot.doc_id = en.doc_id GROUP BY en.doc_id)
+      Some(s"""WITH $sqlPhashCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7
         |ORDER BY doc_a, doc_b""".stripMargin)),
   )
+
+  /** The mm07 stripe-energy perceptual hash: (doc_id, phash) for every doc
+    * with >= 64 payload units. Shared with the p03 pipeline.
+    */
+  private[operators] def phashOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("text"),
+      length(col("text")).cast(LongType).as("n"))
+    .filter(col("n") >= 64)
+    .withColumn("en", expr(
+      """transform(sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT)), i ->
+        |  aggregate(sequence(i, n, 64), CAST(0 AS BIGINT),
+        |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))""".stripMargin))
+    .withColumn("tot", expr("aggregate(en, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    .withColumn("phash", expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
+        |  a + IF(en[i] * 64 > tot,
+        |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
+    .select("doc_id", "phash")
+
+  /** 8 bands x 8 bits of a (doc_id, phash) frame — the lossless blocking
+    * for hamming <= 7 (pigeonhole: <= 7 flips leave >= 1 band intact).
+    */
+  private[operators] def phashBands(ph: DataFrame): DataFrame = ph
+    .select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
+        .as("bb"))
+    .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bits"))
+
+  /** Oracle mirror of [[phashOf]]: base/en/tot/ph CTE chain (splice after
+    * WITH). def, not val — spliced across objects during their init (the
+    * embedLshSqlCtes lesson).
+    */
+  private[operators] def sqlPhashCtes: String =
+    """base AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) >= 64),
+      |en AS (
+      |  SELECT doc_id, (p - 1) % 64 AS stripe, SUM(unicode(text[p:p])) AS e
+      |  FROM base, LATERAL (SELECT unnest(generate_series(1, n)) AS p)
+      |  GROUP BY doc_id, (p - 1) % 64),
+      |tot AS (SELECT doc_id, SUM(e) AS tot FROM en GROUP BY doc_id),
+      |ph AS (
+      |  SELECT en.doc_id,
+      |    -- stripe 63 spelled as int64-min: DuckDB raises on 1<<63 where
+      |    -- Spark's shiftleft wraps to the sign bit
+      |    CAST(SUM(CASE WHEN e * 64 > tot
+      |      THEN CASE WHEN stripe = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |           ELSE CAST(1 AS BIGINT) << CAST(stripe AS INT) END
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+      |  FROM en JOIN tot ON tot.doc_id = en.doc_id GROUP BY en.doc_id)""".stripMargin
 }

@@ -1324,4 +1324,37 @@ class OperatorSuite extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
+
+  test("p03 multimodal report matches a sequential within-modality dedup") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("p03_multimodal_pipeline")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def modality(id: Long) = Seq("image", "audio", "video")((id % 3).toInt)
+    def phash(t: String): Long = {
+      val en = Array.fill(64)(0L)
+      var p = 0
+      while (p < t.length) { en(p % 64) += t.charAt(p).toLong; p += 1 }
+      val tot = en.sum
+      var h = 0L
+      for (i <- 0 until 64) if (en(i) * 64 > tot) h |= (1L << i)
+      h
+    }
+    val hashes = docs.filter(_._2.length >= 64)
+      .map { case (id, t) => (id, modality(id), phash(t)) }
+    val removed = (for {
+      (a, ma, ha) <- hashes; (b, mb, hb) <- hashes
+      if a < b && ma == mb && java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield b).toSet
+    val byMod = docs.groupBy(d => modality(d._1))
+    byMod.foreach { case (m, ds) =>
+      val rm = ds.count(d => removed(d._1)).toLong
+      val kept = ds.filterNot(d => removed(d._1))
+      val want = (ds.length.toLong, rm, kept.length.toLong,
+        kept.map(_._2.getBytes("UTF-8").length.toLong).sum)
+      assert(got(m) == want, s"$m: got ${got(m)} want $want")
+    }
+  }
 }

@@ -335,4 +335,11 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       "per-vector rank<=3 lost its group-limit pushdown (full window sort)")
   }
+
+  test("p03: near-dup removal is a broadcast anti-join; no cartesian") {
+    val p = plan("p03_multimodal_pipeline")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "survivor filter lost its broadcast anti-join")
+    assert(!p.contains("CartesianProduct"), "unbounded cross join in p03")
+  }
 }
