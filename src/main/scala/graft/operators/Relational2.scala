@@ -1149,5 +1149,65 @@ object Relational2 {
         |  CAST(max(i_en - i_st) AS BIGINT) AS max_island_us,
         |  CAST(max(i_n) AS BIGINT) AS max_island_events
         |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Sequential-pattern FUNNEL (signup → view → purchase): the product
+    // analytics staple — per user, the first signup, the first view
+    // STRICTLY AFTER it, the first purchase strictly after that, then the
+    // stage-conversion report. The chain is three conditional min-
+    // aggregations, each keyed on user_id: events shuffle on user_id
+    // ONCE and every later groupBy/join reuses that partitioning
+    // (Catalyst exchange reuse), so the funnel costs one wide dependency
+    // regardless of stage count. All stage timestamps are exact epoch
+    // micros; the one double (conversion) is a single division — so the
+    // one-row report hash-matches. At 100 TB: per-user event counts are
+    // bounded, stage frames shrink monotonically (s3 ⊆ s2 ⊆ s1), and the
+    // final assembly crossJoins only one-row aggregates.
+    Op(
+      "q58_funnel",
+      (s, d) => {
+        val e = T.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("t").as("t1"))
+        val s2 = e.filter(col("event_type") === "view")
+          .join(s1, "user_id").filter(col("t") > col("t1"))
+          .groupBy("user_id").agg(min("t").as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("t") > col("t2"))
+          .groupBy("user_id").agg(min("t").as("t3"))
+        val conv = s3.join(s1, "user_id")
+          .agg(sum(col("t3") - col("t1")).as("sum_convert_us"),
+            max(col("t3") - col("t1")).as("max_convert_us"))
+        e.agg(countDistinct("user_id").as("n_users"))
+          .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_signup"))))
+          .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_signup_view"))))
+          .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_full_funnel"))))
+          .crossJoin(broadcast(conv))
+          .withColumn("conversion",
+            (col("n_full_funnel").cast(DoubleType) / col("n_signup"))
+              .cast(DoubleType))
+          .select("n_users", "n_signup", "n_signup_view", "n_full_funnel",
+            "conversion", "sum_convert_us", "max_convert_us")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT COUNT(*) FROM s1) AS n_signup,
+        |  (SELECT COUNT(*) FROM s2) AS n_signup_view,
+        |  (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+        |  CAST(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM s1) AS DOUBLE) AS conversion,
+        |  (SELECT CAST(SUM(t3 - t1) AS BIGINT)
+        |     FROM s3 JOIN s1 USING (user_id)) AS sum_convert_us,
+        |  (SELECT CAST(MAX(t3 - t1) AS BIGINT)
+        |     FROM s3 JOIN s1 USING (user_id)) AS max_convert_us""".stripMargin)),
   )
 }

@@ -1357,4 +1357,29 @@ class OperatorSuite extends AnyFunSuite {
       assert(got(m) == want, s"$m: got ${got(m)} want $want")
     }
   }
+
+  test("q58 funnel stages match a sequential per-user event sweep") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q58_funnel")(spark, sf).collect().head
+    val evs = T.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS t").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    def firstAfter(es: Array[(Long, String, Long)], tpe: String, after: Long) = {
+      val c = es.filter(e => e._2 == tpe && e._3 > after)
+      if (c.isEmpty) None else Some(c.map(_._3).min)
+    }
+    val chains = byUser.map { case (u, es) =>
+      val t1 = firstAfter(es, "signup", Long.MinValue)
+      val t2 = t1.flatMap(firstAfter(es, "view", _))
+      val t3 = t2.flatMap(firstAfter(es, "purchase", _))
+      (u, t1, t2, t3)
+    }.toSeq
+    val full = chains.collect { case (_, Some(t1), _, Some(t3)) => t3 - t1 }
+    assert(r.getLong(0) == byUser.size.toLong)
+    assert(r.getLong(1) == chains.count(_._2.isDefined).toLong)
+    assert(r.getLong(2) == chains.count(_._3.isDefined).toLong)
+    assert(r.getLong(3) == chains.count(_._4.isDefined).toLong)
+    assert(r.getLong(5) == full.sum && r.getLong(6) == full.max)
+  }
 }
