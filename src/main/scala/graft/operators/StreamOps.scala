@@ -1232,6 +1232,103 @@ object StreamOps {
         |  CAST(MIN(CASE WHEN ph > 500 THEN rn END) AS BIGINT) AS first_alarm_pos,
         |  CAST(MAX(ph) AS DOUBLE) AS max_ph
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    // STREAMING funnel (CEP-lite): q58's signup → view → purchase chain
+    // run as a live per-user state machine on Spark's NATIVE keyed-state
+    // API (flatMapGroupsWithState, update mode) — the "conversion tracking
+    // on the ingest stream" shape, where the funnel position of every user
+    // is queryable mid-stream instead of recomputed in batch. Events are
+    // staged as two time-ranged files written sequentially (distinct
+    // mtimes ⇒ FileStreamSource processes them oldest-first), so state
+    // transitions see time-ordered batches; within a batch each user's
+    // group is sorted by (ts, event_id). State is 4 longs per user —
+    // O(users), the canonical keyed-state budget — and per-user per-batch
+    // groups are bounded by that user's event rate (thousands of keys
+    // share a batch; unlike a low-cardinality key there is no whole-batch
+    // single-task skew). The final report must equal the BATCH funnel
+    // (q58's oracle chain) exactly — the same stream-equals-batch contract
+    // st26 pins for CUSUM.
+    Op("st28_stream_funnel", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      val midTs = ev.agg(((min("tsu") + max("tsu")) / 2).cast(LongType))
+        .head().getLong(0)
+      val dir = Streaming.scratchDir("graft_funnel_src_")
+      val schema = ev.schema
+      ev.filter(col("tsu") <= midTs).coalesce(1).write.mode("append").parquet(dir)
+      ev.filter(col("tsu") > midTs).coalesce(1).write.mode("append").parquet(dir)
+      val name = uniq("st28")
+      Streaming.withStreamShuffle(s) {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val updated = src.as[(Long, String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (uid: Long, it: Iterator[(Long, String, Long, Long)],
+                state: GroupState[FunnelState]) =>
+              var st = state.getOption.getOrElse(FunnelState(0L, -1L, -1L, -1L))
+              it.toIndexedSeq.sortBy(e => (e._3, e._4)).foreach {
+                case (_, tpe, t, _) =>
+                  if (tpe == "signup" && st.t1 < 0) st = st.copy(t1 = t)
+                  else if (tpe == "view" && st.t1 >= 0 && st.t2 < 0 && t > st.t1)
+                    st = st.copy(t2 = t)
+                  else if (tpe == "purchase" && st.t2 >= 0 && st.t3 < 0 && t > st.t2)
+                    st = st.copy(t3 = t)
+                  st = st.copy(n = st.n + 1)
+              }
+              state.update(st)
+              Iterator.single((uid, st.n, st.t1, st.t2, st.t3))
+          }
+        val q = updated.toDF("user_id", "n_events", "t1", "t2", "t3")
+          .writeStream.format("memory").queryName(name).outputMode("update")
+          .option("checkpointLocation", s"$dir/_ckpt_$name")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      // the memory sink keeps every per-batch update row; the final state
+      // per user is the one with the highest event count (n is strictly
+      // increasing and a key is only re-emitted with new data)
+      val fin = s.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("t1"), col("t2"), col("t3"))).as("m"))
+        .select(col("user_id"), col("m.t1").as("t1"), col("m.t2").as("t2"),
+          col("m.t3").as("t3"))
+      fin.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1") >= 0, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("t2") >= 0, 1L).otherwise(0L)).as("n_signup_view"),
+        sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("n_full_funnel"),
+        sum(when(col("t3") >= 0, col("t3") - col("t1"))).as("sum_convert_us"),
+        max(when(col("t3") >= 0, col("t3") - col("t1"))).as("max_convert_us"))
+        .withColumn("conversion",
+          (col("n_full_funnel").cast(DoubleType) / col("n_signup"))
+            .cast(DoubleType))
+        .select("n_users", "n_signup", "n_signup_view", "n_full_funnel",
+          "conversion", "sum_convert_us", "max_convert_us")
+    },
+      // the BATCH funnel oracle — stream must reproduce it exactly
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT COUNT(*) FROM s1) AS n_signup,
+        |  (SELECT COUNT(*) FROM s2) AS n_signup_view,
+        |  (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+        |  CAST(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM s1) AS DOUBLE) AS conversion,
+        |  (SELECT CAST(SUM(t3 - t1) AS BIGINT)
+        |     FROM s3 JOIN s1 USING (user_id)) AS sum_convert_us,
+        |  (SELECT CAST(MAX(t3 - t1) AS BIGINT)
+        |     FROM s3 JOIN s1 USING (user_id)) AS max_convert_us""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the
@@ -1320,3 +1417,8 @@ object StreamOps {
   */
 case class CusumState(event_type: String, cs: String, mn: String,
     maxPh: String, nPts: Long, nAlarms: Long, firstAlarm: Long)
+
+/** Per-user funnel position (st28): event count + the three stage
+  * timestamps in epoch micros (-1 = stage not reached).
+  */
+case class FunnelState(n: Long, t1: Long, t2: Long, t3: Long)

@@ -1382,4 +1382,14 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getLong(3) == chains.count(_._4.isDefined).toLong)
     assert(r.getLong(5) == full.sum && r.getLong(6) == full.max)
   }
+
+  test("st28 streaming funnel state machine reproduces the q58 batch funnel") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("st28_stream_funnel")(spark, sf)
+      .collect().head
+    val batch = SparkEntry.queries("q58_funnel")(spark, sf).collect().head
+    for (i <- 0 until stream.length)
+      assert(stream.get(i) == batch.get(i),
+        s"col $i: stream=${stream.get(i)} batch=${batch.get(i)}")
+  }
 }
