@@ -1209,5 +1209,41 @@ object Relational2 {
         |     FROM s3 JOIN s1 USING (user_id)) AS sum_convert_us,
         |  (SELECT CAST(MAX(t3 - t1) AS BIGINT)
         |     FROM s3 JOIN s1 USING (user_id)) AS max_convert_us""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Cohort RETENTION matrix — the other half of the product-analytics
+    // pair with q58: users grouped by the epoch-week of their first event
+    // (the cohort), counted in every later week they were active, keyed by
+    // week offset. Weeks are exact integer epoch-micros division
+    // (604800000000 us), so cohort boundaries — and the matrix — are
+    // engine-independent. Scale shape: one groupBy(user) for the cohort
+    // anchor, one user-keyed join that reuses the same hash partitioning
+    // (exchange reuse, the q58 property), then a distinct + count on the
+    // (cohort, offset) matrix key whose cardinality is O(weeks²) — tiny
+    // regardless of corpus size. No window over the full event stream.
+    Op(
+      "q59_retention",
+      (s, d) => {
+        val e = T.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("w"))
+        val cohort = e.groupBy("user_id").agg(min("w").as("cw"))
+        e.join(cohort, "user_id")
+          .select(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"),
+            col("user_id"))
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(w) AS cw FROM e GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT cohort.cw AS cohort_week, e.w - cohort.cw AS week_offset,
+        |    e.user_id
+        |  FROM e JOIN cohort USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
   )
 }

@@ -1392,4 +1392,17 @@ class OperatorSuite extends AnyFunSuite {
       assert(stream.get(i) == batch.get(i),
         s"col $i: stream=${stream.get(i)} batch=${batch.get(i)}")
   }
+
+  test("q59 retention matrix matches a sequential cohort recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q59_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val evs = T.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) div 604800000000 AS w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = evs.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val want = evs.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .distinct.groupBy(e => (e._1, e._2)).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+  }
 }
