@@ -1154,10 +1154,11 @@ object Relational2 {
     // analytics staple — per user, the first signup, the first view
     // STRICTLY AFTER it, the first purchase strictly after that, then the
     // stage-conversion report. The chain is three conditional min-
-    // aggregations, each keyed on user_id: events shuffle on user_id
-    // ONCE and every later groupBy/join reuses that partitioning
-    // (Catalyst exchange reuse), so the funnel costs one wide dependency
-    // regardless of stage count. All stage timestamps are exact epoch
+    // aggregations, each keyed on user_id; each stage's scan pushes its
+    // event_type filter to parquet, and because a stage frame is one row
+    // per qualifying user the stage joins all BROADCAST (the audited plan:
+    // filtered scans + BHJ per stage — no stage ever shuffles the full
+    // event stream). All stage timestamps are exact epoch
     // micros; the one double (conversion) is a single division — so the
     // one-row report hash-matches. At 100 TB: per-user event counts are
     // bounded, stage frames shrink monotonically (s3 ⊆ s2 ⊆ s1), and the
