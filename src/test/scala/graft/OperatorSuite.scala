@@ -1405,4 +1405,24 @@ class OperatorSuite extends AnyFunSuite {
       .distinct.groupBy(e => (e._1, e._2)).map { case (k, v) => k -> v.size.toLong }
     assert(got == want)
   }
+
+  test("g05 three-round relaxation matches a sequential Bellman-Ford") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g05_shortest_path")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val we = graft.operators.Graph.coPurchaseEdges(spark, sf)
+      .selectExpr("a", "b", "1000000 DIV w AS cost").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val src = we.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = we.flatMap { case (a, b, c) =>
+        dist.get(a).map(da => b -> (da + c))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, v) => n -> v.map(_._2).min }
+    }
+    val want = dist.toSeq.sortBy { case (n, d2) => (d2, n) }.take(20)
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+  }
 }
