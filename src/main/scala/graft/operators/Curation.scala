@@ -258,13 +258,8 @@ object Curation {
           .persist()
         val bands = Multimodal.phashBands(ph.select("doc_id", "phash"))
           .join(ph.select("doc_id", "modality"), "doc_id")
-        val removed = bands.as("x")
-          .join(bands.as("y"),
-            col("x.modality") === col("y.modality") &&
-              col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .filter(expr("bit_count(x.phash ^ y.phash)") <= 7)
-          .select(col("y.doc_id").as("doc_id"))
+        val removed = Multimodal.phashNeardupPairs(bands, Seq("modality"))
+          .select(col("doc_b").as("doc_id"))
           .distinct()
         val kept = docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
         val tot = docs.groupBy("modality").agg(

@@ -205,15 +205,7 @@ object Multimodal {
     // each — never payloads.
     Op("mm07_phash_neardup", (s, d) => {
       val ph = phashOf(T.documents(s, d)).cache()
-      val bands = phashBands(ph)
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          expr("bit_count(x.phash ^ y.phash)").cast(LongType).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 7)
+      phashNeardupPairs(phashBands(ph))
         .orderBy("doc_a", "doc_b")
     },
       Some(s"""WITH $sqlPhashCtes
@@ -252,6 +244,25 @@ object Multimodal {
           shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
         .as("bb"))
     .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bits"))
+
+  /** Band-colliding candidate pairs hamming-verified <= 7 — the one place
+    * the threshold + re-check live (mm07 and p03 both consume it). The
+    * hamming filter runs BEFORE distinct so the dedup shuffle only carries
+    * true near-dups, never the dominant far-pair collision population.
+    * `extraKeys` adds equality columns to the band join (p03: modality, so
+    * cohorts block within modality only).
+    */
+  private[operators] def phashNeardupPairs(
+      bands: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val cond = (Seq("band", "bits") ++ extraKeys)
+      .map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
+    bands.as("x").join(bands.as("y"), cond)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+  }
 
   /** Oracle mirror of [[phashOf]]: base/en/tot/ph CTE chain (splice after
     * WITH). def, not val — spliced across objects during their init (the

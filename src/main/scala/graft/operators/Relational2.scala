@@ -15,6 +15,33 @@ import org.apache.spark.sql.types._
   */
 object Relational2 {
 
+  /** The batch funnel oracle, shared verbatim with st28 — the streaming
+    * funnel's whole contract is "must equal this", so a single constant
+    * keeps the two gates from silently diverging.
+    */
+  private[operators] def funnelOracleSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT COUNT(*) FROM s1) AS n_signup,
+        |  (SELECT COUNT(*) FROM s2) AS n_signup_view,
+        |  (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+        |  CAST(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM s1) AS DOUBLE) AS conversion,
+        |  (SELECT CAST(SUM(t3 - t1) AS BIGINT)
+        |     FROM s3 JOIN s1 USING (user_id)) AS sum_convert_us,
+        |  (SELECT CAST(MAX(t3 - t1) AS BIGINT)
+        |     FROM s3 JOIN s1 USING (user_id)) AS max_convert_us""".stripMargin
+
+
   /** Collision-free fixture fingerprint for cached derived artifacts
     * (bucketed tables, compaction copies, the w09 Derby database): an md5
     * of the full path PLUS the (name, size, mtime) of every parquet file in
@@ -1190,26 +1217,7 @@ object Relational2 {
           .select("n_users", "n_signup", "n_signup_view", "n_full_funnel",
             "conversion", "sum_convert_us", "max_convert_us")
       },
-      Some("""WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-        |  FROM events),
-        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
-        |       WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
-        |SELECT
-        |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
-        |  (SELECT COUNT(*) FROM s1) AS n_signup,
-        |  (SELECT COUNT(*) FROM s2) AS n_signup_view,
-        |  (SELECT COUNT(*) FROM s3) AS n_full_funnel,
-        |  CAST(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM s1) AS DOUBLE) AS conversion,
-        |  (SELECT CAST(SUM(t3 - t1) AS BIGINT)
-        |     FROM s3 JOIN s1 USING (user_id)) AS sum_convert_us,
-        |  (SELECT CAST(MAX(t3 - t1) AS BIGINT)
-        |     FROM s3 JOIN s1 USING (user_id)) AS max_convert_us""".stripMargin)),
+      Some(funnelOracleSql)),
     // ------------------------------------------------------------------
     // Cohort RETENTION matrix — the other half of the product-analytics
     // pair with q58: users grouped by the epoch-week of their first event

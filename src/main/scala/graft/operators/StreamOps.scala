@@ -1253,12 +1253,27 @@ object StreamOps {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val ev = T.events(s, d).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"), col("event_id"))
-      val midTs = ev.agg(((min("tsu") + max("tsu")) / 2).cast(LongType))
-        .head().getLong(0)
-      val dir = Streaming.scratchDir("graft_funnel_src_")
       val schema = ev.schema
-      ev.filter(col("tsu") <= midTs).coalesce(1).write.mode("append").parquet(dir)
-      ev.filter(col("tsu") > midTs).coalesce(1).write.mode("append").parquet(dir)
+      // memoized staging (scaffolding, not operator cost — the stagedDir
+      // contract); mtimes explicitly backdated 120s/60s apart, the st10
+      // defense: same-mtime files list in arbitrary order and a reversed
+      // pair would feed the state machine its second half first
+      val dir = Streaming.stagedDir("funnel", d) { dir =>
+        import scala.jdk.CollectionConverters._
+        val midTs = ev.agg(((min("tsu") + max("tsu")) / 2).cast(LongType))
+          .head().getLong(0)
+        def ls() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          .iterator().asScala.toSet
+        def backdate(fs: Set[java.nio.file.Path], ageMs: Long): Unit = {
+          val t = java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs)
+          fs.foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+        }
+        ev.filter(col("tsu") <= midTs).coalesce(1).write.mode("append").parquet(dir)
+        val f1 = ls(); backdate(f1, 120000)
+        ev.filter(col("tsu") > midTs).coalesce(1).write.mode("append").parquet(dir)
+        backdate(ls() -- f1, 60000)
+      }
       val name = uniq("st28")
       Streaming.withStreamShuffle(s) {
         val src = s.readStream.schema(schema)
@@ -1308,27 +1323,9 @@ object StreamOps {
         .select("n_users", "n_signup", "n_signup_view", "n_full_funnel",
           "conversion", "sum_convert_us", "max_convert_us")
     },
-      // the BATCH funnel oracle — stream must reproduce it exactly
-      Some("""WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-        |  FROM events),
-        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
-        |       WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
-        |SELECT
-        |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
-        |  (SELECT COUNT(*) FROM s1) AS n_signup,
-        |  (SELECT COUNT(*) FROM s2) AS n_signup_view,
-        |  (SELECT COUNT(*) FROM s3) AS n_full_funnel,
-        |  CAST(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM s1) AS DOUBLE) AS conversion,
-        |  (SELECT CAST(SUM(t3 - t1) AS BIGINT)
-        |     FROM s3 JOIN s1 USING (user_id)) AS sum_convert_us,
-        |  (SELECT CAST(MAX(t3 - t1) AS BIGINT)
-        |     FROM s3 JOIN s1 USING (user_id)) AS max_convert_us""".stripMargin)),
+      // the BATCH funnel oracle, shared with q58 — stream must reproduce
+      // it exactly
+      Some(Relational2.funnelOracleSql)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the
