@@ -15,6 +15,7 @@ object SparkEntry {
   def allOps: Seq[Op] =
     operators.Relational.ops ++
     operators.Relational2.ops ++
+    operators.Relational3.ops ++
     operators.AsOf.ops ++
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++

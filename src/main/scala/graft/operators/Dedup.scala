@@ -254,6 +254,38 @@ object Dedup {
       |sh AS (SELECT sh0.* FROM sh0 WHERE sh NOT IN (
       |       SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $ShingleDfCap))""".stripMargin
 
+  /** Oracle mirror of [[minhashBands]] + the band-collision self-join:
+    * CTEs `hs`/`pm`/`mh`/`bands`/`cand` over an existing `sh` CTE. Shared
+    * by d03 (Jaccard verify) and d20 (edit-distance verify) so the two
+    * verification stages provably probe the SAME candidate set.
+    */
+  private val sqlCandCtes =
+    """hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+      |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
+      |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+      |mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS mh
+      |       FROM hs CROSS JOIN pm GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      |          FROM mh GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Band-collision candidate pairs (doc_a < doc_b) from a (doc_id, band,
+    * sig) band table — d03/d20's shared Spark-side candidate generator.
+    * Shuffles once on (band, sig); the DF cap upstream bounds every band
+    * bucket, so the self-join fan-out is bounded exactly like the shingle
+    * join.
+    */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
   /** Fuzzy benchmark decontamination core (see the d14 registration for the
     * scale rationale): MinHash-LSH candidates between the corpus and the
     * `benchSource` slice, exact-Jaccard verified at `threshold`, rolled up
@@ -461,30 +493,7 @@ object Dedup {
       "d03_minhash_lsh",
       (s, d) => {
         val sh = cappedShingles(s, d).cache()
-        val hs = sh.withColumn("h",
-          expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
-        // All 16 permutation minima as columns of ONE aggregation: a single
-        // shuffle with map-side partial min, instead of crossJoin x16 (which
-        // would move 16x the shingle volume — the difference at 100 TB).
-        val mhCols = (0 until 16).map { i =>
-          min((lit(100003L + 7919L * i) * col("h") + lit(12345L + 104729L * i))
-            % lit(2147483647L)).as(s"m$i")
-        }
-        val sig = hs.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-        val bandStructs = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast(StringType)): _*)
-              .as("sig"))
-        }
-        val bands = sig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        val cand = bandCandidates(minhashBands(sh))
         val inter = cand
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
@@ -501,17 +510,7 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $sqlCappedCtes,
-        |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
-        |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
-        |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
-        |mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS mh
-        |       FROM hs CROSS JOIN pm GROUP BY doc_id, i),
-        |bands AS (SELECT doc_id, i // 4 AS band,
-        |          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-        |          FROM mh GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |$sqlCandCtes,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
         |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
@@ -1208,6 +1207,57 @@ object Dedup {
         |  CAST(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS DOUBLE) AS jaccard
         |FROM iv JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // EDIT-DISTANCE candidate verification — the record-linkage verify
+    // stage set-based Jaccard cannot replace: two docs that swap a word's
+    // characters or reorder within a shingle window keep their token-set
+    // Jaccard but drift in edit distance (and vice versa), so production
+    // dedup runs BOTH verifiers over one candidate set. Candidates are the
+    // SAME MinHash band collisions as d03 (shared [[bandCandidates]] /
+    // [[sqlCandCtes]]); each pair is then scored by Levenshtein distance
+    // over a 240-char prefix. The prefix cap is the scale contract:
+    // Levenshtein is O(len_a * len_b) PER PAIR, so uncapped text makes
+    // verification cost quadratic in document length — capping bounds every
+    // pair at 240^2 cell updates regardless of corpus, the standard
+    // prefix-verify compromise (full-text verify only the survivors). Both
+    // engines implement classic unit-cost Levenshtein, so the integer
+    // distances hash-match exactly. Scale shape: candidate count is
+    // LSH-bounded (band buckets are DF-cap-bounded upstream), the prefix
+    // join is two broadcast-sized probes into documents, and the scoring is
+    // a codegen'd binary expression — no shuffle beyond the candidate join.
+    Op(
+      "d20_editdist_verify",
+      (s, d) => {
+        val sh = cappedShingles(s, d)
+        val pref = T.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 240).as("p"))
+        bandCandidates(minhashBands(sh))
+          .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+          .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+          .withColumn("lev", levenshtein(col("pa"), col("pb")).cast(LongType))
+          .withColumn("prefix_sim",
+            (lit(1.0) - col("lev").cast(DoubleType) /
+              greatest(length(col("pa")), length(col("pb"))).cast(DoubleType))
+              .cast(DoubleType))
+          .filter(col("lev") <= 120)
+          .select("doc_a", "doc_b", "lev", "prefix_sim")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $sqlCappedCtes,
+        |$sqlCandCtes,
+        |pref AS (SELECT doc_id, substr(text, 1, 240) AS p FROM documents),
+        |sc AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS lev,
+        |    GREATEST(len(pa.p), len(pb.p)) AS mx
+        |  FROM cand c
+        |  JOIN pref pa ON pa.doc_id = c.doc_a
+        |  JOIN pref pb ON pb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, lev,
+        |  CAST(1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) AS DOUBLE)
+        |    AS prefix_sim
+        |FROM sc WHERE lev <= 120
         |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

@@ -467,5 +467,63 @@ object Graph {
            |SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d3
            |ORDER BY dist, n LIMIT 20""".stripMargin
       }),
+    // ------------------------------------------------------------------
+    // Whole-graph connected components as a first-class GRAPH query (the
+    // community/cluster primitive d06/d09 apply to near-dup pairs, here
+    // over the shared co-purchase edge table): runs the O(log n)
+    // large-star/small-star contraction (Kiveris et al., SoCC'14) — the
+    // 100 TB path, where label propagation's diameter-bound round count is
+    // unacceptable — and rolls the labeling up into a component-size
+    // histogram with a sum-of-labels checksum per size class. The label of
+    // a component is its minimum node id (an engine-independent canonical
+    // choice), so the histogram plus checksum hash-matches a DuckDB
+    // recursive-CTE transitive closure exactly. Scale shape: every
+    // contraction round is two (min-aggregate + equi-join + distinct)
+    // passes over a monotonically shrinking edge multiset — no windows, no
+    // per-node neighborhood arrays (a celebrity node never materializes
+    // its neighbor list in one task), lineage truncated per round; the
+    // rollup is two map-side-combinable aggregations.
+    Op(
+      "g06_connected_components",
+      (s, d) => {
+        // finer 1/256 deterministic thinning than g02/g03's 1/16: CC is
+        // only an interesting gate when the graph FRAGMENTS (the 1/16
+        // sample leaves one giant component and a single histogram row);
+        // at 1/256 the fixture yields ~280 components across 8 size
+        // classes, so the histogram actually witnesses the contraction
+        val und = coPurchaseEdges(s, d)
+          .select("a", "b")
+          .filter(col("a") < col("b"))
+          .filter(substring(md5(concat(col("a").cast("string"), lit(":"),
+            col("b").cast("string"))), 1, 2) === "00")
+        Dedup.connectedComponentsStar(und, "a", "b")
+          .groupBy("label").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_components"),
+            sum("label").as("sum_min_label"))
+          .select(col("sz").as("component_size"), col("n_components"),
+            col("sum_min_label"))
+          .orderBy("component_size")
+      },
+      Some("""WITH RECURSIVE und AS (
+        |  SELECT a, b FROM (
+        |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |    FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey
+        |     AND l1.l_partkey < l2.l_partkey)
+        |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        |               1, 2) = '00'),
+        |bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |nodes AS (SELECT DISTINCT a AS n FROM bi),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.b, r.m FROM reach r JOIN bi e ON e.a = r.n
+        |  WHERE r.m < e.b),
+        |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n),
+        |comp AS (SELECT label, COUNT(*) AS sz FROM lab GROUP BY label)
+        |SELECT CAST(sz AS BIGINT) AS component_size,
+        |  COUNT(*) AS n_components,
+        |  CAST(SUM(label) AS BIGINT) AS sum_min_label
+        |FROM comp GROUP BY sz ORDER BY component_size""".stripMargin)),
   )
 }

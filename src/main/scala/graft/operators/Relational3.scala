@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Op, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational surface, part 3: lakehouse operational queries — snapshot
+  * reconciliation and sketch-based frequency estimation. Same design rules
+  * as [[Relational]]/[[Relational2]]: declarative Catalyst plans, exact
+  * integer/boolean gate columns wherever a value is approximate by nature.
+  */
+object Relational3 {
+
+  val ops: Seq[Op] = Seq(
+    // ------------------------------------------------------------------
+    // SNAPSHOT DIFF / table reconciliation — the audit every incremental
+    // pipeline runs after a backfill or engine migration: classify every
+    // key of two table snapshots as added / removed / changed / unchanged
+    // and checksum each class. Snapshots are derived deterministically from
+    // the orders fixture (snapshot A drops keys ≡ 0 mod 7 — "yesterday was
+    // incomplete"; snapshot B reprices keys ≡ 0 mod 11 by a single IEEE
+    // multiply — "today saw updates"), so both engines build bit-identical
+    // inputs. Scale shape: ONE full-outer sort-merge join on the snapshot
+    // key — the two sides co-partition on that key (on a lakehouse both
+    // snapshots are bucketed by it, making the join exchange-free), the
+    // classification is a codegen'd CASE over the join's null pattern, and
+    // only O(classes) rows leave the final aggregate. The change test
+    // compares doubles produced by the SAME single multiply in both
+    // engines, so it is bit-deterministic.
+    Op(
+      "q60_snapshot_diff",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val snapA = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
+        val snapB = o.select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") * lit(1.1))
+            .otherwise(col("o_totalprice")).as("pb"))
+        snapA.join(snapB, Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("pa").isNull, "added")
+              .when(col("pb").isNull, "removed")
+              .when(col("pa") =!= col("pb"), "changed")
+              .otherwise("unchanged").as("class"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_key"))
+          .orderBy("class")
+      },
+      Some("""WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pa FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS pb
+        |  FROM orders),
+        |j AS (
+        |  SELECT COALESCE(a.k, b.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN pa <> pb THEN 'changed'
+        |         ELSE 'unchanged' END AS class
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT class, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_key
+        |FROM j GROUP BY class ORDER BY class""".stripMargin)),
+    // ------------------------------------------------------------------
+    // COUNT-MIN SKETCH frequency estimation — the constant-memory
+    // heavy-hitter counter for streams and shuffles too wide for exact
+    // maps. The sketch is built by Spark's codegen'd count_min_sketch
+    // aggregate (one pass, map-side mergeable — at 100 TB every executor
+    // folds its partition into a w x d integer grid and the driver merges
+    // sketch-sized blobs, never rows). The blob is then probed for the 10
+    // true-heaviest part keys. Estimates are approximate BY CONSTRUCTION,
+    // so the hash gate follows the q37/q42 invariant pattern: CMS can
+    // NEVER undercount (every cell the key hashes to saw all its
+    // increments), and with eps = 0.001 the overcount is bounded by
+    // eps * N collisions-mass — both prove as booleans next to the exact
+    // counts the oracle reproduces. Fixed seed makes the run
+    // deterministic; a sketch-width regression, a merge bug, or a probe
+    // off-by-one flips a boolean and fails the driver hash.
+    Op(
+      "q61_countmin_freq",
+      (s, d) => {
+        val s2 = s
+        import s2.implicits._
+        val li = T.lineitem(s, d)
+        val n = li.count()
+        val skBytes = li
+          .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val top = li.groupBy("l_partkey").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("l_partkey")).limit(10)
+          .collect() // O(10) rows: the probe set, not the data
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val slack = math.ceil(0.001 * n).toLong
+        top.toSeq.map { case (k, c) =>
+          val est = cms.estimateCount(k)
+          (k, c, est >= c, est <= c + slack)
+        }.toDF("l_partkey", "true_cnt", "est_ge_true", "est_within_eps")
+          .orderBy(col("true_cnt").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS true_cnt,
+        |  true AS est_ge_true, true AS est_within_eps
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY true_cnt DESC, l_partkey LIMIT 10""".stripMargin)),
+  )
+}

@@ -780,5 +780,70 @@ object Similarity {
         |  FROM cs)
         |SELECT vec_id, rank, neighbor, cos FROM rk WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin)),
+    // ------------------------------------------------------------------
+    // RANGE (radius) search with MULTI-PROBE LSH — the "all neighbors
+    // within a similarity threshold" primitive (near-dup sweeps, abuse
+    // blacklist expansion, diversity filters) where top-k is the wrong
+    // contract because the answer set size is data-dependent. Single-bucket
+    // LSH (s02's shape) misses radius neighbors that land one sign-bit
+    // away; multi-probe expands each query to its own bucket PLUS all six
+    // Hamming-distance-1 buckets (7 probes), the standard recall/cost knob
+    // (Lv et al., "Multi-probe LSH", VLDB'07) — recall rises like an extra
+    // hash table would cost, but without storing one. Every stage is
+    // deterministic (LCG hyperplanes shared with s02, fold-ordered cosine),
+    // so the result hash-matches the oracle's replay of the same probe
+    // algebra. Scale shape: buckets are one aggregation over the corpus
+    // (map-side partial), the probe table is 7 rows x |Q| (broadcast), the
+    // candidate join is a bucket equi-join — corpus is touched once, and
+    // the exact-cosine filter runs only on candidates, never all pairs.
+    Op(
+      "s12_range_search",
+      (s, d) => {
+        val s2 = s
+        import s2.implicits._
+        val e = T.embeddings(s, d)
+        val planes = (0 until 6).map(p => (p, planeVec(p))).toDF("p", "r")
+        val buckets = e.crossJoin(broadcast(planes))
+          .withColumn("dp", F.dotFD(col("embedding"), col("r")))
+          .withColumn("bit",
+            when(col("dp") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
+          .groupBy("vec_id").agg(sum("bit").as("bucket"))
+        val eb = e.join(buckets, "vec_id")
+        val probes = (Seq(0L) ++ (0 until 6).map(p => 1L << p)).toDF("m")
+        // each corpus vector owns exactly ONE bucket and the 7 probe masks
+        // are distinct, so (q_id, vec_id) pairs are already unique — no
+        // dedup pass needed after the probe join
+        val q = eb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket").as("qb"))
+          .crossJoin(broadcast(probes))
+          .select(col("q_id"), col("q_emb"), expr("qb ^ m").as("bucket"))
+        eb.join(q, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+          .filter(col("cos") >= 0.3)
+          .select("q_id", "vec_id", "cos")
+          .orderBy("q_id", "vec_id")
+      },
+      Some(s"""WITH pl AS ($sqlPlanes),
+        |dt AS (SELECT e.vec_id, pl.p,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(generate_series(1, len(e.embedding)),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.r[i])), (x, y) -> x + y) AS dp
+        |       FROM embeddings e CROSS JOIN pl),
+        |bk AS (SELECT vec_id,
+        |       CAST(SUM(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM dt GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+        |probes AS (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT) AS m),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS qb
+        |      FROM eb WHERE vec_id < 16),
+        |sc AS (SELECT q.q_id, eb.vec_id,
+        |       ${VecSql.cos("q.q_emb", "eb.embedding")} AS cos
+        |       FROM q CROSS JOIN probes p
+        |       JOIN eb ON eb.bucket = xor(q.qb, p.m)
+        |       WHERE eb.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cos FROM sc WHERE cos >= 0.3
+        |ORDER BY q_id, vec_id""".stripMargin)),
   )
 }

@@ -1425,4 +1425,141 @@ class OperatorSuite extends AnyFunSuite {
     val want = dist.toSeq.sortBy { case (n, d2) => (d2, n) }.take(20)
     assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("g06 star-contraction histogram matches a sequential union-find") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g06_connected_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val edges = graft.operators.Graph.coPurchaseEdges(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < b && md5hex(s"$a:$b").startsWith("00") }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.toSeq.groupBy(find).map { case (root, ns) =>
+      (root, ns.size.toLong)
+    }
+    val want = comps.groupBy(_._2).map { case (sz, cs) =>
+      (sz, cs.size.toLong, cs.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == want, s"got=$got want=$want")
+  }
+
+  private def lev(a: String, b: String): Long = {
+    val dp = Array.tabulate(b.length + 1)(_.toLong)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i.toLong
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("d20 edit-distance verify agrees with a sequential Levenshtein and " +
+      "covers every d03 near-dup pair within the distance cap") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(240)).toMap
+    val got = SparkEntry.queries("d20_editdist_verify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, l) =>
+      assert(l == lev(texts(a), texts(b)), s"pair ($a,$b)")
+      assert(l <= 120)
+    }
+    // shared candidate set: every d03 band-collision pair that ALSO passes
+    // the distance cap must be present (d03's Jaccard filter only shrinks
+    // the same candidate pool d20 scores)
+    val d03 = SparkEntry.queries("d03_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => lev(texts(a), texts(b)) <= 120 }
+    val gotPairs = got.map(r => (r._1, r._2)).toSet
+    d03.foreach(p => assert(gotPairs.contains(p), s"missing d03 pair $p"))
+  }
+
+  test("s12 multi-probe range search matches a sequential Hamming<=1 sweep") {
+    val sf = "/root/testdata/sf0.001"
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val got = SparkEntry.queries("s12_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), bits(r.getDouble(2)))).toSeq
+    val vecs = T.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planes = (0 until 6).map(p => graft.operators.Similarity.planeVec(p).toArray)
+    def bucket(v: Array[Float]): Long =
+      (0 until 6).map { p =>
+        var dp = 0.0; var i = 0
+        while (i < v.length) { dp += v(i).toDouble * planes(p)(i); i += 1 }
+        if (dp > 0) 1L << p else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val bk = vecs.map { case (id, v) => id -> bucket(v) }
+    val probes = 0L +: (0 until 6).map(1L << _)
+    val want = vecs.keys.toSeq.filter(_ < 16).flatMap { qid =>
+      val targets = probes.map(bk(qid) ^ _).toSet
+      vecs.keys.toSeq
+        .filter(v => v != qid && targets.contains(bk(v)))
+        .map(v => (qid, v, cos(vecs(qid), vecs(v))))
+        .filter(_._3 >= 0.3)
+        .map { case (q, v, c) => (q, v, bits(c)) }
+    }.sortBy(r => (r._1, r._2))
+    assert(want.nonEmpty && got == want,
+      s"sizes got=${got.size} want=${want.size}")
+  }
+
+  test("q60 snapshot diff classifies added/removed/changed like a sequential replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q60_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val os = T.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val a = os.filter(_._1 % 7 != 0).toMap
+    val b = os.map { case (k, p) => k -> (if (k % 11 == 0) p * 1.1 else p) }.toMap
+    val classed = (a.keySet ++ b.keySet).toSeq.map { k =>
+      val cls =
+        if (!a.contains(k)) "added"
+        else if (!b.contains(k)) "removed"
+        else if (a(k) != b(k)) "changed"
+        else "unchanged"
+      k -> cls
+    }
+    val want = classed.groupBy(_._2).map { case (cls, ks) =>
+      cls -> (ks.size.toLong, ks.map(_._1).sum)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("q61 count-min estimates never undercount and stay inside the eps bound") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q61_countmin_freq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.length == 10)
+    val freq = T.lineitem(spark, sf).select("l_partkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wantTop = freq.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(got.map(r => (r._1, r._2)).toSeq == wantTop)
+    got.foreach { case (k, _, ge, within) =>
+      assert(ge && within, s"key $k gates ($ge, $within)")
+    }
+  }
 }
