@@ -141,11 +141,45 @@ object MLOps {
       PipelineSpec(7, "NN", Map("hidden" -> 16.0, "classes" -> 10.0, "lr" -> 0.05),
         Seq("StandardScaler"), "SSP"),
       oracle = Some(trainOracle(7, "NN", "SSP", "(d + 1) * 16 + 17 * 10"))),
-    // HT stays rows-only: its params snapshot is the grown tree, whose size
-    // is structural state, not a function of the input dimensionality.
-    trainOp("ml08_ht_train",
-      PipelineSpec(8, "HT", Map("classes" -> 10.0, "grace" -> 50.0), Nil,
-        "Asynchronous")),
+    // HT's params snapshot is the grown tree — structural state, not a
+    // function of the input dimensionality — so the chunk LAYOUT is not
+    // oracle-derivable like the linear learners'. The gate therefore rolls
+    // the chunks up into layout-free invariants the oracle CAN pin: the
+    // identity row, a non-empty contiguous chunk sequence, strictly
+    // positive parameter mass, and the same fitted/loss/score bounds as
+    // every trainOp. A dropped chunk (gap in ids), an empty tree, or a
+    // training-health regression each flip a hashed column. HT is
+    // SingleLearner-FORCED (reference FlinkSpoke.scala:203-211), so the
+    // oracle pins the RESOLVED protocol, not the requested one — same as
+    // ml06's K-means rule.
+    Op("ml08_ht_train", (s, d) => {
+      val spec = PipelineSpec(8, "HT", Map("classes" -> 10.0, "grace" -> 50.0),
+        Nil, "Asynchronous")
+      val df = features(s, d)
+      val fitted = Trainer.fit(s, spec, toRdd(df))
+      val n = df.count()
+      val fittedOk = fitted.model.n >= math.max(1L, n - 8L * 256L) &&
+        fitted.model.n <= spec.rounds.toLong * n
+      val cl = fitted.model.cumLoss
+      val lossOk = !cl.isNaN && !cl.isInfinite && cl >= 0.0
+      val scoreOk = fitted.score >= 0.0 && fitted.score <= 1.0
+      val rs = fitted.responses(requestId = 1L)
+      val chunkIds = rs.map(_.id).sorted
+      val chunksContiguous = chunkIds.nonEmpty &&
+        chunkIds == (0 until chunkIds.size)
+      val paramsPositive = rs.map(_.paramsCount.toLong).sum > 0L
+      import s.implicits._
+      Seq((8, "HT", fitted.protocolName, chunksContiguous, paramsPositive,
+        n, fittedOk, lossOk, scoreOk))
+        .toDF("pipeline_id", "learner", "protocol", "chunks_contiguous",
+          "params_positive", "n_points", "fitted_in_bounds", "loss_valid",
+          "score_valid")
+    },
+      Some("""SELECT CAST(8 AS INTEGER) AS pipeline_id, 'HT' AS learner,
+        |  'SingleLearner' AS protocol, true AS chunks_contiguous,
+        |  true AS params_positive, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  true AS fitted_in_bounds, true AS loss_valid, true AS score_valid
+        |FROM embeddings""".stripMargin)),
     // ------------------------------------------------------------------
     // Training at the largest fixture volume (600k lineitem rows at sf0.1):
     // demonstrates the ingest+train path at scale, not learner quality.
@@ -192,13 +226,32 @@ object MLOps {
         |  true AS loss_valid, true AS score_valid
         |FROM lineitem""".stripMargin)),
     // ------------------------------------------------------------------
+    // Prediction serving, hash-gated: the fitted values themselves are
+    // training-path floats no SQL oracle can derive, so each scored row
+    // carries the invariants that PROVE the serving path (the ml12/ml13
+    // pattern): the prediction is in the classifier's domain {-1, +1}, and
+    // one model-level gate — training accuracy beats the majority class by
+    // a margin (measured 0.85+ across fixtures; gated at 0.60) — rides
+    // along. A scoring regression (NaN params, broken preprocessor chain,
+    // wrong sign convention) flips a hashed boolean on every row.
     Op("ml09_predictions", (s, d) => {
       val df = binary(features(s, d))
       val fitted = Trainer.fit(s,
         PipelineSpec(1, "PA", Map("C" -> 0.01), Seq("StandardScaler"), "Synchronous"),
         toRdd(df))
-      fitted.predict(s, df).orderBy("id")
-    }),
+      val scored = fitted.predict(s, df)
+        .join(df.select(col("id"), col("target")), "id")
+      val acc = scored
+        .agg(avg(when(col("prediction") === col("target"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      scored.select(col("id"),
+        col("prediction").isin(-1.0, 1.0).as("pred_in_domain"),
+        lit(acc >= 0.60).as("acc_beats_majority"))
+        .orderBy("id")
+    },
+      Some("""SELECT vec_id AS id, true AS pred_in_domain,
+        |  true AS acc_beats_majority
+        |FROM embeddings ORDER BY id""".stripMargin)),
     // ------------------------------------------------------------------
     // Hash-gated hub statistics: every communication counter is EXACTLY
     // reproduced by the oracle from the data's dimensionality alone —

@@ -214,6 +214,66 @@ object Multimodal {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Audio-visual ALIGNMENT — the multimodal join every A/V pipeline
+    // needs before any fused featurization: attach to each sampled video
+    // frame (mm03's stride-2 sampling) the latest audio window at or
+    // before it. The audio track has DROPPED packets (windows ≡ 0 mod 7
+    // are missing), so the alignment is a genuine per-asset AS-OF join
+    // (the q17 operator over derived multimodal features), not an index
+    // equality — a frame whose ideal window was dropped must fall back to
+    // the previous surviving one, and the leading frame aligns to NULL
+    // when nothing precedes it. Scale shape: both modality streams derive
+    // per-row from the payload (scan-cost), and the as-of core is ONE
+    // partition-by-asset sort — co-partitioned by doc_id, no cross-asset
+    // traffic, the same plan that aligns a billion-asset corpus.
+    Op("mm08_av_align", (s, d) => {
+      val base = T.documents(s, d).select(col("doc_id"), col("text"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("maxf"))
+      val frames = base
+        .withColumn("v",
+          explode(expr("sequence(CAST(0 AS BIGINT), maxf, CAST(2 AS BIGINT))")))
+        .select(col("doc_id"), col("v"),
+          md5(expr("substring(text, v * 100 + 1, 100)")).as("frame_md5"))
+      val audio = base
+        .withColumn("a",
+          explode(expr(
+            "sequence(CAST(0 AS BIGINT), CAST((length(text) - 1) div 100 AS BIGINT))")))
+        .filter(col("a") % 7 =!= 0)
+        .select(col("doc_id"), col("a"),
+          expr("""aggregate(
+            |  sequence(a * 100 + 1, least(CAST(length(text) AS BIGINT), (a + 1) * 100)),
+            |  CAST(0 AS BIGINT),
+            |  (acc, p) -> acc + ascii(substring(text, CAST(p AS INT), 1)))""".stripMargin)
+            .as("energy"))
+      AsOf.asofJoin(frames, audio, "doc_id", "doc_id", col("v"), col("a"),
+          Seq("a", "energy"), "a")
+        .select(col("doc_id"), col("v").as("frame_idx"), col("frame_md5"),
+          col("a").as("audio_idx"), col("energy"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH f AS (
+        |  SELECT doc_id, v,
+        |    md5(substring(text, CAST(v * 100 + 1 AS INT), 100)) AS frame_md5
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0, length(text) // 100, 2)) AS v)),
+        |a AS (
+        |  SELECT doc_id, a,
+        |    CAST(SUM(unicode(text[p:p])) AS BIGINT) AS energy
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // 100)) AS a),
+        |    LATERAL (SELECT unnest(generate_series(CAST(a * 100 + 1 AS BIGINT),
+        |      LEAST(CAST(length(text) AS BIGINT), (a + 1) * 100))) AS p)
+        |  WHERE a % 7 <> 0 GROUP BY doc_id, a),
+        |al AS (
+        |  SELECT f.doc_id, f.v, f.frame_md5,
+        |    (SELECT MAX(a.a) FROM a
+        |     WHERE a.doc_id = f.doc_id AND a.a <= f.v) AS aa
+        |  FROM f)
+        |SELECT al.doc_id AS doc_id, al.v AS frame_idx, al.frame_md5,
+        |  al.aa AS audio_idx, a.energy
+        |FROM al LEFT JOIN a ON a.doc_id = al.doc_id AND a.a = al.aa
+        |ORDER BY al.doc_id, frame_idx""".stripMargin)),
   )
 
   /** The mm07 stripe-energy perceptual hash: (doc_id, phash) for every doc

@@ -1326,6 +1326,123 @@ object StreamOps {
       // the BATCH funnel oracle, shared with q58 — stream must reproduce
       // it exactly
       Some(Relational2.funnelOracleSql)),
+    // ------------------------------------------------------------------
+    // Streaming CDC apply maintaining an SCD2 dimension — q56's batch
+    // merge running INCREMENTALLY: every micro-batch of change rows closes
+    // the open version of each changed key (valid_to = the change's
+    // effective time) and opens a new version, exactly what a Delta/
+    // Iceberg MERGE executes per trigger. The parquet stand-in rewrites
+    // the dimension into a batchId-keyed version directory (overwrite →
+    // replay-idempotent, the st24/st25 lesson; latest version discovered
+    // by listing, the st26 lesson — never hardcoded). Scale shape: the
+    // per-batch plan is ONE left join of the dimension against the
+    // O(batch) change set — broadcast the changes at 100 TB, or let a
+    // row-level-ops table format turn it into a MERGE that touches only
+    // matching files; dimension size stays O(keys + total changes), which
+    // is the SCD2 contract. The stream is genuine CDC order: the
+    // snapshot file then the update file, mtime-forced (the st10
+    // defense). Prices become integer cents at staging via
+    // floor(price * 100) — the st19 scheme: floor of the same IEEE
+    // product is bit-identical in both engines (a DECIMAL(18,2) cast is
+    // NOT, because o_totalprice carries more than 2 decimal digits and
+    // Spark rounds the shortest decimal string where DuckDB rounds the
+    // binary value) — so every sum is exact and the final rollup
+    // hash-matches the ideal batch-derived SCD2 table bit-for-bit.
+    Op("st29_stream_scd2", (s, d) => {
+      val o = T.orders(s, d)
+      val snap = o.select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("price_cents"),
+        lit(0L).as("eff"))
+      val upd = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * lit(1.1) * 100).cast(LongType)
+            .as("price_cents"),
+          lit(1L).as("eff"))
+      val schema = snap.schema
+      val dir = Streaming.stagedDir("scd2", d) { dir =>
+        import scala.jdk.CollectionConverters._
+        def ls() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          .iterator().asScala.toSet
+        def backdate(fs: Set[java.nio.file.Path], ageMs: Long): Unit = {
+          val t = java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs)
+          fs.foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+        }
+        snap.coalesce(1).write.mode("append").parquet(dir)
+        val f1 = ls(); backdate(f1, 120000)
+        upd.coalesce(1).write.mode("append").parquet(dir)
+        backdate(ls() -- f1, 60000)
+      }
+      val root = Streaming.scratchDir("graft_scd2_")
+      def versions(): Seq[Long] = {
+        val f = new java.io.File(root)
+        Option(f.listFiles()).toSeq.flatten
+          .filter(x => x.isDirectory && x.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong).sorted
+      }
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val prevV = versions().filter(_ < id).lastOption
+            val prev = prevV match {
+              case Some(v) => s.read.parquet(s"$root/v=$v")
+              case None => s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(
+                  StructField("k", LongType),
+                  StructField("price_cents", LongType),
+                  StructField("valid_from", LongType),
+                  StructField("valid_to", LongType))))
+            }
+            val ch = batch.select(col("k"), col("price_cents"), col("eff"))
+            // close the open version of every changed key; newer batches
+            // only ever touch open rows, so closed history is immutable
+            val closedOrKept = prev
+              .join(broadcast(ch.select(col("k"), col("eff").as("ch_eff"))),
+                Seq("k"), "left")
+              .withColumn("valid_to",
+                when(col("ch_eff").isNotNull && col("valid_to").isNull,
+                  col("ch_eff")).otherwise(col("valid_to")))
+              .drop("ch_eff")
+            val opened = ch.select(col("k"), col("price_cents"),
+              col("eff").as("valid_from"),
+              lit(null).cast(LongType).as("valid_to"))
+            closedOrKept.unionByName(opened)
+              .write.mode("overwrite").parquet(s"$root/v=$id")
+            ()
+          }
+          .option("checkpointLocation", s"$root/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val dim = s.read.parquet(s"$root/v=${versions().last}")
+      dim.groupBy("valid_from")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("valid_to").isNotNull, 1L).otherwise(0L)).as("n_closed"),
+          sum("k").as("sum_key"),
+          sum("price_cents").as("sum_price_cents"))
+        .orderBy("valid_from")
+    },
+      Some("""WITH dim AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p,
+        |    0 AS vf,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE NULL END AS vt
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 1.1 * 100) AS BIGINT), 1, NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT CAST(vf AS BIGINT) AS valid_from, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_closed,
+        |  CAST(SUM(k) AS BIGINT) AS sum_key,
+        |  CAST(SUM(p) AS BIGINT) AS sum_price_cents
+        |FROM dim GROUP BY vf ORDER BY vf""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the

@@ -1562,4 +1562,48 @@ class OperatorSuite extends AnyFunSuite {
       assert(ge && within, s"key $k gates ($ge, $within)")
     }
   }
+
+  test("st29 streaming SCD2 merge lands on the sequentially-derived dimension") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st29_stream_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val os = T.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // sequential SCD2: every key opens v0 at eff=0; keys ≡ 0 mod 5 close
+    // v0 at eff=1 and open a repriced v1
+    case class V(k: Long, cents: Long, vf: Long, open: Boolean)
+    val dim = os.map { case (k, p) =>
+      V(k, math.floor(p * 100).toLong, 0L, k % 5 != 0)
+    } ++ os.filter(_._1 % 5 == 0).map { case (k, p) =>
+      V(k, math.floor(p * 1.1 * 100).toLong, 1L, open = true)
+    }
+    val want = dim.groupBy(_.vf).map { case (vf, vs) =>
+      (vf, vs.size.toLong, vs.count(_.open).toLong, vs.count(!_.open).toLong,
+        vs.map(_.k).sum, vs.map(_.cents).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("mm08 A/V alignment falls back across dropped audio windows") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mm08_av_align")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val maxf = text.length.toLong / 100
+      val audioIdx = (0L to math.max(0L, (text.length - 1).toLong / 100))
+        .filter(a => a % 7 != 0 && text.nonEmpty)
+      (0L to maxf by 2).map { v =>
+        val aligned = audioIdx.filter(_ <= v).sorted.lastOption.getOrElse(-1L)
+        (id, v, aligned)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got.nonEmpty && got == want,
+      s"sizes got=${got.size} want=${want.size}")
+    // frame 0 can never align (window 0 is always a dropped packet)
+    assert(got.filter(_._2 == 0).forall(_._3 == -1L))
+  }
 }
