@@ -1229,7 +1229,9 @@ object Dedup {
     Op(
       "d20_editdist_verify",
       (s, d) => {
-        val sh = cappedShingles(s, d)
+        // cache: the shingle+DF-cap subtree feeds both sides of the band
+        // self-join (same idiom as d03)
+        val sh = cappedShingles(s, d).cache()
         val pref = T.documents(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 240).as("p"))
         bandCandidates(minhashBands(sh))

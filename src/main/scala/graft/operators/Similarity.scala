@@ -808,7 +808,10 @@ object Similarity {
           .withColumn("bit",
             when(col("dp") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
           .groupBy("vec_id").agg(sum("bit").as("bucket"))
-        val eb = e.join(buckets, "vec_id")
+        // persist: the bucketed corpus feeds both the probe side and the
+        // candidate side — without it the plane-projection subtree (the
+        // full corpus pass) executes twice (the s11 lesson)
+        val eb = e.join(buckets, "vec_id").persist()
         val probes = (Seq(0L) ++ (0 until 6).map(p => 1L << p)).toDF("m")
         // each corpus vector owns exactly ONE bucket and the 7 probe masks
         // are distinct, so (q_id, vec_id) pairs are already unique — no
@@ -818,7 +821,10 @@ object Similarity {
             col("bucket").as("qb"))
           .crossJoin(broadcast(probes))
           .select(col("q_id"), col("q_emb"), expr("qb ^ m").as("bucket"))
-        eb.join(q, Seq("bucket"))
+        // broadcast the 7·|Q|-row probe table: the corpus side never
+        // shuffles — the same plan shape that probes a billion-vector
+        // bucketed index from a handful of queries
+        eb.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
           .filter(col("cos") >= 0.3)
