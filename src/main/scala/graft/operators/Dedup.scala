@@ -1261,5 +1261,87 @@ object Dedup {
         |    AS prefix_sim
         |FROM sc WHERE lev <= 120
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // CONTENT-DEFINED chunking dedup — d17's fixed-stride sibling with the
+    // property storage dedup actually needs: chunk boundaries are cut where
+    // a rolling 4-token window hash ≡ 0 mod 16 (FastCDC/Rabin style), so
+    // INSERTING a sentence shifts only the chunks it touches — every
+    // boundary downstream re-synchronizes on content, where d17's
+    // fixed-20-token grid shifts EVERY subsequent chunk and loses all
+    // dedup. Entirely array-domain per document (boundary scan, start/end
+    // zip, chunk hash) — no explode-then-window shuffle; the only shuffles
+    // are the d17 min-struct winner aggregation on the 16-byte chunk hash
+    // (hot-key safe: a boilerplate chunk repeated 10^9 times folds
+    // map-side) and the per-doc rollup. Avg chunk = 16 tokens at the mod-16
+    // cut rate; everything is exact integers + md5, so the per-doc
+    // dedup profile hash-matches the oracle's replay of the same algebra.
+    Op(
+      "d21_content_chunks",
+      (s, d) => {
+        val ch = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("n", size(col("t")).cast(LongType))
+          .withColumn("vb", expr(
+            """IF(n >= 4,
+              |  filter(sequence(4L, n), i ->
+              |    (CAST(conv(substring(md5(
+              |       concat_ws(' ', slice(t, CAST(i - 3 AS INT), 4))), 1, 8),
+              |       16, 10) AS BIGINT) % 16) = 0 AND i < n),
+              |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin))
+          .withColumn("se", expr(
+            "arrays_zip(concat(array(1L), transform(vb, x -> x + 1)), " +
+              "concat(vb, array(n)))"))
+          .withColumn("x", explode(col("se")))
+          .select(col("doc_id"), col("t"),
+            col("x").getField("0").as("start"), col("x").getField("1").as("e"))
+          .withColumn("chunk_len", col("e") - col("start") + 1L)
+          .withColumn("h", md5(expr(
+            "concat_ws(' ', slice(t, CAST(start AS INT), CAST(e - start + 1 AS INT)))")))
+          .drop("t")
+        val winners = ch.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("start"))).as("w"))
+        ch.join(winners, "h")
+          .withColumn("kept",
+            col("doc_id") === col("w.doc_id") && col("start") === col("w.start"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+            sum(when(col("kept"), col("chunk_len")).otherwise(0L)).as("kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n, tk,
+        |    list_filter(generate_series(4, n),
+        |      i -> (('0x' || substr(md5(array_to_string(tk[i-3:i], ' ')), 1, 8))::BIGINT % 16) = 0
+        |           AND i < n) AS vb
+        |  FROM t WHERE n >= 4
+        |  UNION ALL
+        |  SELECT doc_id, n, tk, [] FROM t WHERE n < 4),
+        |st AS (
+        |  SELECT doc_id, tk,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(vb, x -> x + 1)) AS starts,
+        |    list_append(vb, n) AS ends
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(starts) AS s, unnest(ends) AS e, tk FROM st),
+        |h AS (
+        |  SELECT doc_id, s AS start, e - s + 1 AS chunk_len,
+        |    md5(array_to_string(tk[s:e], ' ')) AS h
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, chunk_len,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) = 1 AS kept
+        |  FROM h)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -106,8 +106,38 @@ object StreamOps {
         StructField("target", DoubleType)))
       val fit = StreamingTrainer.fitStream(s, dir, schema,
         graft.pipeline.PipelineSpec(11, "PA", Map("C" -> 0.01), Nil, "Synchronous"))
-      fit.curve.toDF().orderBy("batch")
-    }),
+      // hash-gated curve invariants (the ml01-08 trainOp pattern applied to
+      // the STREAMING curve): batch ids are exactly 0..3 (four staged
+      // range-files, one per trigger), cumulative fitted/loss never
+      // regress, the final fitted total sits inside the held-out-ring
+      // window, and every curve point's byte counter equals
+      // modelsShipped x (d+1) x 8 — the PA wire-size law. A dropped
+      // trigger, a double-counted replica, or a wire-format change each
+      // flip a hashed boolean.
+      val c = fit.curve.sortBy(_.batch)
+      val dim = T.embeddings(s, d)
+        .agg(max(size(col("embedding")))).head().getInt(0)
+      val n = T.embeddings(s, d).count()
+      val batchesExact = c.map(_.batch) == (0L until c.size.toLong)
+      val fittedMono = c.map(_.fitted).sliding(2)
+        .forall(w => w.size < 2 || w(0) <= w(1))
+      val lossMono = c.map(_.cumLoss).sliding(2)
+        .forall(w => w.size < 2 || w(0) <= w(1))
+      val fittedFinal = c.last.fitted
+      val fittedOk = fittedFinal >= math.max(1L, n - 4L * 256L) && fittedFinal <= n
+      val lossOk = c.forall(p => !p.cumLoss.isNaN && !p.cumLoss.isInfinite &&
+        p.cumLoss >= 0.0)
+      val bytesLaw = c.forall(p =>
+        p.bytesShipped == p.modelsShipped * (dim + 1).toLong * 8L)
+      Seq((c.size, batchesExact, fittedMono, lossMono, fittedOk, lossOk, bytesLaw))
+        .toDF("n_batches", "batches_exact", "fitted_monotone", "loss_monotone",
+          "fitted_in_bounds", "loss_valid", "bytes_law_holds")
+    },
+      Some("""SELECT CAST(4 AS INTEGER) AS n_batches, true AS batches_exact,
+        |  true AS fitted_monotone, true AS loss_monotone,
+        |  true AS fitted_in_bounds, true AS loss_valid,
+        |  true AS bytes_law_holds
+        |FROM (SELECT 1)""".stripMargin)),
     // ------------------------------------------------------------------
     // Drift-gated continuous training (GM over the stream): with the drift
     // threshold set high, only the first micro-batch ships replicas; later
@@ -136,8 +166,31 @@ object StreamOps {
         graft.pipeline.PipelineSpec(16, "PA", Map("C" -> 0.01), Nil, "GM",
           protocolHp = Map("threshold" -> 1e12)),
         partitionsPerBatch = 4)
-      fit.curve.toDF().orderBy("batch")
-    }),
+      // hash-gated drift-geometry invariants: batch 0 must ship (round 1
+      // has no previous model to drift against), and with the threshold at
+      // 1e12 every later batch trains locally and ships NOTHING — the
+      // hub's cumulative shipped/fitted counters stay FLAT after batch 0.
+      // Counter inflation (the all-skipped double-count bug class) or a
+      // drift gate that leaks a merge each flip a hashed boolean.
+      val c = fit.curve.sortBy(_.batch)
+      val batchesExact = c.map(_.batch) == (0L until c.size.toLong)
+      val firstShips = c.head.modelsShipped > 0L && c.head.fitted > 0L
+      val shippedFlat = c.forall(_.modelsShipped == c.head.modelsShipped)
+      val fittedFlat = c.forall(_.fitted == c.head.fitted)
+      val bytesFlat = c.forall(_.bytesShipped == c.head.bytesShipped)
+      val lossOk = c.forall(p => !p.cumLoss.isNaN && !p.cumLoss.isInfinite &&
+        p.cumLoss >= 0.0)
+      Seq((c.size, batchesExact, firstShips, shippedFlat, fittedFlat,
+        bytesFlat, lossOk))
+        .toDF("n_batches", "batches_exact", "first_batch_ships",
+          "shipped_flat_after_first", "fitted_flat_after_first",
+          "bytes_flat_after_first", "loss_valid")
+    },
+      Some("""SELECT CAST(4 AS INTEGER) AS n_batches, true AS batches_exact,
+        |  true AS first_batch_ships, true AS shipped_flat_after_first,
+        |  true AS fitted_flat_after_first, true AS bytes_flat_after_first,
+        |  true AS loss_valid
+        |FROM (SELECT 1)""".stripMargin)),
     // ------------------------------------------------------------------
     // Typed Aggregator statistics merge (SURVEY §4's custom Aggregator):
     // per-pipeline totals with map-side partials, oracle-checked.
@@ -431,6 +484,7 @@ object StreamOps {
     Op("st07_response_merge", (s, d) => {
       import s.implicits._
       val workers = 4
+      val nPoints = T.embeddings(s, d).count()
       // composite key pipelineId*1024 + worker; Create/Query broadcast to all.
       // Data envelopes are staged with a distributed write — only the O(W)
       // control envelopes are driver-built (no collect of the data path).
@@ -472,8 +526,28 @@ object StreamOps {
           sum("testn").as("test_points"),
           (sum("test_loss") / count(lit(1))).as("avg_test_loss"))
         .filter(col("parts") === workers) // the reference's exactly-p barrier
-        .orderBy("requestId")
-    }),
+        // hash-gated barrier invariants: the oracle pins the request id and
+        // the exactly-p part count; fitted + held-out must account for
+        // every point (the ring holds what training skipped), the ring is
+        // non-empty yet bounded by workers x 256, and the merged held-out
+        // loss is a finite non-negative average. A worker that never
+        // responds, double-responds, or loses its shard breaks `parts` or
+        // the accounting identity and fails the hash.
+        .select(col("requestId").as("request_id"), col("parts"),
+          (col("data_fitted") + col("test_points") === lit(nPoints))
+            .as("accounting_exact"),
+          (col("test_points") > 0L &&
+            col("test_points") <= lit(workers.toLong * 256L))
+            .as("ring_bounded"),
+          (col("avg_test_loss").isNotNull &&
+            !isnan(col("avg_test_loss")) && col("avg_test_loss") >= 0.0)
+            .as("loss_valid"))
+        .orderBy("request_id")
+    },
+      Some("""SELECT CAST(9 AS BIGINT) AS request_id,
+        |  CAST(4 AS BIGINT) AS parts, true AS accounting_exact,
+        |  true AS ring_bounded, true AS loss_valid
+        |FROM (SELECT 1)""".stripMargin)),
     // ------------------------------------------------------------------
     // Test-mode polling learning curve (FlinkSpoke.scala:83-89): every 100
     // data records the spoke emits a curve point scored against its held-out

@@ -69,13 +69,13 @@ class OperatorSuite extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs))
-    // rows-only set is exactly the iterative-ML / stateful-lifecycle ops
+    // rows-only residue: ONLY the spoke lifecycle trace (st04), whose
+    // output is the envelope traffic itself — everything else, including
+    // the streaming-training curves, is hash-gated through oracle-
+    // reproducible invariants
     val rowsOnly = qs -- oracles
-    assert(rowsOnly.forall(n =>
-      n.startsWith("ml") ||
-        Set("st04_spoke_lifecycle", "st05_streaming_train",
-          "st07_response_merge", "st16_drift_stream_train").contains(n)),
-      s"new query without oracle: ${rowsOnly.mkString(",")}")
+    assert(rowsOnly == Set("st04_spoke_lifecycle"),
+      s"unexpected rows-only set: ${rowsOnly.mkString(",")}")
   }
 
   test("md5-prefix idiom is strength-reduced to the native expression") {
@@ -1605,5 +1605,56 @@ class OperatorSuite extends AnyFunSuite {
       s"sizes got=${got.size} want=${want.size}")
     // frame 0 can never align (window 0 is always a dropped packet)
     assert(got.filter(_._2 == 0).forall(_._3 == -1L))
+  }
+
+  /** d21's boundary rule, sequentially: (start, len, text) chunk spans. */
+  private def cdcChunks(tk: Array[String]): Seq[(Long, Long, String)] = {
+    val n = tk.length.toLong
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val vb = (4L to n).filter { i =>
+      h32(tk.slice(i.toInt - 4, i.toInt).mkString(" ")) % 16 == 0 && i < n
+    }
+    val starts = 1L +: vb.map(_ + 1)
+    val ends = vb :+ n
+    starts.zip(ends).map { case (s, e) =>
+      (s, e - s + 1, tk.slice(s.toInt - 1, e.toInt).mkString(" "))
+    }
+  }
+
+  test("d21 content-defined chunking matches a sequential replay and " +
+      "re-synchronizes across an insertion") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d21_content_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val docs = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // sequential replay with the same first-(doc_id, position)-wins dedup
+    val all = docs.sortBy(_._1).flatMap { case (id, text) =>
+      cdcChunks(text.split(" ")).map { case (start, len, c) =>
+        (id, start, len, md5hex(c))
+      }
+    }
+    val firstByHash = all.groupBy(_._4)
+      .map { case (h, cs) => h -> cs.map(c => (c._1, c._2)).min }
+    val want = all.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.filter(c => firstByHash(c._4) == ((c._1, c._2)))
+      (id, cs.size.toLong, kept.size.toLong, (cs.size - kept.size).toLong,
+        kept.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // insertion robustness: splice a sentence into the middle of a doc —
+    // chunking must RE-SYNCHRONIZE, i.e. the tail chunks (past the edit
+    // region) are shared between original and edited doc. d17's fixed grid
+    // loses every chunk after the insertion point.
+    val tk = docs.maxBy(_._2.length)._2.split(" ")
+    val mid = tk.length / 2
+    val edited = tk.take(mid) ++ Array("xq1", "xq2", "xq3") ++ tk.drop(mid)
+    val a = cdcChunks(tk).map(_._3).toSet
+    val b = cdcChunks(edited).map(_._3).toSet
+    val sharedTail = a.intersect(b)
+    assert(sharedTail.nonEmpty,
+      s"no chunk survived the insertion (|a|=${a.size}, |b|=${b.size})")
   }
 }
