@@ -53,9 +53,12 @@ sealed trait Protocol extends Serializable {
 
 case object Synchronous extends Protocol { def name = "Synchronous" }
 
-/** At round granularity asynchronous merging degenerates to the same
-  * weighted average — the semantic difference (stale updates interleaving)
-  * does not exist without a continuous channel. Documented delta.
+/** Free-running workers: the Trainer seeds partition pid from a global pid
+  * rounds behind the frontier (the UNBOUNDED-staleness limit of the SSP
+  * stale-read window) and the merge admits every update — the reference's
+  * asynchronous interleave (MLNodeGenerator.scala:26-64), expressed at
+  * round granularity. Equivalent by construction to SSP(Int.MaxValue);
+  * the PipelineSparkSuite parity test pins the equivalence bit-for-bit.
   */
 case object Asynchronous extends Protocol { def name = "Asynchronous" }
 

@@ -131,6 +131,13 @@ object Trainer {
       // stale reads on a round engine; production s is small.
       val sspS: Option[Int] = protocol match {
         case SSP(s) => Some(s)
+        // Asynchronous IS the unbounded-staleness limit of the same stale-
+        // read machinery: worker pid computes on a global pid rounds behind
+        // the frontier and every update merges regardless of staleness —
+        // the reference's free-running interleave, expressed at round
+        // granularity. (Previously a documented collapse onto Synchronous;
+        // the AsyncEqualsUnboundedSSP suite gate pins the new semantics.)
+        case Asynchronous => Some(Int.MaxValue)
         case _ => None
       }
       val numParts = tdata.getNumPartitions

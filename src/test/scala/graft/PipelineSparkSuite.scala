@@ -206,6 +206,13 @@ class PipelineSparkSuite extends AnyFunSuite {
       "unbounded staleness did not change the trajectory — stale reads are not wired in")
     assert(sync.score >= 0.85, s"sync score ${sync.score}")
     assert(sspInf.score >= 0.85, s"async-limit SSP score ${sspInf.score}")
+    // Asynchronous IS that limit: same stale seeding, admit-everything
+    // merge — bit-identical to SSP(MaxValue), and genuinely different
+    // from Synchronous (the pre-r6 collapse is gone)
+    val async = run("Asynchronous")
+    assert(async.model.params.sameElements(sspInf.model.params),
+      "Asynchronous must be the unbounded-staleness SSP limit")
+    assert(!async.model.params.sameElements(sync.model.params))
   }
 
   test("SSP merge admits only replicas within s rounds of the frontier") {

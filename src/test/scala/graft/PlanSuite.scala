@@ -342,4 +342,37 @@ class PlanSuite extends AnyFunSuite {
       "survivor filter lost its broadcast anti-join")
     assert(!p.contains("CartesianProduct"), "unbounded cross join in p03")
   }
+
+  test("s12: probe table broadcasts — the corpus side never sort-merges") {
+    val p = plan("s12_range_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket probe lost its broadcast join")
+    assert(!p.contains("SortMergeJoin"),
+      "range-search candidate join degraded to SMJ (corpus shuffle)")
+    assert(p.contains("InMemoryRelation"),
+      "bucketed corpus no longer persisted — plane projection runs twice")
+  }
+
+  test("d21: chunk dedup is min-struct aggregation, not a window over the hash") {
+    val p = plan("d21_content_chunks")
+    assert(!p.contains("Window"),
+      "d21 regressed to the hot-key window sort d17's comment warns against")
+  }
+
+  test("q60: snapshot diff classifies inside the join projection (single SMJ)") {
+    val p = plan("q60_snapshot_diff")
+    assert(p.contains("SortMergeJoin FullOuter"),
+      "reconciliation lost its single full-outer merge join")
+    assert(p.contains("partial_count"),
+      "class rollup lost its map-side partial aggregate")
+  }
+
+  test("mm08: A/V alignment costs one hash exchange (the per-asset as-of sort)") {
+    val p = plan("mm08_av_align")
+    val hashExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning")).toSeq
+    assert(hashExchanges.nonEmpty && hashExchanges.size <= 2,
+      s"as-of alignment grew extra shuffles:\n${hashExchanges.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
