@@ -731,8 +731,58 @@ object StreamOps {
           .option("checkpointLocation", s"$dir/_ckpt_$name").start()
         q0.processAllAvailable(); q0.stop(); q0
       }
-      s.table(q.name).orderBy("kind", "id", "requestId")
-    }),
+      // hash-gated lifecycle rollup (the last rows-only query upgraded):
+      // the oracle pins the exact per-kind traffic the staged lifecycle
+      // implies — ONE drain log (its value = the 100 pre-Create buffered
+      // rows), exactly 50 predictions over the contiguous forecasting id
+      // range, ONE Query response whose fitted+ring accounting covers
+      // every training row. A spoke that loses buffered rows on Create,
+      // predicts before a model exists, mis-keys an envelope, or
+      // double-emits a response moves a count or flips a boolean.
+      val nEmb = T.embeddings(s, d).count()
+      s.table(q.name)
+        .withColumn("fitted", // non-response rows extract "" -> NULL, not 0
+          nullif(regexp_extract(col("info"), "fitted=(\\d+)", 1), lit(""))
+            .cast(LongType))
+        .withColumn("testn",
+          nullif(regexp_extract(col("info"), "testn=(\\d+)", 1), lit(""))
+            .cast(LongType))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("id").as("n_ids"),
+          min("id").as("min_id"), max("id").as("max_id"),
+          min("requestId").as("min_req"), max("requestId").as("max_req"),
+          sum(when(col("value").isNull || isnan(col("value")), 1L)
+            .otherwise(0L)).as("bad_vals"),
+          sum("value").as("sum_value"),
+          sum("fitted").as("sum_fitted"), sum("testn").as("sum_testn"))
+        .select(col("kind"), col("n_rows"),
+          when(col("kind") === "prediction",
+            col("min_req") === -1L && col("max_req") === -1L)
+            .when(col("kind") === "log",
+              col("min_req") === 1L && col("max_req") === 1L)
+            .otherwise(col("min_req") === 9L && col("max_req") === 9L)
+            .as("req_ids_ok"),
+          when(col("kind") === "prediction",
+            col("n_ids") === 50L &&
+              col("min_id") === lit(300000L + nEmb - 50L) &&
+              col("max_id") === lit(300000L + nEmb - 1L))
+            .otherwise(col("min_id") === -1L && col("max_id") === -1L)
+            .as("ids_exact"),
+          when(col("kind") === "log", col("sum_value") === 100.0)
+            .when(col("kind") === "response",
+              col("sum_fitted") + col("sum_testn") === lit(nEmb - 50L) &&
+                col("bad_vals") === 0L)
+            .otherwise(col("bad_vals") === 0L)
+            .as("payload_ok"))
+        .orderBy("kind")
+    },
+      Some("""SELECT * FROM (VALUES
+        |  ('log', CAST(1 AS BIGINT), true, true, true),
+        |  ('prediction', CAST(50 AS BIGINT), true, true, true),
+        |  ('response', CAST(1 AS BIGINT), true, true, true))
+        |  AS t(kind, n_rows, req_ids_ok, ids_exact, payload_ok)
+        |ORDER BY kind""".stripMargin)),
     // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial

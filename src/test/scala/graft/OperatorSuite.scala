@@ -69,13 +69,12 @@ class OperatorSuite extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs))
-    // rows-only residue: ONLY the spoke lifecycle trace (st04), whose
-    // output is the envelope traffic itself — everything else, including
-    // the streaming-training curves, is hash-gated through oracle-
-    // reproducible invariants
+    // no rows-only residue: every query — including the streaming
+    // lifecycles and training curves — is hash-gated, either directly or
+    // through oracle-reproducible invariants
     val rowsOnly = qs -- oracles
-    assert(rowsOnly == Set("st04_spoke_lifecycle"),
-      s"unexpected rows-only set: ${rowsOnly.mkString(",")}")
+    assert(rowsOnly.isEmpty,
+      s"query without an oracle: ${rowsOnly.mkString(",")}")
   }
 
   test("md5-prefix idiom is strength-reduced to the native expression") {
