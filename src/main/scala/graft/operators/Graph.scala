@@ -78,6 +78,42 @@ object Graph {
       .filter(substring(md5(concat(col("a").cast("string"), lit(":"),
         col("b").cast("string"))), 1, 1) === "0")
 
+  /** g06/g07's finer 1/256 thinning: CC/community structure is only an
+    * interesting gate when the graph FRAGMENTS (the 1/16 sample leaves one
+    * giant component and a single histogram row); at 1/256 the fixture
+    * yields ~280 components across 8 size classes.
+    */
+  private[graft] def fineSampledUndirectedEdges(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    coPurchaseEdges(s, d)
+      .select("a", "b")
+      .filter(col("a") < col("b"))
+      .filter(substring(md5(concat(col("a").cast("string"), lit(":"),
+        col("b").cast("string"))), 1, 2) === "00")
+
+  /** Oracle mirror of [[fineSampledUndirectedEdges]] + the recursive-CTE
+    * min-label transitive closure: CTEs `und`/`bi`/`nodes`/`reach`/`lab`,
+    * shared by g06 (histogram) and g07 (modularity). Splice after
+    * `WITH RECURSIVE`.
+    */
+  private val sqlFineCcCtes =
+    """und AS (
+      |  SELECT a, b FROM (
+      |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |    FROM lineitem l1 JOIN lineitem l2
+      |      ON l1.l_orderkey = l2.l_orderkey
+      |     AND l1.l_partkey < l2.l_partkey)
+      |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+      |               1, 2) = '00'),
+      |bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |nodes AS (SELECT DISTINCT a AS n FROM bi),
+      |reach(n, m) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.b, r.m FROM reach r JOIN bi e ON e.a = r.n
+      |  WHERE r.m < e.b),
+      |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n)""".stripMargin
+
   /** Above this node count the rank table stops broadcasting and the
     * co-partitioned plan takes over (~16 B/row → 1M nodes ≈ 16 MB, past
     * the point a per-iteration driver broadcast is sane on a real cluster).
@@ -486,16 +522,7 @@ object Graph {
     Op(
       "g06_connected_components",
       (s, d) => {
-        // finer 1/256 deterministic thinning than g02/g03's 1/16: CC is
-        // only an interesting gate when the graph FRAGMENTS (the 1/16
-        // sample leaves one giant component and a single histogram row);
-        // at 1/256 the fixture yields ~280 components across 8 size
-        // classes, so the histogram actually witnesses the contraction
-        val und = coPurchaseEdges(s, d)
-          .select("a", "b")
-          .filter(col("a") < col("b"))
-          .filter(substring(md5(concat(col("a").cast("string"), lit(":"),
-            col("b").cast("string"))), 1, 2) === "00")
+        val und = fineSampledUndirectedEdges(s, d)
         Dedup.connectedComponentsStar(und, "a", "b")
           .groupBy("label").agg(count(lit(1)).as("sz"))
           .groupBy("sz").agg(count(lit(1)).as("n_components"),
@@ -504,26 +531,70 @@ object Graph {
             col("sum_min_label"))
           .orderBy("component_size")
       },
-      Some("""WITH RECURSIVE und AS (
-        |  SELECT a, b FROM (
-        |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-        |    FROM lineitem l1 JOIN lineitem l2
-        |      ON l1.l_orderkey = l2.l_orderkey
-        |     AND l1.l_partkey < l2.l_partkey)
-        |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
-        |               1, 2) = '00'),
-        |bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
-        |nodes AS (SELECT DISTINCT a AS n FROM bi),
-        |reach(n, m) AS (
-        |  SELECT n, n FROM nodes
-        |  UNION
-        |  SELECT e.b, r.m FROM reach r JOIN bi e ON e.a = r.n
-        |  WHERE r.m < e.b),
-        |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n),
+      Some(s"""WITH RECURSIVE $sqlFineCcCtes,
         |comp AS (SELECT label, COUNT(*) AS sz FROM lab GROUP BY label)
         |SELECT CAST(sz AS BIGINT) AS component_size,
         |  COUNT(*) AS n_components,
         |  CAST(SUM(label) AS BIGINT) AS sum_min_label
         |FROM comp GROUP BY sz ORDER BY component_size""".stripMargin)),
+    // ------------------------------------------------------------------
+    // MODULARITY of the component partition — the quality score every
+    // community-detection pipeline reports (Newman's Q), computed in EXACT
+    // RATIONAL arithmetic so it hash-matches: Q = sum_c [e_c/m -
+    // (deg_c/2m)^2] is emitted as the integer pair (4m*sum(e_c) -
+    // sum(deg_c^2), 4m^2) — numerator/denominator BIGINTs instead of an
+    // FP-order-dependent double (for CC labels every edge is intra-
+    // community, so Q measures how much the degree distribution
+    // concentrates inside components vs a random rewiring). Scale shape:
+    // one label join per edge endpoint (broadcast the O(nodes) label
+    // table), two map-side-combinable aggregates — modularity at any
+    // graph size costs two passes over the edge list.
+    Op(
+      "g07_modularity",
+      (s, d) => {
+        val und = fineSampledUndirectedEdges(s, d).persist()
+        val labels = Dedup.connectedComponentsStar(und, "a", "b")
+        val m = und.count()
+        val lab = labels.select(col("node"), col("label")).persist()
+        val intra = und
+          .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+          .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+          .filter(col("la") === col("lb"))
+          .groupBy("la").agg(count(lit(1)).as("e_c"))
+        val degByComm = und.select(col("a").as("node"))
+          .unionByName(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .join(lab, "node")
+          .groupBy("label").agg(sum("dg").as("deg_c"))
+        val sumE = intra.agg(sum("e_c")).head().getLong(0)
+        val sumD2 = degByComm.agg(sum(col("deg_c") * col("deg_c")))
+          .head().getLong(0)
+        val s2 = s
+        import s2.implicits._
+        Seq((m, lab.select("label").distinct().count(),
+          4L * m * sumE - sumD2, 4L * m * m))
+          .toDF("m_edges", "n_communities", "q_num", "q_den")
+      },
+      Some(s"""WITH RECURSIVE $sqlFineCcCtes,
+        |ie AS (
+        |  SELECT COUNT(*) AS se FROM und
+        |  JOIN lab la ON la.n = und.a JOIN lab lb ON lb.n = und.b
+        |  WHERE la.label = lb.label),
+        |dg AS (
+        |  SELECT n, COUNT(*) AS dg FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY n),
+        |dc AS (
+        |  SELECT lab.label, SUM(dg.dg) AS deg_c FROM dg
+        |  JOIN lab ON lab.n = dg.n GROUP BY lab.label),
+        |agg AS (
+        |  SELECT (SELECT COUNT(*) FROM und) AS m,
+        |    (SELECT COUNT(DISTINCT label) FROM lab) AS nc,
+        |    (SELECT se FROM ie) AS se,
+        |    (SELECT SUM(deg_c * deg_c) FROM dc) AS sd2)
+        |SELECT CAST(m AS BIGINT) AS m_edges, CAST(nc AS BIGINT) AS n_communities,
+        |  CAST(4 * m * se - sd2 AS BIGINT) AS q_num,
+        |  CAST(4 * m * m AS BIGINT) AS q_den
+        |FROM agg""".stripMargin)),
   )
 }

@@ -105,5 +105,64 @@ object Relational3 {
         |  true AS est_ge_true, true AS est_within_eps
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY true_cnt DESC, l_partkey LIMIT 10""".stripMargin)),
+    // ------------------------------------------------------------------
+    // LAST-TOUCH ATTRIBUTION with a lookback window — the marketing/
+    // growth query every event pipeline serves: attribute each purchase
+    // to the user's most recent preceding touch (view/click/signup), but
+    // ONLY if it happened within the 1-day lookback; older touches mean
+    // the purchase reports as organic ('none'). This is the WINDOWED
+    // variant of the as-of join (q17/q45 are unbounded): the shared as-of
+    // core finds the latest touch <= t, and the window becomes one
+    // codegen'd age predicate on the result — no second join. Revenue
+    // sums in floor-milli integers (the st19 scheme) so the rollup is
+    // bit-exact. Scale shape: the as-of core costs ONE exchange
+    // partitioned by user — both event streams co-partition on the user
+    // key, ties resolve by (ts, event_id) deterministically, and only
+    // O(touch types) rows leave the final aggregate.
+    Op(
+      "q62_attribution",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val touches = e
+          .filter(col("event_type").isin("view", "click", "signup"))
+          .select(col("user_id"), col("ts").as("touch_ts"),
+            col("event_type").as("touch_type"), col("event_id").as("touch_id"))
+        AsOf.asofJoin(purchases, touches, "user_id", "user_id",
+            col("ts"), col("touch_ts"),
+            Seq("touch_type", "touch_ts", "touch_id"), "touch_id")
+          .withColumn("touch",
+            when(col("touch_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("touch_ts")) >
+                lit(86400000000L), "none")
+              .otherwise(col("touch_type")))
+          .groupBy("touch")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(floor(col("value") * 1000).cast(LongType)).as("revenue_milli"))
+          .orderBy("touch")
+      },
+      Some("""WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
+        |    event_id
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |at AS (
+        |  SELECT p.event_id, p.value, p.t AS pt, w.event_type AS touch_type,
+        |    w.t AS touch_t
+        |  FROM p LEFT JOIN LATERAL (
+        |    SELECT tc.event_type, tc.t FROM tc
+        |    WHERE tc.user_id = p.user_id AND tc.t <= p.t
+        |    ORDER BY tc.t DESC, tc.event_id DESC LIMIT 1) w ON true)
+        |SELECT
+        |  CASE WHEN touch_t IS NULL OR pt - touch_t > 86400000000
+        |       THEN 'none' ELSE touch_type END AS touch,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS revenue_milli
+        |FROM at GROUP BY 1 ORDER BY touch""".stripMargin)),
   )
 }

@@ -1656,4 +1656,62 @@ class OperatorSuite extends AnyFunSuite {
     assert(sharedTail.nonEmpty,
       s"no chunk survived the insertion (|a|=${a.size}, |b|=${b.size})")
   }
+
+  test("q62 windowed attribution matches a sequential last-touch replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q62_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val evs = T.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS t",
+        "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val touchesByUser = evs
+      .filter(e => Set("view", "click", "signup")(e._3))
+      .groupBy(_._2)
+    val want = evs.filter(_._3 == "purchase").map { case (_, u, _, t, v) =>
+      val tc = touchesByUser.getOrElse(u, Array.empty)
+        .filter(_._4 <= t)
+        .sortBy(e => (e._4, e._1)).lastOption // latest ts, then greatest id
+      val touch = tc match {
+        case Some(e) if t - e._4 <= 86400000000L => e._3
+        case _ => "none"
+      }
+      (touch, math.floor(v * 1000).toLong)
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).sum)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("g07 rational modularity matches a sequential union-find computation") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("g07_modularity")(spark, sf).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val edges = graft.operators.Graph.coPurchaseEdges(spark, sf)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .filter { case (a, b) => a < b && md5hex(s"$a:$b").startsWith("00") }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val m = edges.length.toLong
+    // CC labels: every edge is intra-community by construction
+    val sumE = m
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.length.toLong }
+    val degByComm = deg.groupBy { case (n, _) => find(n) }
+      .map { case (_, ds) => ds.values.sum }
+    val sumD2 = degByComm.map(d2 => d2 * d2).sum
+    val nComm = parent.keys.map(find).toSet.size.toLong
+    val want = (m, nComm, 4L * m * sumE - sumD2, 4L * m * m)
+    assert(got == want, s"got=$got want=$want")
+    // sanity: Q in (0, 1) for a fragmented sample — intra-edges dominate
+    assert(got._3 > 0 && got._3 < got._4)
+  }
 }
