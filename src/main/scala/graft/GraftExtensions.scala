@@ -9,5 +9,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     functions.F.injections.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => functions.Md5PrefixStrengthReduction)
+    e.injectPlannerStrategy(_ => plans.AsOfStrategy)
   }
 }

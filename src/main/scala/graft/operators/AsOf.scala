@@ -29,9 +29,61 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: Column, rightTime: Column,
       rightCols: Seq[String],
-      tieBreak: String): DataFrame =
-    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
-      tieBreak, forward = false)
+      tieBreak: String): DataFrame = {
+    // Default path: the native whole-operator merge join (custom logical
+    // node + strategy + physical single-pass merge, plans/AsOfPlan.scala).
+    // `spark.graft.asof.native=false` falls back to the declarative
+    // union+window encoding below; the parity test pins their equality.
+    val native = left.sparkSession.conf
+      .getOption("spark.graft.asof.native").forall(_.toBoolean)
+    if (native)
+      asofNative(left, right, leftKey, rightKey, leftTime, rightTime,
+        rightCols, tieBreak)
+    else
+      asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
+        tieBreak, forward = false)
+  }
+
+  /** Build the [[graft.plans.AsOfJoinNode]] from resolved child plans. Time
+    * expressions materialize into hidden columns so the node only ever sees
+    * attributes; the hidden column drops from the result.
+    */
+  private def asofNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: Column, rightTime: Column,
+      rightCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    // cast both times to one comparable type (the window path's contract;
+    // order-preserving, so semantics coincide)
+    val lDf = left.withColumn("__asof_lt", leftTime.cast(TimestampType))
+    val rDf = right.withColumn("__asof_rt", rightTime.cast(TimestampType))
+    val lp = lDf.queryExecution.analyzed
+    // self-joins (both sides derived from one table) share exprIds across
+    // children; the analyzer's relation dedup would then rewrite the right
+    // subtree underneath this node's captured attributes. Realias the
+    // right output with FRESH exprIds so the children are disjoint by
+    // construction.
+    val rp = Project(
+      rDf.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      rDf.queryExecution.analyzed)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+        name: String) =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"as-of column $name not found"))
+    val node = graft.plans.AsOfJoinNode(
+      lp, rp,
+      attr(lp.output, leftKey), attr(rp.output, rightKey),
+      attr(lp.output, "__asof_lt"), attr(rp.output, "__asof_rt"),
+      rightCols.map(attr(rp.output, _)),
+      attr(rp.output, tieBreak))
+    org.apache.spark.sql.graftshims.GraftSqlShims.ofRows(spark, node)
+      .drop("__asof_lt")
+  }
 
   /** Forward as-of join: for each left row, attach the right row with the
     * SMALLEST `rightTime >= leftTime` within the same key; ties on

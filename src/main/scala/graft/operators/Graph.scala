@@ -416,7 +416,9 @@ object Graph {
     Op(
       "g04_bfs_hops",
       (s, d) => {
-        val es = coPurchaseEdges(s, d).select("a", "b")
+        // persist: three frontier rounds + the src probe would otherwise
+        // re-scan the edge parquet 4x
+        val es = coPurchaseEdges(s, d).select("a", "b").persist()
         val src = es.agg(min("a")).head().getLong(0)
         bfsLayers(es, src, 3)
           .groupBy("hop")
@@ -469,6 +471,7 @@ object Graph {
         import s2.implicits._
         val we = coPurchaseEdges(s, d)
           .select(col("a"), col("b"), expr("1000000 DIV w").as("cost"))
+          .persist() // three relaxation rounds + the src probe share one scan
         val src = we.agg(min("a")).head().getLong(0)
         var dist = Seq((src, 0L)).toDF("n", "dist").localCheckpoint()
         for (_ <- 1 to 3) {

@@ -164,5 +164,36 @@ object Relational3 {
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
         |    AS revenue_milli
         |FROM at GROUP BY 1 ORDER BY touch""".stripMargin)),
+    // ------------------------------------------------------------------
+    // VARIANT shredding (Spark 4's semi-structured column type): the
+    // event props JSON is parsed ONCE into a binary Variant value, then
+    // typed paths extract from the encoded form — the open-lakehouse
+    // answer to "parse the JSON string in every expression" (q27's
+    // get_json_object re-parses per call; Variant parses once and
+    // extracts many times from a binary-encoded tree, and table formats
+    // shred hot paths into columns). try_variant_get proves the missing-
+    // path contract (NULL, not error). The rollup is exact integers, so
+    // the oracle reproduces it from DuckDB's JSON operators directly.
+    Op(
+      "q63_variant_shred",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_type"), expr("parse_json(props)").as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k"),
+            expr("try_variant_get(v, '$.absent', 'bigint')").as("absent"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"),
+            sum(when(col("absent").isNull, 1L).otherwise(0L))
+              .as("n_absent_null"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  COUNT(*) AS n_absent_null
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

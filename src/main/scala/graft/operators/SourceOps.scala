@@ -262,5 +262,44 @@ object SourceOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Line-delimited TEXT source — the rawest ingest format web corpora
+    // arrive in (one record per line, fields packed with a control-char
+    // separator because free text owns every printable one). The corpus
+    // roundtrips documents -> -packed lines -> spark.read.text ->
+    // split-parse, then proves losslessness per language: counts, char
+    // mass, and an order-independent content checksum (bit-xor of the
+    // 64-bit text hash — commutative, so file/split order cannot move
+    // it) must equal the same aggregates computed straight off parquet.
+    // Scale shape: text read is splittable by line, the parse is a
+    // codegen'd split() projection, and the rollup is map-side partial —
+    // ingest cost is one scan at any corpus size.
+    Op(
+      "w11_text_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_txt_").toString
+        T.documents(s, d)
+          .select(concat_ws("",
+            col("doc_id").cast(StringType), col("lang"), col("text")).as("value"))
+          .write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .select(split(col("value"), "").as("f"))
+          .select(col("f").getItem(0).cast(LongType).as("doc_id"),
+            col("f").getItem(1).as("lang"), col("f").getItem(2).as("text"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast(LongType)).as("n_chars"),
+            // commutative bit-xor aggregate of a 32-bit content hash:
+            // identical under any file order / split boundary placement,
+            // and map-side partial like any other aggregate
+            expr("bit_xor(cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint))")
+              .as("content_xor"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshims
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** Minimal access shim: build a DataFrame from a hand-constructed logical
+  * plan (`Dataset.ofRows` is private[sql]). This is the standard extension
+  * seam every Spark connector/plugin uses to register custom logical
+  * nodes; no Spark internals are modified.
+  */
+object GraftSqlShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+}

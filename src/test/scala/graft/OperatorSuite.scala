@@ -1714,4 +1714,37 @@ class OperatorSuite extends AnyFunSuite {
     // sanity: Q in (0, 1) for a fragmented sample — intra-edges dominate
     assert(got._3 > 0 && got._3 < got._4)
   }
+
+  test("w11 text roundtrip is lossless per language (xor checksum survives " +
+      "file order)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w11_text_source")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = T.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, ds) =>
+      val xor = ds.map(d => java.lang.Long.parseLong(
+        md5hex(d._2).take(8), 16)).foldLeft(0L)(_ ^ _)
+      lang -> (ds.length.toLong, ds.map(_._2.length.toLong).sum, xor)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("q63 variant extraction agrees with a sequential JSON parse; missing " +
+      "paths are NULL") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q63_variant_shred")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val evs = T.events(spark, sf).select("event_type", "props").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val want = evs.groupBy(_._1).map { case (t, es) =>
+      val ks = es.map(e => kRe.findFirstMatchIn(e._2).get.group(1).toLong)
+      t -> (es.length.toLong, ks.sum, ks.min, ks.max, es.length.toLong)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
 }

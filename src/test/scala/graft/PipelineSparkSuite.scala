@@ -420,6 +420,34 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(out.head.getAs[Long]("rid") == 101L)
   }
 
+  test("native as-of merge join is bit-identical to the union+window encoding") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8844)
+    // adversarial shape: few keys (dense per-key streams), heavy time ties,
+    // keys with no right rows, keys with no left rows
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong))
+      .toDF("lid", "user", "t")
+    val right = (1 to 400).map(i =>
+      (1000L + i, (rnd.nextInt(8) + 4).toLong, rnd.nextInt(40).toLong))
+      .toDF("rid", "user", "rt")
+    def run(): Seq[(Long, Any, Any)] =
+      graft.operators.AsOf.asofJoin(
+        left, right, "user", "user",
+        org.apache.spark.sql.functions.col("t").cast("timestamp"),
+        org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+        Seq("rid", "rt"), "rid")
+        .collect().map(r => (r.getAs[Long]("lid"),
+          r.getAs[Any]("rid"), r.getAs[Any]("rt")))
+        .sortBy(_._1).toSeq
+    val native = run()
+    spark.conf.set("spark.graft.asof.native", "false")
+    val window = try run() finally
+      spark.conf.unset("spark.graft.asof.native")
+    assert(native == window,
+      s"first diff: ${native.zip(window).find(p => p._1 != p._2)}")
+  }
+
   test("wire parsing drops EOS, malformed and featureless records") {
     import spark.implicits._
     val good =

@@ -343,6 +343,14 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "unbounded cross join in p03")
   }
 
+  test("q17: backward as-of plans onto the native merge-join operator") {
+    val p = plan("q17_asof_join")
+    assert(p.contains("AsOfMergeJoin"),
+      "as-of fell back to the union+window encoding")
+    assert(!p.contains("Window"),
+      "native as-of plan should carry no window operator")
+  }
+
   test("s12: probe table broadcasts — the corpus side never sort-merges") {
     val p = plan("s12_range_search")
     assert(p.contains("BroadcastHashJoin"),
