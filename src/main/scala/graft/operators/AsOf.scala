@@ -54,7 +54,8 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: Column, rightTime: Column,
       rightCols: Seq[String],
-      tieBreak: String): DataFrame = {
+      tieBreak: String,
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
@@ -80,7 +81,7 @@ object AsOf {
       attr(lp.output, leftKey), attr(rp.output, rightKey),
       attr(lp.output, "__asof_lt"), attr(rp.output, "__asof_rt"),
       rightCols.map(attr(rp.output, _)),
-      attr(rp.output, tieBreak))
+      attr(rp.output, tieBreak), forward)
     org.apache.spark.sql.graftshims.GraftSqlShims.ofRows(spark, node)
       .drop("__asof_lt")
   }
@@ -96,9 +97,16 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: Column, rightTime: Column,
       rightCols: Seq[String],
-      tieBreak: String): DataFrame =
-    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
-      tieBreak, forward = true)
+      tieBreak: String): DataFrame = {
+    val native = left.sparkSession.conf
+      .getOption("spark.graft.asof.native").forall(_.toBoolean)
+    if (native)
+      asofNative(left, right, leftKey, rightKey, leftTime, rightTime,
+        rightCols, tieBreak, forward = true)
+    else
+      asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
+        tieBreak, forward = true)
+  }
 
   private def asofImpl(
       left: DataFrame,

@@ -46,7 +46,8 @@ case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    tieBreak: Attribute) extends BinaryNode {
+    tieBreak: Attribute,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,22 +58,27 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] onto [[AsOfMergeJoinExec]]. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, tie) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, tie, fwd) =>
       AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-        payload, tie) :: Nil
+        payload, tie, fwd) :: Nil
     case _ => Nil
   }
 }
 
-/** Single-pass sorted merge for the backward as-of join.
+/** Single-pass sorted merge for the as-of join, both directions.
   *
-  * Children arrive hash-clustered on the key and sorted by (key, time) /
-  * (key, time, tieBreak) — EnsureRequirements inserts the exchanges and
-  * sorts exactly as for a sort-merge join, and co-partitions the two
-  * sides. Each partition then merges in one pass: advance the right
-  * iterator while its (key, time) does not exceed the current left row's,
-  * remembering the last same-key row seen (the carry — O(1) state); emit
-  * left ++ carry-payload (nulls when no admissible right row exists).
+  * Children arrive hash-clustered on the key and sorted ASCENDING by
+  * (key, time) / (key, time, tieBreak) — EnsureRequirements inserts the
+  * exchanges and sorts exactly as for a sort-merge join, and co-partitions
+  * the two sides. Backward ("greatest rightTime <= t, ties by greatest
+  * tieBreak"): advance the right iterator while its (key, time) does not
+  * exceed the current left row's, remembering the last same-key row seen
+  * (the carry — O(1) state). Forward ("smallest rightTime >= t, ties by
+  * smallest tieBreak"): advance the right iterator PAST rows strictly
+  * before the left time and match the row the pointer rests on — pure
+  * lookahead, zero state; the same ascending orderings serve both
+  * directions because the forward winner is the FIRST admissible row in
+  * sort order where the backward winner is the LAST.
   */
 case class AsOfMergeJoinExec(
     left: SparkPlan,
@@ -82,7 +88,8 @@ case class AsOfMergeJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    tieBreak: Attribute) extends BinaryExecNode {
+    tieBreak: Attribute,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -149,24 +156,46 @@ case class AsOfMergeJoinExec(
           val l = li.next()
           val lk = lKeyRef.eval(l)
           val lt = lTimeRef.eval(l)
-          // advance the right side while (rKey, rTime) <= (lk, lt) in the
-          // merge order; same-key rows become the carry (copied — the
-          // child iterator reuses its row buffer)
-          var advancing = true
-          while (advancing && rNext != null) {
-            val rk = rKeyRef.eval(rNext)
-            val kc = keyOrdering.compare(rk, lk)
-            if (kc < 0) {
-              rNext = if (ri.hasNext) ri.next() else null
-            } else if (kc == 0 &&
-                timeOrdering.compare(rTimeRef.eval(rNext), lt) <= 0) {
-              carry = rNext.copy(); carryKey = rk
-              rNext = if (ri.hasNext) ri.next() else null
-            } else advancing = false
+          if (forward) {
+            // advance PAST right rows strictly before (lk, lt); the row
+            // the pointer rests on is the smallest admissible one (ties
+            // already ordered by smallest tieBreak). Pure lookahead — the
+            // pointer is never consumed, later left rows (same key,
+            // larger time) may match the same row.
+            var advancing = true
+            while (advancing && rNext != null) {
+              val rk = rKeyRef.eval(rNext)
+              val kc = keyOrdering.compare(rk, lk)
+              if (kc < 0 || (kc == 0 &&
+                  timeOrdering.compare(rTimeRef.eval(rNext), lt) < 0)) {
+                rNext = if (ri.hasNext) ri.next() else null
+              } else advancing = false
+            }
+            val matched = rNext != null &&
+              keyOrdering.compare(rKeyRef.eval(rNext), lk) == 0
+            if (matched) joined(l, payloadProj(rNext))
+            else joined(l, nullPayload)
+          } else {
+            // advance the right side while (rKey, rTime) <= (lk, lt) in
+            // the merge order; same-key rows become the carry (copied —
+            // the child iterator reuses its row buffer)
+            var advancing = true
+            while (advancing && rNext != null) {
+              val rk = rKeyRef.eval(rNext)
+              val kc = keyOrdering.compare(rk, lk)
+              if (kc < 0) {
+                rNext = if (ri.hasNext) ri.next() else null
+              } else if (kc == 0 &&
+                  timeOrdering.compare(rTimeRef.eval(rNext), lt) <= 0) {
+                carry = rNext.copy(); carryKey = rk
+                rNext = if (ri.hasNext) ri.next() else null
+              } else advancing = false
+            }
+            val matched = carry != null &&
+              keyOrdering.compare(carryKey, lk) == 0
+            if (matched) joined(l, payloadProj(carry))
+            else joined(l, nullPayload)
           }
-          val matched = carry != null && keyOrdering.compare(carryKey, lk) == 0
-          if (matched) joined(l, payloadProj(carry))
-          else joined(l, nullPayload)
         }
       }
     }

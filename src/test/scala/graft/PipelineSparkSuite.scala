@@ -431,21 +431,25 @@ class PipelineSparkSuite extends AnyFunSuite {
     val right = (1 to 400).map(i =>
       (1000L + i, (rnd.nextInt(8) + 4).toLong, rnd.nextInt(40).toLong))
       .toDF("rid", "user", "rt")
-    def run(): Seq[(Long, Any, Any)] =
-      graft.operators.AsOf.asofJoin(
-        left, right, "user", "user",
+    def run(fwd: Boolean): Seq[(Long, Any, Any)] = {
+      val j = if (fwd) graft.operators.AsOf.asofJoinForward _
+        else graft.operators.AsOf.asofJoin _
+      j(left, right, "user", "user",
         org.apache.spark.sql.functions.col("t").cast("timestamp"),
         org.apache.spark.sql.functions.col("rt").cast("timestamp"),
         Seq("rid", "rt"), "rid")
         .collect().map(r => (r.getAs[Long]("lid"),
           r.getAs[Any]("rid"), r.getAs[Any]("rt")))
         .sortBy(_._1).toSeq
-    val native = run()
-    spark.conf.set("spark.graft.asof.native", "false")
-    val window = try run() finally
-      spark.conf.unset("spark.graft.asof.native")
-    assert(native == window,
-      s"first diff: ${native.zip(window).find(p => p._1 != p._2)}")
+    }
+    for (fwd <- Seq(false, true)) {
+      val native = run(fwd)
+      spark.conf.set("spark.graft.asof.native", "false")
+      val window = try run(fwd) finally
+        spark.conf.unset("spark.graft.asof.native")
+      assert(native == window, s"fwd=$fwd first diff: " +
+        s"${native.zip(window).find(p => p._1 != p._2)}")
+    }
   }
 
   test("wire parsing drops EOS, malformed and featureless records") {
