@@ -1298,6 +1298,10 @@ object Dedup {
           .withColumn("h", md5(expr(
             "concat_ws(' ', slice(t, CAST(start AS INT), CAST(e - start + 1 AS INT)))")))
           .drop("t")
+          // cache: the boundary scan (the expensive rolling-window-hash
+          // pass) feeds BOTH the winner aggregation and the join back —
+          // uncached it executes twice
+          .cache()
         val winners = ch.groupBy("h")
           .agg(min(struct(col("doc_id"), col("start"))).as("w"))
         ch.join(winners, "h")

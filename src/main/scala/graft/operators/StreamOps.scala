@@ -1567,6 +1567,76 @@ object StreamOps {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(SUM(p) AS BIGINT) AS sum_price_cents
         |FROM dim GROUP BY vf ORDER BY vf""".stripMargin)),
+    // ------------------------------------------------------------------
+    // Streaming POINT-IN-TIME enrichment — the feature-store join done
+    // right: every micro-batch of events enriches against the orders
+    // dimension AS OF each event's own timestamp (the native
+    // AsOfMergeJoin running inside foreachBatch), so a model trained on
+    // the enriched stream never sees a feature from the future. Batch
+    // slicing cannot change any row's winner (the as-of result is
+    // per-left-row), so the compacted rollup must equal the one-shot
+    // batch as-of bit-for-bit — the stream-equals-batch contract, here
+    // proving temporal-leakage-freedom incrementally. Partials land in
+    // batchId-keyed directories (overwrite -> replay-idempotent, the
+    // st24/st29 rule). Scale shape: per trigger, the as-of costs exactly
+    // a sort-merge join of the O(batch) slice against the dimension —
+    // with the dimension bucketed by customer the exchanges vanish, and
+    // the partial log stays O(event types x triggers).
+    Op("st30_stream_pit_enrich", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
+      val orders = T.orders(s, d)
+      val out = Streaming.scratchDir("graft_pit_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") =!= "sentinel")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            AsOf.asofJoin(
+                batch.select("event_id", "user_id", "ts", "event_type"),
+                orders, "user_id", "o_custkey",
+                col("ts"), col("o_orderdate"),
+                Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L))
+                  .as("n_matched"),
+                sum(coalesce(col("o_orderkey"), lit(0L))).as("sum_orderkey"),
+                sum(coalesce(floor(col("o_totalprice") * 100).cast(LongType),
+                  lit(0L))).as("sum_price_cents"))
+              .write.mode("overwrite").parquet(s"$out/p/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/p")
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("n_matched").as("n_matched"),
+          sum("sum_orderkey").as("sum_orderkey"),
+          sum("sum_price_cents").as("sum_price_cents"))
+        .orderBy("event_type")
+    },
+      // all fixture orders predate all events (the q17 oracle's documented
+      // degeneration), so "latest order <= ts" is "latest order per
+      // customer" — the engine still evaluates full as-of semantics
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |j AS (
+        |  SELECT e.event_type, o.o_orderkey, o.o_totalprice
+        |  FROM events e LEFT JOIN o
+        |    ON o.o_custkey = e.user_id AND o.rn = 1)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  CAST(SUM(COALESCE(o_orderkey, 0)) AS BIGINT) AS sum_orderkey,
+        |  CAST(SUM(COALESCE(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0))
+        |    AS BIGINT) AS sum_price_cents
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
   /** st21 core, shared with tests: stream the documents fixture through the

@@ -1657,6 +1657,30 @@ class OperatorSuite extends AnyFunSuite {
       s"no chunk survived the insertion (|a|=${a.size}, |b|=${b.size})")
   }
 
+  test("st30 streaming point-in-time enrichment equals the one-shot batch as-of") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("st30_stream_pit_enrich")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.AsOf.asofJoin(
+        T.events(spark, sf).select("event_id", "user_id", "ts", "event_type"),
+        T.orders(spark, sf), "user_id", "o_custkey",
+        col("ts"), col("o_orderdate"),
+        Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(coalesce(col("o_orderkey"), lit(0L))).as("sum_orderkey"),
+        sum(coalesce(floor(col("o_totalprice") * 100).cast("long"), lit(0L)))
+          .as("sum_price_cents"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(stream == batch,
+      s"stream/batch divergence: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q62 windowed attribution matches a sequential last-touch replay") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q62_attribution")(spark, sf).collect()
