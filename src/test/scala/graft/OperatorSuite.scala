@@ -1562,6 +1562,14 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("s13 filtered ANN holds completeness and the filtered-recall floor") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("s13_filtered_ann")(spark, sf).collect().head
+    assert(r.getLong(0) == 16L)
+    assert(r.getBoolean(1), "a filtered top-3 came back incomplete")
+    assert(r.getBoolean(2), "filtered recall fell below the 0.90 floor")
+  }
+
   test("st29 streaming SCD2 merge lands on the sequentially-derived dimension") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("st29_stream_scd2")(spark, sf).collect()
