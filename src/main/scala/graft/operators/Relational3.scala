@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Op, T}
+import graft.{Num, Op, T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -195,5 +195,72 @@ object Relational3 {
         |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
         |  COUNT(*) AS n_absent_null
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    // MARKET SHARE (the TPC-H Q8 shape): of all ECONOMY-part revenue sold
+    // to ASIA-region customers, what fraction came from NATION_7
+    // suppliers, per order year — the deepest join in the surface
+    // (lineitem x orders x customer x nation x region x supplier x
+    // nation x part: 7 joins) and the join-reorder/broadcast stress
+    // test. All five dimension joins broadcast (customer at sf-scale
+    // shuffles; at 100 TB it would bucket on the key like orders); the
+    // fact table is scanned ONCE with the part filter semi-joined in,
+    // and the share is one IEEE division of two decimal-exact volume
+    // sums, so it hash-matches bit-for-bit.
+    Op(
+      "q64_market_share",
+      (s, d) => {
+        val vol = Num.dec2(col("l_extendedprice")) *
+          (lit(new java.math.BigDecimal("1.00")) -
+            col("l_discount").cast(DecimalType(3, 2)))
+        T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T.nation(s, d).select(
+            col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(T.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(T.nation(s, d).select(
+            col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_type") === "ECONOMY")
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(new java.math.BigDecimal("0.00"))))
+              .cast(DoubleType).as("nation_volume"),
+            sum(vol).cast(DoubleType).as("total_volume"),
+            (sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(new java.math.BigDecimal("0.00")))).cast(DoubleType) /
+              sum(vol).cast(DoubleType)).cast(DoubleType).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH base AS (
+        |  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+        |      AS vol,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+        |SELECT CAST(o_year AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |                ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS nation_volume,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_volume,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin)),
   )
 }

@@ -1562,6 +1562,49 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q64 market share matches a sequential join replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q64_market_share")(spark, sf).collect()
+      .map(r => (r.getInt(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toSeq
+    val n = T.nation(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> (r.getString(1), r.getInt(2).toLong)).toMap
+    val asiaKey = T.region(spark, sf).collect()
+      .find(_.getString(1) == "ASIA").get.getInt(0).toLong
+    val cust = T.customer(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val supp = T.supplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val econParts = T.part(spark, sf).collect()
+      .filter(_.getString(3) == "ECONOMY").map(_.getLong(0)).toSet
+    val ordYear = T.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_custkey", "year(o_orderdate)").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val acc = scala.collection.mutable.Map[Int, (BigDecimal, BigDecimal)]()
+    T.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount").collect()
+      .foreach { r =>
+        val (ck, yr) = ordYear(r.getLong(0))
+        val custRegion = n(cust(ck))._2
+        if (custRegion == asiaKey && econParts.contains(r.getLong(1))) {
+          val vol = BigDecimal(r.getDouble(3)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(4)).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP))
+          val isTarget = n(supp(r.getLong(2)))._1 == "NATION_7"
+          val (a, b) = acc.getOrElse(yr, (BigDecimal(0), BigDecimal(0)))
+          acc(yr) = (a + (if (isTarget) vol else BigDecimal(0)), b + vol)
+        }
+      }
+    val want = acc.toSeq.sortBy(_._1).map { case (yr, (a, b)) =>
+      (yr, a.setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        b.setScale(2, BigDecimal.RoundingMode.HALF_UP)) }
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("s13 filtered ANN holds completeness and the filtered-recall floor") {
     val sf = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("s13_filtered_ann")(spark, sf).collect().head

@@ -343,6 +343,17 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "unbounded cross join in p03")
   }
 
+  test("q64: the 7-join market share broadcasts every dimension") {
+    val p = plan("q64_market_share")
+    // supplier/nation/region/part all broadcast; the only sort-merge join
+    // allowed is lineitem x orders (two fact-sized sides)
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(smj <= 2, s"dimension join degraded to SMJ ($smj SMJs)")
+    assert(p.contains("PushedFilters") && p.contains("p_type"),
+      "part filter not pushed to its scan")
+  }
+
   test("q17: backward as-of plans onto the native merge-join operator") {
     val p = plan("q17_asof_join")
     assert(p.contains("AsOfMergeJoin"),
