@@ -10,11 +10,13 @@ package graft.ml
   * every round each partition trains a replica seeded from the global model,
   * then the protocol decides how replicas fold into the next global.
   * Semantic deltas vs the reference (documented, per SURVEY §2.6):
-  * Asynchronous collapses onto Synchronous averaging at round boundaries;
-  * SSP keeps a REAL staleness bound (workers read globals up to s rounds
-  * stale, over-stale updates are skip-merged — see [[SSP]]); GM/FGM keep
-  * their communication-skipping semantics via the drift threshold
-  * (replicas that moved less than the threshold don't ship).
+  * Asynchronous runs as FREE-RUNNING stale reads — the unbounded-staleness
+  * limit of the SSP window, proven bit-identical to SSP(MaxValue) and
+  * divergent from Synchronous (see [[Asynchronous]]); SSP keeps a REAL
+  * staleness bound (workers read globals up to s rounds stale, over-stale
+  * updates are skip-merged — see [[SSP]]); GM/FGM keep their
+  * communication-skipping semantics via the drift threshold (replicas
+  * that moved less than the threshold don't ship).
   */
 /** `blocks` counts maxMsgParams-bounded parameter blocks shipped to the
   * merge (see [[ModelWire]]) — the reference's message count, not a round

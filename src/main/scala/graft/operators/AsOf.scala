@@ -34,8 +34,11 @@ object AsOf {
     // node + strategy + physical single-pass merge, plans/AsOfPlan.scala).
     // `spark.graft.asof.native=false` falls back to the declarative
     // union+window encoding below; the parity test pins their equality.
-    val native = left.sparkSession.conf
-      .getOption("spark.graft.asof.native").forall(_.toBoolean)
+    // A session built WITHOUT graft.GraftExtensions has no planner
+    // strategy for the node — fall back rather than fail at plan time.
+    val native = nativeUsable(left) &&
+      left.sparkSession.conf
+        .getOption("spark.graft.asof.native").forall(_.toBoolean)
     if (native)
       asofNative(left, right, leftKey, rightKey, leftTime, rightTime,
         rightCols, tieBreak)
@@ -43,6 +46,14 @@ object AsOf {
       asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
         tieBreak, forward = false)
   }
+
+  /** The custom strategy only exists in sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` (every engine entry
+    * point sets it; an ad-hoc downstream session might not).
+    */
+  private def nativeUsable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("graft.GraftExtensions"))
 
   /** Build the [[graft.plans.AsOfJoinNode]] from resolved child plans. Time
     * expressions materialize into hidden columns so the node only ever sees
@@ -98,8 +109,9 @@ object AsOf {
       leftTime: Column, rightTime: Column,
       rightCols: Seq[String],
       tieBreak: String): DataFrame = {
-    val native = left.sparkSession.conf
-      .getOption("spark.graft.asof.native").forall(_.toBoolean)
+    val native = nativeUsable(left) &&
+      left.sparkSession.conf
+        .getOption("spark.graft.asof.native").forall(_.toBoolean)
     if (native)
       asofNative(left, right, leftKey, rightKey, leftTime, rightTime,
         rightCols, tieBreak, forward = true)

@@ -18,9 +18,11 @@ object Relational3 {
     // key of two table snapshots as added / removed / changed / unchanged
     // and checksum each class. Snapshots are derived deterministically from
     // the orders fixture (snapshot A drops keys ≡ 0 mod 7 — "yesterday was
-    // incomplete"; snapshot B reprices keys ≡ 0 mod 11 by a single IEEE
-    // multiply — "today saw updates"), so both engines build bit-identical
-    // inputs. Scale shape: ONE full-outer sort-merge join on the snapshot
+    // incomplete"; snapshot B drops keys ≡ 0 mod 13 — "today saw deletes"
+    // — and reprices keys ≡ 0 mod 11 by a single IEEE multiply — "today
+    // saw updates"), so both engines build bit-identical inputs and ALL
+    // FOUR classes are live (a key ≡ 0 mod 13 but not mod 7 is removed;
+    // ≡ 0 mod 7 but not 13 is added). Scale shape: ONE full-outer sort-merge join on the snapshot
     // key — the two sides co-partition on that key (on a lakehouse both
     // snapshots are bucketed by it, making the join exchange-free), the
     // classification is a codegen'd CASE over the join's null pattern, and
@@ -33,9 +35,10 @@ object Relational3 {
         val o = T.orders(s, d)
         val snapA = o.filter(col("o_orderkey") % 7 =!= 0)
           .select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
-        val snapB = o.select(col("o_orderkey").as("k"),
-          when(col("o_orderkey") % 11 === 0, col("o_totalprice") * lit(1.1))
-            .otherwise(col("o_totalprice")).as("pb"))
+        val snapB = o.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") * lit(1.1))
+              .otherwise(col("o_totalprice")).as("pb"))
         snapA.join(snapB, Seq("k"), "full_outer")
           .select(col("k"),
             when(col("pa").isNull, "added")
@@ -53,7 +56,7 @@ object Relational3 {
         |  SELECT o_orderkey AS k,
         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 1.1
         |         ELSE o_totalprice END AS pb
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
         |j AS (
         |  SELECT COALESCE(a.k, b.k) AS k,
         |    CASE WHEN a.k IS NULL THEN 'added'

@@ -278,6 +278,17 @@ object SourceOps {
       "w11_text_source",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_txt_").toString
+        // packing contract: the separator (\x01) and the line terminator
+        // must not occur in the payload -- a text containing either would
+        // shift fields / split rows and silently corrupt the roundtrip.
+        // Enforce loudly instead of assuming (a production packer would
+        // escape; the fixture corpus is space-separated words).
+        val dirty = T.documents(s, d)
+          .filter(col("text").contains("") || col("text").contains("\n"))
+          .count()
+        require(dirty == 0L,
+          s"w11 packing precondition violated: $dirty documents contain " +
+            "the field separator or a newline")
         T.documents(s, d)
           .select(concat_ws("",
             col("doc_id").cast(StringType), col("lang"), col("text")).as("value"))

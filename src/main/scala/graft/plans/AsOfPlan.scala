@@ -137,6 +137,10 @@ case class AsOfMergeJoinExec(
       val timeOrdering = TypeUtils.getInterpretedOrdering(timeTypeL)
       require(timeTypeR == timeTypeL,
         s"as-of time types differ: $timeTypeL vs $timeTypeR")
+      // the right key is bound with the LEFT key's type below — a silent
+      // wrong-slot read if the caller ever passed mismatched key types
+      require(rightKey.dataType == keyType,
+        s"as-of key types differ: $keyType vs ${rightKey.dataType}")
       val lKeyRef = BoundReference(lKeyOrd, keyType, nullable = true)
       val lTimeRef = BoundReference(lTimeOrd, timeTypeL, nullable = true)
       val rKeyRef = BoundReference(rKeyOrd, keyType, nullable = true)

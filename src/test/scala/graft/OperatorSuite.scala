@@ -1533,7 +1533,8 @@ class OperatorSuite extends AnyFunSuite {
     val os = T.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     val a = os.filter(_._1 % 7 != 0).toMap
-    val b = os.map { case (k, p) => k -> (if (k % 11 == 0) p * 1.1 else p) }.toMap
+    val b = os.filter(_._1 % 13 != 0)
+      .map { case (k, p) => k -> (if (k % 11 == 0) p * 1.1 else p) }.toMap
     val classed = (a.keySet ++ b.keySet).toSeq.map { k =>
       val cls =
         if (!a.contains(k)) "added"
@@ -1542,6 +1543,10 @@ class OperatorSuite extends AnyFunSuite {
         else "unchanged"
       k -> cls
     }
+    // all four classes must actually occur — a silent class collapse is
+    // exactly the audit failure this op exists to catch
+    assert(classed.map(_._2).toSet ==
+      Set("added", "removed", "changed", "unchanged"))
     val want = classed.groupBy(_._2).map { case (cls, ks) =>
       cls -> (ks.size.toLong, ks.map(_._1).sum)
     }
