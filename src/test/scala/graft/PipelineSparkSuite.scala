@@ -452,6 +452,31 @@ class PipelineSparkSuite extends AnyFunSuite {
     }
   }
 
+  test("native as-of survives fully-duplicated rows on both sides") {
+    import spark.implicits._
+    // identical (key, time, tie) rows: the winner is value-identical
+    // whichever physical copy either implementation lands on
+    val left0 = Seq((1L, 5L, 10L), (2L, 5L, 20L)).toDF("lid", "user", "t")
+    val left = left0.unionAll(left0)
+    val right0 = Seq((100L, 5L, 8L), (100L, 5L, 8L), (101L, 5L, 15L))
+      .toDF("rid", "user", "rt")
+    val right = right0.unionAll(right0)
+    def run(native: Boolean): Seq[(Long, Long)] = {
+      if (!native) spark.conf.set("spark.graft.asof.native", "false")
+      try graft.operators.AsOf.asofJoin(
+          left, right, "user", "user",
+          org.apache.spark.sql.functions.col("t").cast("timestamp"),
+          org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+          Seq("rid"), "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+        .sortBy(identity).toSeq
+      finally if (!native) spark.conf.unset("spark.graft.asof.native")
+    }
+    val expect = Seq((1L, 100L), (1L, 100L), (2L, 101L), (2L, 101L))
+    assert(run(native = true) == expect)
+    assert(run(native = false) == expect)
+  }
+
   test("wire parsing drops EOS, malformed and featureless records") {
     import spark.implicits._
     val good =
