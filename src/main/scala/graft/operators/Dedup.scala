@@ -1347,5 +1347,68 @@ object Dedup {
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |  CAST(SUM(CASE WHEN kept THEN chunk_len ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // THRESHOLD TUNING CURVE — the knob-setting analysis a curation team
+    // runs BEFORE committing a near-dup scrub: how many pairs (and how
+    // many would-be-dropped documents) does each Jaccard threshold
+    // implicate? One pass over the SAME banded candidate set d03/d20
+    // verify (shared generators), exact-Jaccard scored ONCE, then rolled
+    // up per threshold step — the curve costs one extra tiny aggregate
+    // over the already-verified pairs, not a re-run per knob setting
+    // (at 100 TB that difference is the whole analysis budget). Doc
+    // casualties count the distinct larger-id members of over-threshold
+    // pairs (the d03-family drop rule). All integers — hash-exact.
+    Op(
+      "d22_threshold_curve",
+      (s, d) => {
+        val s2 = s
+        import s2.implicits._
+        val sh = cappedShingles(s, d).cache()
+        val cand = bandCandidates(minhashBands(sh))
+        val inter = cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+            col("sa.sh") === col("sb.sh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val scored = inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("j", col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")))
+          .persist()
+        val thresholds = Seq(0.2, 0.4, 0.6, 0.8).toDF("thr")
+        thresholds.crossJoin(scored)
+          .filter(col("j") >= col("thr"))
+          .groupBy("thr")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("doc_b").as("n_docs_dropped"))
+          .unionByName(
+            // thresholds that implicate nothing still appear (curve
+            // completeness): anti-join the populated set back in
+            thresholds.join(
+              thresholds.crossJoin(scored).filter(col("j") >= col("thr"))
+                .select("thr").distinct(),
+              Seq("thr"), "left_anti")
+              .select(col("thr"), lit(0L).as("n_pairs"),
+                lit(0L).as("n_docs_dropped")))
+          .orderBy("thr")
+      },
+      Some(s"""WITH $sqlCappedCtes,
+        |$sqlCandCtes,
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT iv.doc_a, iv.doc_b,
+        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        |       FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
+        |       JOIN sz sb ON sb.doc_id = iv.doc_b),
+        |th AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS thr)
+        |SELECT th.thr, COUNT(sc.doc_a) AS n_pairs,
+        |  COUNT(DISTINCT sc.doc_b) AS n_docs_dropped
+        |FROM th LEFT JOIN sc ON sc.j >= th.thr
+        |GROUP BY th.thr ORDER BY th.thr""".stripMargin)),
   )
 }

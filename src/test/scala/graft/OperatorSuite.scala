@@ -1737,6 +1737,23 @@ class OperatorSuite extends AnyFunSuite {
       s"stream/batch divergence: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("d22 threshold curve is consistent with d03's verified pair scores") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d22_threshold_curve")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(0.2, 0.4, 0.6, 0.8), "curve incomplete")
+    // d03 emits exactly the candidate pairs with j >= 0.2, so every curve
+    // point is a rollup of its output
+    val d03 = SparkEntry.queries("d03_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (thr, nPairs, nDocs) =>
+      val sel = d03.filter(_._3 >= thr)
+      assert(nPairs == sel.length, s"thr=$thr pairs")
+      assert(nDocs == sel.map(_._2).distinct.length, s"thr=$thr docs")
+    }
+    assert(got.head._2 > 0, "fixture has no near-dups at 0.2 — curve vacuous")
+  }
+
   test("q62 windowed attribution matches a sequential last-touch replay") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q62_attribution")(spark, sf).collect()
