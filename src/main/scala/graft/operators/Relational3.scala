@@ -265,5 +265,57 @@ object Relational3 {
         |                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
         |    / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin)),
+    // ------------------------------------------------------------------
+    // BINNED temporal proximity join — the big x big interval join q32's
+    // broadcast band lookup cannot scale to: pairs of SAME-USER events
+    // within 5 minutes of each other. The naive plan is a per-user
+    // inequality self-join (a nested loop at any granularity Spark can't
+    // equi-hash); the scale answer is BINNING (the Databricks range-join
+    // trick, here hand-rolled): bucket time into bin = t div 300s, explode
+    // ONE side into its 3 adjacent bins, equi-join on (user, bin) — a
+    // plain shuffled hash join, no broadcast, no nested loop — and apply
+    // the exact |t1-t2| <= 300s predicate to the O(bin-local) candidates.
+    // Each qualifying pair matches on exactly ONE exploded bin value (the
+    // left row's own bin), so no dedup pass is needed. Everything is
+    // integer micros, so the per-type-pair rollup hash-matches DuckDB's
+    // direct inequality join. Scale shape: 3x one side's rows shuffle on
+    // (user, bin); candidate volume is bounded by per-user-per-5-min
+    // density, never by corpus size — the plan that survives when both
+    // sides are 100 TB event logs.
+    Op(
+      "q65_proximity_join",
+      (s, d) => {
+        val s2 = s
+        import s2.implicits._
+        val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"))
+        val binned = ev.withColumn("bin", expr("t div 300000000"))
+        val exploded = binned
+          .withColumn("jb", explode(array(col("bin") - 1, col("bin"),
+            col("bin") + 1)))
+          .select(col("event_id").as("id_b"), col("user_id"),
+            col("event_type").as("type_b"), col("t").as("t_b"), col("jb"))
+        binned.as("x")
+          .join(exploded,
+            col("x.user_id") === exploded("user_id") &&
+              col("x.bin") === col("jb"))
+          .filter(col("x.event_id") < col("id_b") &&
+            abs(col("x.t") - col("t_b")) <= 300000000L)
+          .groupBy(col("x.event_type").as("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("x.t") - col("t_b"))).as("sum_gap_us"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(ABS(a.t - b.t)) AS BIGINT) AS sum_gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND ABS(a.t - b.t) <= 300000000
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
   )
 }

@@ -1567,6 +1567,27 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q65 binned proximity join finds every close pair exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q65_proximity_join")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val evs = T.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = evs.toSeq.groupBy(_._2).values.toSeq.flatMap { es =>
+      for {
+        a <- es; b <- es
+        if a._1 < b._1 && math.abs(a._4 - b._4) <= 300000000L
+      } yield ((a._3, b._3), math.abs(a._4 - b._4))
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.size.toLong, vs.map(_._2).sum)
+    }
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("q64 market share matches a sequential join replay") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q64_market_share")(spark, sf).collect()

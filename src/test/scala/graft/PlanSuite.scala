@@ -343,6 +343,13 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "unbounded cross join in p03")
   }
 
+  test("q65: the binned proximity join is a plain equi-join — no nested loop") {
+    val p = plan("q65_proximity_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "binned range join degraded to a nested loop")
+  }
+
   test("q64: the 7-join market share broadcasts every dimension") {
     val p = plan("q64_market_share")
     // supplier/nation/region/part all broadcast; the only sort-merge join
