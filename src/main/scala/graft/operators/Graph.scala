@@ -617,5 +617,32 @@ object Graph {
         |  CAST(4 * m * se - sd2 AS BIGINT) AS q_num,
         |  CAST(4 * m * m AS BIGINT) AS q_den
         |FROM agg""".stripMargin)),
+    // ------------------------------------------------------------------
+    // The co-purchase edge TABLE itself as a first-class gated query —
+    // the bipartite (order x part) projection every graph query in this
+    // family reads. g01-g07 consume it as a maintained scratch artifact;
+    // this op gates the artifact's CONTENT (strongest 50 edges by shared-
+    // order weight, canonical a < b orientation) so a projection bug
+    // can't hide inside the cache all the other gates build on. Scale
+    // shape: the projection is one self-join of the fact table on the
+    // order key (co-partitionable; the quadratic blow-up is bounded by
+    // per-order basket size, the bipartite-projection contract) + one
+    // map-side-combinable weight aggregate; top-50 takes TakeOrdered,
+    // not a global sort.
+    Op(
+      "g08_copurchase_table",
+      (s, d) =>
+        coPurchaseEdges(s, d)
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), col("w"))
+          .orderBy(col("w").desc, col("a"), col("b"))
+          .limit(50),
+      Some("""SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+        |  COUNT(*) AS w
+        |FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey
+        | AND l1.l_partkey < l2.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY w DESC, a, b LIMIT 50""".stripMargin)),
   )
 }

@@ -1429,6 +1429,20 @@ class OperatorSuite extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("g08 edge table matches a sequential bipartite projection") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g08_copurchase_table")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val li = T.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = li.toSeq.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+      .toSeq.sortBy { case (a, b, w) => (-w, a, b) }.take(50)
+    assert(got == want)
+  }
+
   test("g06 star-contraction histogram matches a sequential union-find") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("g06_connected_components")(spark, sf)
