@@ -47,13 +47,15 @@ object AsOf {
         tieBreak, forward = false)
   }
 
-  /** The custom strategy only exists in sessions built with
-    * `spark.sql.extensions=graft.GraftExtensions` (every engine entry
-    * point sets it; an ad-hoc downstream session might not).
+  /** The custom strategy only exists in sessions that installed
+    * GraftExtensions (every engine entry point does; an ad-hoc downstream
+    * session might not). Checked against the planner's actual registered
+    * strategies, so programmatic installs (builder.withExtensions) are
+    * recognized too — not by sniffing the spark.sql.extensions conf.
     */
   private def nativeUsable(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption("spark.sql.extensions")
-      .exists(_.contains("graft.GraftExtensions"))
+    org.apache.spark.sql.graftshims.GraftSqlShims
+      .hasStrategy(df.sparkSession, graft.plans.AsOfStrategy)
 
   /** Build the [[graft.plans.AsOfJoinNode]] from resolved child plans. Time
     * expressions materialize into hidden columns so the node only ever sees

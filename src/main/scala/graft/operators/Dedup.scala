@@ -272,6 +272,29 @@ object Dedup {
       |         FROM bands x JOIN bands y
       |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Exact-Jaccard-scored band-collision pairs (doc_a, doc_b, inter, na,
+    * nb, jaccard) over the capped shingle set — the ONE scoring pass d03
+    * (filtered report) and d22 (threshold curve) consume. Structural
+    * sharing is what makes d22's "same pair scores as d03" contract a
+    * property of the code rather than two copies kept textually in sync.
+    */
+  private def scoredCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = cappedShingles(s, d).cache()
+    val cand = bandCandidates(minhashBands(sh))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).cast(DoubleType))
+  }
+
   /** Band-collision candidate pairs (doc_a < doc_b) from a (doc_id, band,
     * sig) band table — d03/d20's shared Spark-side candidate generator.
     * Shuffles once on (band, sig); the DF cap upstream bounds every band
@@ -491,24 +514,11 @@ object Dedup {
     // verification restricted to band-collision candidates.
     Op(
       "d03_minhash_lsh",
-      (s, d) => {
-        val sh = cappedShingles(s, d).cache()
-        val cand = bandCandidates(minhashBands(sh))
-        val inter = cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard",
-            (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-              .cast(DoubleType))
+      (s, d) =>
+        scoredCandidatePairs(s, d)
           .filter(col("jaccard") >= 0.2)
           .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $sqlCappedCtes,
         |$sqlCandCtes,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1363,35 +1373,17 @@ object Dedup {
       (s, d) => {
         val s2 = s
         import s2.implicits._
-        val sh = cappedShingles(s, d).cache()
-        val cand = bandCandidates(minhashBands(sh))
-        val inter = cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-            col("sa.sh") === col("sb.sh"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val scored = inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("j", col("inter").cast(DoubleType) /
-            (col("na") + col("nb") - col("inter")))
-          .persist()
+        val scored = scoredCandidatePairs(s, d)
+          .select("doc_a", "doc_b", "jaccard")
         val thresholds = Seq(0.2, 0.4, 0.6, 0.8).toDF("thr")
-        thresholds.crossJoin(scored)
-          .filter(col("j") >= col("thr"))
+        // one LEFT non-equi join from the 4-row threshold table (the
+        // oracle's own shape): empty thresholds keep their row with zero
+        // counts because count(col)/countDistinct skip the nulls
+        thresholds
+          .join(scored, col("jaccard") >= col("thr"), "left")
           .groupBy("thr")
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct("doc_b").as("n_docs_dropped"))
-          .unionByName(
-            // thresholds that implicate nothing still appear (curve
-            // completeness): anti-join the populated set back in
-            thresholds.join(
-              thresholds.crossJoin(scored).filter(col("j") >= col("thr"))
-                .select("thr").distinct(),
-              Seq("thr"), "left_anti")
-              .select(col("thr"), lit(0L).as("n_pairs"),
-                lit(0L).as("n_docs_dropped")))
+          .agg(count(col("doc_a")).as("n_pairs"),
+            countDistinct(col("doc_b")).as("n_docs_dropped"))
           .orderBy("thr")
       },
       Some(s"""WITH $sqlCappedCtes,

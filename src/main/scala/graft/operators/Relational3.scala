@@ -285,8 +285,6 @@ object Relational3 {
     Op(
       "q65_proximity_join",
       (s, d) => {
-        val s2 = s
-        import s2.implicits._
         val ev = T.events(s, d).select(col("event_id"), col("user_id"),
           col("event_type"), unix_micros(col("ts")).as("t"))
         val binned = ev.withColumn("bin", expr("t div 300000000"))

@@ -916,16 +916,28 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("q_id", "vec_id")
+      // anchor the rollup on the QUERY SET, not on queries that happened
+      // to produce candidates: a query whose class lands entirely outside
+      // the probed lists must DRAG RECALL DOWN, not vanish from the
+      // denominator; and the achievable top-k is min(3, |class|-1), so a
+      // thin class can't fail completeness spuriously. The recall
+      // denominator is the exact baseline's total (what a perfect probe
+      // could recover), not a hardcoded 3 per query.
+      val exactN = exact.groupBy("q_id").agg(count(lit(1)).as("exact_n"))
       val perQ = filteredIvf.groupBy("q_id").agg(count(lit(1)).as("ivf_n"))
       val hits = exact.join(filteredIvf, Seq("q_id", "vec_id"))
         .groupBy("q_id").agg(count(lit(1)).as("hits"))
-      perQ.join(hits, Seq("q_id"), "left")
+      q.select("q_id")
+        .join(exactN, Seq("q_id"), "left")
+        .join(perQ, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
         .agg(
           count(lit(1)).as("n_queries"),
-          (min(col("ivf_n")) === 3 && max(col("ivf_n")) === 3)
+          expr("every(coalesce(ivf_n, 0) = least(3, coalesce(exact_n, 0)))")
             .as("all_topk_complete"),
           (sum(coalesce(col("hits"), lit(0L))).cast(DoubleType) /
-            (count(lit(1)) * 3) >= FilteredRecallThreshold)
+            sum(coalesce(col("exact_n"), lit(0L))).cast(DoubleType) >=
+            FilteredRecallThreshold)
             .as("filtered_recall_ge_090"))
     },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

@@ -284,7 +284,8 @@ object SourceOps {
         // Enforce loudly instead of assuming (a production packer would
         // escape; the fixture corpus is space-separated words).
         val dirty = T.documents(s, d)
-          .filter(col("text").contains("") || col("text").contains("\n"))
+          .filter(col("text").contains("") || col("text").contains("\n") ||
+            col("text").contains("\r")) // \r also terminates Hadoop lines
           .count()
         require(dirty == 0L,
           s"w11 packing precondition violated: $dirty documents contain " +

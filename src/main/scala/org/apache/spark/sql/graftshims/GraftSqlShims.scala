@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Whether `strategy` is registered in the session's planner — the real
+    * thing the native-as-of guard cares about, robust to extensions being
+    * installed programmatically (builder.withExtensions) where the
+    * spark.sql.extensions conf stays empty.
+    */
+  def hasStrategy(spark: SparkSession, strategy: AnyRef): Boolean =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.planner
+      .extraPlanningStrategies.exists(_ eq strategy)
 }
