@@ -1078,5 +1078,57 @@ object TextAnalysis {
            |FROM bf JOIN af ON af.source = bf.source
            |ORDER BY bf.source""".stripMargin
       }),
+    // ------------------------------------------------------------------
+    // CODE-SWITCHING detection — the data-quality signal t02's per-doc
+    // majority vote cannot express: a document whose SECOND-strongest
+    // stopword language carries >= 1/4 of the primary's hits is flagged
+    // mixed (machine-translated boilerplate, concatenated crawls, spam
+    // stitched across locales — the docs a monolingual filter silently
+    // miscategorizes). Same per-row stopword hit counts as t02 (shared
+    // stop lists), then pure integer array algebra (second-max via a
+    // per-row sort of a 4-element array — constant work, no shuffle) and
+    // a per-claimed-language rollup. All counts exact, so the mixing
+    // profile hash-matches.
+    Op(
+      "t25_code_switching",
+      (s, d) =>
+        T.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          expr(hitExpr(stop("en"))).cast(LongType).as("s_en"),
+          expr(hitExpr(stop("de"))).cast(LongType).as("s_de"),
+          expr(hitExpr(stop("fr"))).cast(LongType).as("s_fr"),
+          expr(hitExpr(stop("es"))).cast(LongType).as("s_es"))
+          .withColumn("hits",
+            array(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+          .withColumn("n_langs_hit",
+            expr("size(filter(hits, h -> h > 0))").cast(LongType))
+          .withColumn("top1", expr("array_max(hits)"))
+          .withColumn("top2", expr("element_at(sort_array(hits, false), 2)"))
+          .withColumn("is_mixed", col("top2") > 0L &&
+            col("top2") * 4L >= col("top1"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_mixed"), 1L).otherwise(0L)).as("n_mixed"),
+            sum(when(col("n_langs_hit") === 0L, 1L).otherwise(0L)).as("n_und"),
+            sum("n_langs_hit").as("sum_langs_hit"))
+          .orderBy("lang"),
+      Some(s"""WITH sc AS (SELECT doc_id, lang,
+        |  CAST(${sqlHit(stop("en"))} AS BIGINT) AS s_en,
+        |  CAST(${sqlHit(stop("de"))} AS BIGINT) AS s_de,
+        |  CAST(${sqlHit(stop("fr"))} AS BIGINT) AS s_fr,
+        |  CAST(${sqlHit(stop("es"))} AS BIGINT) AS s_es
+        |FROM documents),
+        |m AS (SELECT lang,
+        |  len(list_filter([s_en, s_de, s_fr, s_es], h -> h > 0)) AS n_langs_hit,
+        |  list_max([s_en, s_de, s_fr, s_es]) AS top1,
+        |  list_sort([s_en, s_de, s_fr, s_es], 'DESC')[2] AS top2
+        |FROM sc)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN top2 > 0 AND top2 * 4 >= top1
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+        |  CAST(SUM(CASE WHEN n_langs_hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_und,
+        |  CAST(SUM(n_langs_hit) AS BIGINT) AS sum_langs_hit
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -1772,6 +1772,29 @@ class OperatorSuite extends AnyFunSuite {
       s"stream/batch divergence: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("t25 code-switching rollup is consistent with t02's hit counts") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t25_code_switching")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // t02 emits the same per-doc stopword hit counts — replay the mixing
+    // rule from its verified output
+    val t02 = SparkEntry.queries("t02_lang_id")(spark, sf).collect()
+      .map(r => (r.getString(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val want = t02.groupBy(_._1).map { case (lang, ds) =>
+      val rows = ds.map(_._2)
+      lang -> (
+        rows.size.toLong,
+        rows.count { h =>
+          val s = h.sorted.reverse; s(1) > 0 && s(1) * 4 >= s(0)
+        }.toLong,
+        rows.count(_.forall(_ == 0)).toLong,
+        rows.map(_.count(_ > 0).toLong).sum)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("d22 threshold curve is consistent with d03's verified pair scores") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("d22_threshold_curve")(spark, sf).collect()
