@@ -160,6 +160,16 @@ object Bench {
       .map { case (k, v) => "\"" + ids(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName","ingest_train_rows_per_sec":${rowsPerSec.toLong},"ingest_train_sec":${fmt(trainSec)}}""")
+    // The driver keeps only the last ~2000 chars of stdout; at 200+ queries
+    // the full line above no longer fits, so its leading "metric"/"value"
+    // keys fall outside the tail and the headline metric is lost. Emit a
+    // SHORT final line (guaranteed inside the tail, parseable on its own)
+    // carrying the totals plus the slowest queries; the full per-query map
+    // lives in the line above and in BENCH_DETAIL.json.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + ids(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"queries_shown":"slowest 10 of ${results.size}; full map in prior line + BENCH_DETAIL.json","sf":"$sfName","n_queries":${results.size},"sec_per_query":${fmt(total / math.max(1, results.size))},"ingest_train_rows_per_sec":${rowsPerSec.toLong},"ingest_train_sec":${fmt(trainSec)}}""")
     spark.stop()
   }
 }

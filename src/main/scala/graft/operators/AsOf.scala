@@ -19,6 +19,19 @@ import org.apache.spark.sql.types._
   */
 object AsOf {
 
+  /** Non-null contract, enforced (not just documented): the native merge
+    * compares keys/times through interpreted orderings that NPE on null,
+    * while the window fallback would silently group null keys / sort null
+    * times first — the two conf-switched paths would diverge on the same
+    * input. Both paths therefore run their key/time columns through this
+    * guard, which raises a clear error on the first null row (codegen'd
+    * null-check per row; `raise_error` only evaluates on the null branch).
+    */
+  private def nonNullGuard(c: Column, what: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"as-of join: null $what — as-of keys and times must be non-null")))
+      .otherwise(c)
+
   /** Left as-of join: for each left row, attach the right row with the
     * greatest `rightTime <= leftTime` within the same key; ties on
     * `rightTime` resolved by the greatest `tieBreak` column.
@@ -73,9 +86,17 @@ object AsOf {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
     // cast both times to one comparable type (the window path's contract;
-    // order-preserving, so semantics coincide)
-    val lDf = left.withColumn("__asof_lt", leftTime.cast(TimestampType))
-    val rDf = right.withColumn("__asof_rt", rightTime.cast(TimestampType))
+    // order-preserving, so semantics coincide). Keys and times run through
+    // the non-null guard so this path fails identically to the fallback on
+    // null input instead of NPE-ing inside the interpreted ordering.
+    val lDf = left
+      .withColumn("__asof_lt",
+        nonNullGuard(leftTime.cast(TimestampType), "left time"))
+      .withColumn("__asof_lk", nonNullGuard(col(leftKey), s"left key $leftKey"))
+    val rDf = right
+      .withColumn("__asof_rt",
+        nonNullGuard(rightTime.cast(TimestampType), "right time"))
+      .withColumn("__asof_rk", nonNullGuard(col(rightKey), s"right key $rightKey"))
     val lp = lDf.queryExecution.analyzed
     // self-joins (both sides derived from one table) share exprIds across
     // children; the analyzer's relation dedup would then rewrite the right
@@ -85,18 +106,27 @@ object AsOf {
     val rp = Project(
       rDf.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
       rDf.queryExecution.analyzed)
+    // resolve through the session's analyzer resolver (honors
+    // spark.sql.caseSensitive) so this path binds the same column the
+    // fallback's df.col(...) resolution would; ambiguity fails loudly
+    // instead of first-match-wins
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-        name: String) =
-      out.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"as-of column $name not found"))
+        name: String) = out.filter(a => resolver(a.name, name)) match {
+      case Seq(a) => a
+      case Seq() =>
+        throw new IllegalArgumentException(s"as-of column $name not found")
+      case many => throw new IllegalArgumentException(
+        s"as-of column $name is ambiguous (${many.size} matches)")
+    }
     val node = graft.plans.AsOfJoinNode(
       lp, rp,
-      attr(lp.output, leftKey), attr(rp.output, rightKey),
+      attr(lp.output, "__asof_lk"), attr(rp.output, "__asof_rk"),
       attr(lp.output, "__asof_lt"), attr(rp.output, "__asof_rt"),
       rightCols.map(attr(rp.output, _)),
       attr(rp.output, tieBreak), forward)
     org.apache.spark.sql.graftshims.GraftSqlShims.ofRows(spark, node)
-      .drop("__asof_lt")
+      .drop("__asof_lt").drop("__asof_lk")
   }
 
   /** Forward as-of join: for each left row, attach the right row with the
@@ -132,13 +162,13 @@ object AsOf {
       forward: Boolean): DataFrame = {
     val payloadType = StructType(rightCols.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
-      .withColumn("__k", col(leftKey))
-      .withColumn("__t", leftTime.cast(TimestampType))
+      .withColumn("__k", nonNullGuard(col(leftKey), s"left key $leftKey"))
+      .withColumn("__t", nonNullGuard(leftTime.cast(TimestampType), "left time"))
       .withColumn("__isLeft", lit(1))
       .withColumn("__r", lit(null).cast(payloadType))
     val rTagged = right
-      .withColumn("__k", col(rightKey))
-      .withColumn("__t", rightTime.cast(TimestampType))
+      .withColumn("__k", nonNullGuard(col(rightKey), s"right key $rightKey"))
+      .withColumn("__t", nonNullGuard(rightTime.cast(TimestampType), "right time"))
       .withColumn("__isLeft", lit(0))
       .withColumn("__r", struct(rightCols.map(col): _*))
       .select((Seq("__k", "__t", "__isLeft", "__r").map(col) ++

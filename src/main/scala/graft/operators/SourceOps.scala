@@ -277,23 +277,28 @@ object SourceOps {
     Op(
       "w11_text_source",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_txt_").toString
-        // packing contract: the separator (\x01) and the line terminator
-        // must not occur in the payload -- a text containing either would
-        // shift fields / split rows and silently corrupt the roundtrip.
-        // Enforce loudly instead of assuming (a production packer would
-        // escape; the fixture corpus is space-separated words).
-        val dirty = T.documents(s, d)
-          .filter(col("text").contains("") || col("text").contains("\n") ||
-            col("text").contains("\r")) // \r also terminates Hadoop lines
-          .count()
-        require(dirty == 0L,
-          s"w11 packing precondition violated: $dirty documents contain " +
-            "the field separator or a newline")
-        T.documents(s, d)
-          .select(concat_ws("",
-            col("doc_id").cast(StringType), col("lang"), col("text")).as("value"))
-          .write.mode("overwrite").text(dir)
+        // staged through Streaming.stagedDir (the engine's scratch-dir
+        // convention): lands on the shared scratch base instead of leaking a
+        // fresh corpus-sized /tmp directory per invocation, and the staging
+        // write runs once per scale factor -- later bench passes reuse it.
+        val dir = graft.streaming.Streaming.stagedDir("w11txt", d) { dir =>
+          // packing contract: the separator (\x01) and the line terminator
+          // must not occur in the payload -- a text containing either would
+          // shift fields / split rows and silently corrupt the roundtrip.
+          // Enforce loudly instead of assuming (a production packer would
+          // escape; the fixture corpus is space-separated words).
+          val dirty = T.documents(s, d)
+            .filter(col("text").contains("") || col("text").contains("\n") ||
+              col("text").contains("\r")) // \r also terminates Hadoop lines
+            .count()
+          require(dirty == 0L,
+            s"w11 packing precondition violated: $dirty documents contain " +
+              "the field separator or a newline")
+          T.documents(s, d)
+            .select(concat_ws("",
+              col("doc_id").cast(StringType), col("lang"), col("text")).as("value"))
+            .write.mode("overwrite").text(dir)
+        }
         s.read.text(dir)
           .select(split(col("value"), "").as("f"))
           .select(col("f").getItem(0).cast(LongType).as("doc_id"),

@@ -33,8 +33,10 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
   * bit-equality between the two implementations, and every driver oracle
   * gates the fused results.
   *
-  * Contract: join keys and times are non-null (all call sites derive them
-  * from non-null fixture columns); time columns on both sides share a
+  * Contract: join keys and times are non-null — ENFORCED at the
+  * [[graft.operators.AsOf.asofJoin]] API boundary (both paths wrap
+  * key/time columns in a raise-on-null guard, so native and fallback fail
+  * identically instead of diverging); time columns on both sides share a
   * comparable type ordering (timestamp/long/int — the cast the window
   * path applies is order-preserving, so results coincide).
   */
@@ -191,7 +193,12 @@ case class AsOfMergeJoinExec(
                 rNext = if (ri.hasNext) ri.next() else null
               } else if (kc == 0 &&
                   timeOrdering.compare(rTimeRef.eval(rNext), lt) <= 0) {
-                carry = rNext.copy(); carryKey = rk
+                // re-evaluate the key from the COPIED row: for non-primitive
+                // key types (UTF8String, Decimal, binary) the value eval'd
+                // against rNext aliases the child iterator's reused row
+                // buffer, and advancing the iterator would overwrite the
+                // bytes under carryKey
+                carry = rNext.copy(); carryKey = rKeyRef.eval(carry)
                 rNext = if (ri.hasNext) ri.next() else null
               } else advancing = false
             }

@@ -477,6 +477,61 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(run(native = false) == expect)
   }
 
+  test("native as-of with STRING keys matches the window encoding (carry-key aliasing)") {
+    import spark.implicits._
+    // string keys eval to UTF8String views over the child iterator's reused
+    // row buffer; the merge must re-evaluate the carry key from the COPIED
+    // row or later left rows compare against overwritten bytes. Dense
+    // same-key runs + key switches maximize buffer reuse between the carry
+    // write and the comparison.
+    val rnd = new scala.util.Random(4141)
+    val keys = Vector("alpha", "beta", "gamma", "delta", "epsilon-very-long-key-name")
+    val left = (1 to 500).map(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(30).toLong))
+      .toDF("lid", "user", "t")
+    val right = (1 to 500).map(i =>
+      (1000L + i, keys(rnd.nextInt(keys.size)), rnd.nextInt(30).toLong))
+      .toDF("rid", "user", "rt")
+    def run(native: Boolean): Seq[(Long, Any)] = {
+      if (!native) spark.conf.set("spark.graft.asof.native", "false")
+      try graft.operators.AsOf.asofJoin(
+          left, right, "user", "user",
+          org.apache.spark.sql.functions.col("t").cast("timestamp"),
+          org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+          Seq("rid"), "rid")
+        .collect().map(r => (r.getAs[Long]("lid"), r.getAs[Any]("rid")))
+        .sortBy(_._1).toSeq
+      finally if (!native) spark.conf.unset("spark.graft.asof.native")
+    }
+    val native = run(native = true)
+    val window = run(native = false)
+    assert(native == window,
+      s"first diff: ${native.zip(window).find(p => p._1 != p._2)}")
+  }
+
+  test("as-of join rejects null keys/times identically on both paths") {
+    import spark.implicits._
+    val left = Seq((1L, Some(5L), Some(10L)), (2L, None, Some(20L)))
+      .toDF("lid", "user", "t")
+    val right = Seq((100L, 5L, 8L)).toDF("rid", "user", "rt")
+    def run(native: Boolean): Unit = {
+      if (!native) spark.conf.set("spark.graft.asof.native", "false")
+      try graft.operators.AsOf.asofJoin(
+          left, right, "user", "user",
+          org.apache.spark.sql.functions.col("t").cast("timestamp"),
+          org.apache.spark.sql.functions.col("rt").cast("timestamp"),
+          Seq("rid"), "rid").collect()
+      finally if (!native) spark.conf.unset("spark.graft.asof.native")
+    }
+    for (native <- Seq(true, false)) {
+      val e = intercept[Exception](run(native))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("as-of join: null")),
+        s"native=$native unexpected error: $e")
+    }
+  }
+
   test("wire parsing drops EOS, malformed and featureless records") {
     import spark.implicits._
     val good =
