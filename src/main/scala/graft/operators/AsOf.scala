@@ -199,30 +199,49 @@ object AsOf {
     Op(
       "q17_asof_join",
       (s, d) => {
+        // The raw fixtures are time-disjoint (all orders 1995-2001, all
+        // events Jan 2024), under which "latest order <= ts" would collapse
+        // to "latest order per customer" and the oracle could not
+        // discriminate time semantics. A deterministic modulo shift folds
+        // each order date into the events' 30-day window (pure integer
+        // constants, identical in both engines), so the as-of cut varies
+        // per event: different orders win for the same customer at
+        // different ts, and events before a customer's earliest shifted
+        // order get a null match. base1995/base2024 are the UTC epochs of
+        // 1995-01-01 / 2024-01-01; win is 30 days of microseconds.
+        val base1995 = 788918400000000L
+        val base2024 = 1704067200000000L
+        val win = 30L * 86400L * 1000000L
         val e = T.events(s, d)
-        val o = T.orders(s, d)
+        val o = T.orders(s, d).withColumn("o_shifted",
+          timestamp_micros(lit(base2024) +
+            ((unix_micros(col("o_orderdate").cast(TimestampType)) -
+              lit(base1995)) % lit(win))))
         asofJoin(
           left = e.select("event_id", "user_id", "ts"),
           right = o,
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = col("ts"),
-          rightTime = col("o_orderdate"),
-          rightCols = Seq("o_orderkey", "o_orderdate"),
+          rightTime = col("o_shifted"),
+          rightCols = Seq("o_orderkey", "o_shifted"),
           tieBreak = "o_orderkey")
           .select(col("event_id"), col("user_id"), col("o_orderkey"),
-            col("o_orderdate").cast(DateType).as("o_orderdate"))
+            unix_micros(col("o_shifted")).as("order_ts_us"))
           .orderBy("event_id")
       },
-      // All fixture orders predate all fixture events, so "latest order with
-      // o_orderdate <= ts" degenerates to "latest order per customer" — the
-      // Spark side still evaluates full as-of semantics.
-      Some("""SELECT e.event_id, e.user_id, o.o_orderkey,
-        |  CAST(o.o_orderdate AS DATE) AS o_orderdate
-        |FROM events e
-        |LEFT JOIN (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |           FROM orders) o
-        |  ON o.o_custkey = e.user_id AND o.rn = 1
+      // Per-event LATERAL top-1 with the same modulo shift — the oracle now
+      // has to honor the time cut, not just the per-customer max.
+      Some("""SELECT e.event_id, e.user_id, x.o_orderkey, x.order_ts_us
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o.o_orderkey,
+        |    1704067200000000 + ((epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |      - 788918400000000) % 2592000000000) AS order_ts_us
+        |  FROM orders o
+        |  WHERE o.o_custkey = e.user_id
+        |    AND 1704067200000000 + ((epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |      - 788918400000000) % 2592000000000)
+        |        <= epoch_us(CAST(e.ts AS TIMESTAMP))
+        |  ORDER BY order_ts_us DESC, o.o_orderkey DESC LIMIT 1) x ON TRUE
         |ORDER BY e.event_id""".stripMargin)),
     // ------------------------------------------------------------------
     // Forward as-of: each order joined to the customer's FIRST event

@@ -597,5 +597,96 @@ object MLOps {
         |  (CAST(8 AS BIGINT), 3, 'Create', 'created')
         |) t(seq, pipeline_id, request, outcome)
         |ORDER BY seq""".stripMargin)),
+    // ------------------------------------------------------------------
+    // VALUE-LEVEL cross-engine training parity — the upgrade the invariant
+    // rollups (ml01-ml08) cannot give: ORR's information form
+    // A = lambda*I + sum(z z^T), b = sum(y z), w = solve(A, b) is
+    // addition-order independent up to fp noise, so DuckDB can recompute
+    // the SOLVED WEIGHTS from the normal equations and the driver
+    // hash-compares actual learned values across engines. Feature dim is
+    // held at 3 (+bias => 4x4 system) so the oracle solves in closed form
+    // (Cramer via generated Leibniz expansions). The fitted SET is exactly
+    // reproducible too: partitions are id % 8 sorted by id (explicit
+    // partitioner — not sampled ranges), and the 2-of-10 held-out ring
+    // keeps only the LAST <=256 test points per partition out of training
+    // (earlier ring slots are evicted back into the fit), which the oracle
+    // replays with two window functions. Weights quantized to 6 decimals
+    // absorb the engines' different summation orders (~1e-12 apart).
+    Op("ml17_orr_value_parity", (s, d) => {
+      val base = T.embeddings(s, d).select(col("vec_id").as("id"),
+        expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))")
+          .as("features"),
+        col("label").cast(DoubleType).as("target"))
+      val keyed = base.rdd
+        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+      val byMod = new org.apache.spark.Partitioner {
+        def numPartitions: Int = 8
+        def getPartition(key: Any): Int = (key.asInstanceOf[Long] % 8L).toInt
+      }
+      val rdd = keyed.repartitionAndSortWithinPartitions(byMod).map(_._2)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(17, "ORR", Map("lambda" -> 1.0), Nil, "Synchronous",
+          rounds = 1), rdd)
+      val w = fitted.model.asInstanceOf[graft.ml.RlsModel].w
+      import s.implicits._
+      w.toSeq.zipWithIndex
+        .map { case (wi, i) => (i.toLong, wi, fitted.model.n) }
+        .toDF("dim", "w_raw", "n_fitted")
+        .select(col("dim"), round(col("w_raw"), 6).as("weight"),
+          col("n_fitted"))
+        .orderBy("dim")
+    }, Some(orrParityOracle)),
   )
+
+  /** Leibniz expansion of a 4x4 determinant as a SQL expression; `e(r, c)`
+    * names the matrix entry. 24 terms, canonical permutation order.
+    */
+  private def det4Sql(e: (Int, Int) => String): String = {
+    val perms = Seq(0, 1, 2, 3).permutations.toSeq
+    def sgn(p: Seq[Int]): Int = {
+      var inv = 0
+      for (i <- 0 until 4; j <- i + 1 until 4) if (p(i) > p(j)) inv += 1
+      if (inv % 2 == 0) 1 else -1
+    }
+    perms.map(p => (if (sgn(p) > 0) " + " else " - ") +
+      (0 until 4).map(r => e(r, p(r))).mkString("(", " * ", ")")).mkString
+  }
+
+  /** Normal-equations oracle for ml17: rebuild A and b over exactly the
+    * fitted set (train points + evicted ring slots), solve by Cramer.
+    */
+  private def orrParityOracle: String = {
+    def x(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val z = (0 until 4).map(i => if (i < 3) x(i) else "1.0")
+    val sums = (for (r <- 0 until 4; c <- 0 until 4) yield {
+      val lam = if (r == c) "1.0 + " else ""
+      s"$lam SUM(${z(r)} * ${z(c)}) AS a$r$c"
+    }) ++ (0 until 4).map(r =>
+      s"SUM(CAST(label AS DOUBLE) * ${z(r)}) AS b$r") :+ "COUNT(*) AS nf"
+    val detA = det4Sql((r, c) => s"a$r$c")
+    val dets = (0 until 4).map(i =>
+      det4Sql((r, c) => if (c == i) s"b$r" else s"a$r$c"))
+    s"""WITH pts AS (
+       |  SELECT vec_id, embedding, label, vec_id % 8 AS part,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) - 1 AS cnt
+       |  FROM embeddings),
+       |held AS (
+       |  SELECT vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY part ORDER BY cnt DESC) AS rk
+       |  FROM pts WHERE cnt % 10 >= 8),
+       |fitted AS (
+       |  SELECT * FROM pts WHERE vec_id NOT IN
+       |    (SELECT vec_id FROM held WHERE rk <= 256)),
+       |sums AS (SELECT ${sums.mkString(", ")} FROM fitted),
+       |sol AS (SELECT ($detA) AS det,
+       |  ${dets.zipWithIndex.map { case (e, i) => s"($e) AS d$i" }.mkString(", ")},
+       |  nf FROM sums)
+       |SELECT CAST(t.i AS BIGINT) AS dim,
+       |  ROUND(CASE t.i WHEN 0 THEN d0/det WHEN 1 THEN d1/det
+       |    WHEN 2 THEN d2/det ELSE d3/det END, 6) AS weight,
+       |  CAST(nf AS BIGINT) AS n_fitted
+       |FROM sol, (VALUES (0), (1), (2), (3)) t(i)
+       |ORDER BY dim""".stripMargin
+  }
 }
+
