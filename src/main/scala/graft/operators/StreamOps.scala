@@ -20,6 +20,106 @@ object StreamOps {
   private def uniq(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+
+  /** Stage the st04/st31 lifecycle envelopes (shared artifact): batch 1 is
+    * 100 pre-Create training rows + the Create (exercising the pre-Create
+    * buffer, SpokeLogic.scala:28-35); batch 2 is the remaining training
+    * rows, 50 forecasting rows and a Query. Data envelopes are staged with
+    * distributed writes keyed on the contiguous vec_id (0..n-1) — only the
+    * 2 control envelopes are driver-built.
+    */
+  private def stageSpokeLifecycle(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Streaming.stagedDir("spoke", d) { dir =>
+      import s.implicits._
+      val feats = T.embeddings(s, d)
+      val n = feats.count()
+      def env(rows: org.apache.spark.sql.DataFrame, idOff: Long, op: String) =
+        rows.select(
+          (col("vec_id") + idOff).as("seq"),
+          lit(1).as("pipelineId"),
+          lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+          lit(-1L).as("requestId"), (col("vec_id") + idOff).as("id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("features"),
+          (if (op == "training")
+            when(col("label").cast(DoubleType) >= 5.0, 1.0).otherwise(-1.0)
+          else lit(null).cast(DoubleType)).as("target"),
+          lit(op).as("operation"))
+          .as[Envelope](org.apache.spark.sql.Encoders.product[Envelope])
+      val batch1 = env(feats.filter(col("vec_id") < 100), 0L, "training")
+        .unionByName(Seq(
+          Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")).toDS())
+      val batch2 = env(
+          feats.filter(col("vec_id") >= 100 && col("vec_id") < n - 50),
+          200000L, "training")
+        .unionByName(env(feats.filter(col("vec_id") >= n - 50), 300000L, "forecasting"))
+        .unionByName(Seq(
+          Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")).toDS())
+      batch1.coalesce(1).write.mode("append").parquet(dir)
+      // Distinct mtimes (file source orders by mod time): back-date batch 1
+      // instead of sleeping between the writes.
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, past))
+      batch2.coalesce(1).write.mode("append").parquet(dir)
+    }
+
+  /** Hash-gated lifecycle rollup shared by st04 (fMGWS spoke) and st31
+    * (transformWithState spoke on RocksDB): the oracle pins the exact
+    * per-kind traffic the staged lifecycle implies — ONE drain log (its
+    * value = the 100 pre-Create buffered rows), exactly 50 predictions over
+    * the contiguous forecasting id range, ONE Query response whose
+    * fitted+ring accounting covers every training row. A spoke that loses
+    * buffered rows on Create, predicts before a model exists, mis-keys an
+    * envelope, or double-emits a response moves a count or flips a boolean.
+    */
+  private def spokeLifecycleGate(raw: org.apache.spark.sql.DataFrame,
+      nEmb: Long): org.apache.spark.sql.DataFrame =
+    raw
+      .withColumn("fitted", // non-response rows extract "" -> NULL, not 0
+        nullif(regexp_extract(col("info"), "fitted=(\\d+)", 1), lit(""))
+          .cast(LongType))
+      .withColumn("testn",
+        nullif(regexp_extract(col("info"), "testn=(\\d+)", 1), lit(""))
+          .cast(LongType))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("id").as("n_ids"),
+        min("id").as("min_id"), max("id").as("max_id"),
+        min("requestId").as("min_req"), max("requestId").as("max_req"),
+        sum(when(col("value").isNull || isnan(col("value")), 1L)
+          .otherwise(0L)).as("bad_vals"),
+        sum("value").as("sum_value"),
+        sum("fitted").as("sum_fitted"), sum("testn").as("sum_testn"))
+      .select(col("kind"), col("n_rows"),
+        when(col("kind") === "prediction",
+          col("min_req") === -1L && col("max_req") === -1L)
+          .when(col("kind") === "log",
+            col("min_req") === 1L && col("max_req") === 1L)
+          .otherwise(col("min_req") === 9L && col("max_req") === 9L)
+          .as("req_ids_ok"),
+        when(col("kind") === "prediction",
+          col("n_ids") === 50L &&
+            col("min_id") === lit(300000L + nEmb - 50L) &&
+            col("max_id") === lit(300000L + nEmb - 1L))
+          .otherwise(col("min_id") === -1L && col("max_id") === -1L)
+          .as("ids_exact"),
+        when(col("kind") === "log", col("sum_value") === 100.0)
+          .when(col("kind") === "response",
+            col("sum_fitted") + col("sum_testn") === lit(nEmb - 50L) &&
+              col("bad_vals") === 0L)
+          .otherwise(col("bad_vals") === 0L)
+          .as("payload_ok"))
+      .orderBy("kind")
+
+  private val spokeLifecycleOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('log', CAST(1 AS BIGINT), true, true, true),
+      |  ('prediction', CAST(50 AS BIGINT), true, true, true),
+      |  ('response', CAST(1 AS BIGINT), true, true, true))
+      |  AS t(kind, n_rows, req_ids_ok, ids_exact, payload_ok)
+      |ORDER BY kind""".stripMargin
+
   val ops: Seq[Op] = Seq(
     // ------------------------------------------------------------------
     Op("st01_tumbling_window", (s, d) => {
@@ -505,7 +605,7 @@ object StreamOps {
         (creates ++ queries).toDS().unionByName(points)
           .coalesce(1).write.mode("append").parquet(dir)
       }
-      val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+      val src = s.readStream.schema(org.apache.spark.sql.Encoders.product[Envelope].schema)
         .parquet(dir).as[Envelope]
       val q = Streaming.withStreamShuffle(s) {
         val name = uniq("st07")
@@ -570,7 +670,7 @@ object StreamOps {
           .toDS().unionByName(points)
           .coalesce(1).write.mode("append").parquet(dir)
       }
-      val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+      val src = s.readStream.schema(org.apache.spark.sql.Encoders.product[Envelope].schema)
         .parquet(dir).as[Envelope]
       val q = Streaming.withStreamShuffle(s) {
         val name = uniq("st17")
@@ -685,104 +785,48 @@ object StreamOps {
     // SpokeLogic.scala:28-35) plus the Create; batch 2 delivers the rest,
     // forecasting points, and a Query. Output: predictions + response + logs.
     Op("st04_spoke_lifecycle", (s, d) => {
-      import s.implicits._
-      // Data envelopes are staged with distributed writes keyed on the
-      // contiguous vec_id (0..n-1), reproducing the positional batching
-      // without collecting the data path; only the 2 control envelopes are
-      // driver-built.
-      val dir = Streaming.stagedDir("spoke", d) { dir =>
-        val feats = T.embeddings(s, d)
-        val n = feats.count()
-        def env(rows: org.apache.spark.sql.DataFrame, idOff: Long, op: String) =
-          rows.select(
-            (col("vec_id") + idOff).as("seq"),
-            lit(1).as("pipelineId"),
-            lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
-            lit(-1L).as("requestId"), (col("vec_id") + idOff).as("id"),
-            col("embedding").cast(ArrayType(DoubleType)).as("features"),
-            (if (op == "training")
-              when(col("label").cast(DoubleType) >= 5.0, 1.0).otherwise(-1.0)
-            else lit(null).cast(DoubleType)).as("target"),
-            lit(op).as("operation")).as[Envelope]
-        val batch1 = env(feats.filter(col("vec_id") < 100), 0L, "training")
-          .unionByName(Seq(
-            Envelope(100000L, 1, "control", "Create", "PA", 1L, -1, Nil, None, "")).toDS())
-        val batch2 = env(
-            feats.filter(col("vec_id") >= 100 && col("vec_id") < n - 50),
-            200000L, "training")
-          .unionByName(env(feats.filter(col("vec_id") >= n - 50), 300000L, "forecasting"))
-          .unionByName(Seq(
-            Envelope(400000L, 1, "control", "Query", "", 9L, -1, Nil, None, "")).toDS())
-        batch1.coalesce(1).write.mode("append").parquet(dir)
-        // Distinct mtimes (file source orders by mod time): back-date batch 1
-        // instead of sleeping between the writes.
-        val past = java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60000)
-        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
-          java.nio.file.Files.setLastModifiedTime(p, past))
-        batch2.coalesce(1).write.mode("append").parquet(dir)
-      }
-      val src = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope]
+      val dir = stageSpokeLifecycle(s, d)
       val q = Streaming.withStreamShuffle(s) {
         val name = uniq("st04")
+        val src = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Envelope].schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope](
+            org.apache.spark.sql.Encoders.product[Envelope])
         val q0 = Spoke.run(src).writeStream
           .format("memory").queryName(name).outputMode("append")
           .option("checkpointLocation", s"$dir/_ckpt_$name").start()
         q0.processAllAvailable(); q0.stop(); q0
       }
-      // hash-gated lifecycle rollup (the last rows-only query upgraded):
-      // the oracle pins the exact per-kind traffic the staged lifecycle
-      // implies — ONE drain log (its value = the 100 pre-Create buffered
-      // rows), exactly 50 predictions over the contiguous forecasting id
-      // range, ONE Query response whose fitted+ring accounting covers
-      // every training row. A spoke that loses buffered rows on Create,
-      // predicts before a model exists, mis-keys an envelope, or
-      // double-emits a response moves a count or flips a boolean.
-      val nEmb = T.embeddings(s, d).count()
-      s.table(q.name)
-        .withColumn("fitted", // non-response rows extract "" -> NULL, not 0
-          nullif(regexp_extract(col("info"), "fitted=(\\d+)", 1), lit(""))
-            .cast(LongType))
-        .withColumn("testn",
-          nullif(regexp_extract(col("info"), "testn=(\\d+)", 1), lit(""))
-            .cast(LongType))
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct("id").as("n_ids"),
-          min("id").as("min_id"), max("id").as("max_id"),
-          min("requestId").as("min_req"), max("requestId").as("max_req"),
-          sum(when(col("value").isNull || isnan(col("value")), 1L)
-            .otherwise(0L)).as("bad_vals"),
-          sum("value").as("sum_value"),
-          sum("fitted").as("sum_fitted"), sum("testn").as("sum_testn"))
-        .select(col("kind"), col("n_rows"),
-          when(col("kind") === "prediction",
-            col("min_req") === -1L && col("max_req") === -1L)
-            .when(col("kind") === "log",
-              col("min_req") === 1L && col("max_req") === 1L)
-            .otherwise(col("min_req") === 9L && col("max_req") === 9L)
-            .as("req_ids_ok"),
-          when(col("kind") === "prediction",
-            col("n_ids") === 50L &&
-              col("min_id") === lit(300000L + nEmb - 50L) &&
-              col("max_id") === lit(300000L + nEmb - 1L))
-            .otherwise(col("min_id") === -1L && col("max_id") === -1L)
-            .as("ids_exact"),
-          when(col("kind") === "log", col("sum_value") === 100.0)
-            .when(col("kind") === "response",
-              col("sum_fitted") + col("sum_testn") === lit(nEmb - 50L) &&
-                col("bad_vals") === 0L)
-            .otherwise(col("bad_vals") === 0L)
-            .as("payload_ok"))
-        .orderBy("kind")
-    },
-      Some("""SELECT * FROM (VALUES
-        |  ('log', CAST(1 AS BIGINT), true, true, true),
-        |  ('prediction', CAST(50 AS BIGINT), true, true, true),
-        |  ('response', CAST(1 AS BIGINT), true, true, true))
-        |  AS t(kind, n_rows, req_ids_ok, ids_exact, payload_ok)
-        |ORDER BY kind""".stripMargin)),
+      spokeLifecycleGate(s.table(q.name), T.embeddings(s, d).count())
+    }, Some(spokeLifecycleOracle)),
+    // ------------------------------------------------------------------
+    // st04's exact lifecycle driven through the Spark-4 transformWithState
+    // spoke on the ROCKSDB state store — the driver-gated end-to-end proof
+    // of the production state path (TwsSpoke: ValueState + O(1) ListState
+    // pre-Create buffer; RocksDB provider), not just the suite-level parity
+    // checks. Same staged envelopes, same rollup, same oracle as st04: the
+    // two bindings must be indistinguishable at the gate.
+    Op("st31_tws_spoke_lifecycle", (s, d) => {
+      val dir = stageSpokeLifecycle(s, d)
+      // the provider conf is read at query start: isolate it in a child
+      // session (shared SparkContext, own conf/catalog) instead of mutating
+      // the caller's session around a streaming query
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = Streaming.withStreamShuffle(s2) {
+        val name = uniq("st31")
+        val src = s2.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Envelope].schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir).as[Envelope](
+            org.apache.spark.sql.Encoders.product[Envelope])
+        val q0 = TwsSpoke.run(src).writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q0.processAllAvailable(); q0.stop(); q0
+      }
+      spokeLifecycleGate(s2.table(q.name), T.embeddings(s, d).count())
+    }, Some(spokeLifecycleOracle)),
     // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial
