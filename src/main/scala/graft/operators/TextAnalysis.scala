@@ -33,19 +33,15 @@ object TextAnalysis {
   private val t06 = Op(
     "t06_rolling_fingerprint",
     (s, d) =>
-      // Winnowing entirely in the array domain: the w=4 window minima and
-      // the per-document distinct are per-row expressions over the hash
-      // array, so the whole fingerprint computation is shuffle-free (the
-      // old explode→Window.partitionBy(doc_id) shape sorted ~200 rows/doc
-      // through an exchange first). Only the final presentation sort moves
-      // data.
+      // Winnowing as ONE fused codegen'd expression (winnow_poly: rolling
+      // k=8 hashes + w=4 sliding minima via monotonic deque + dedupe in a
+      // single pass — functions/expressions.scala): shuffle-free like the
+      // r5 array-domain form, but without materializing the two length-n
+      // intermediate arrays per document that form built. Only the final
+      // presentation sort moves data.
       T.documents(s, d)
-        .select(col("doc_id"), (length(col("text")) - lit(7)).as("npos"),
-          call_function("rolling_hashes", col("text")).as("hs"))
-        .filter(col("npos") >= 4)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, npos - 3), i -> array_min(slice(hs, i, 4))))"))
-          .as("fp"))
+        .select(col("doc_id"),
+          explode(call_function("winnow_poly", col("text"))).as("fp"))
         .orderBy("doc_id", "fp"),
     Some("""WITH base AS (
       |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents
@@ -181,15 +177,10 @@ object TextAnalysis {
     Op(
       "t04_fingerprint",
       (s, d) =>
-        // Array-domain winnowing (no explode→window shuffle) — see t06.
+        // Fused winnowing expression (md5-prefix hash variant) — see t06.
         T.documents(s, d)
-          .select(col("doc_id"), col("text"), (length(col("text")) - lit(7)).as("npos"))
-          .filter(col("npos") >= 4)
-          .withColumn("hs", expr(
-            "transform(sequence(1, npos), p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10) as bigint))"))
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, npos - 3), i -> array_min(slice(hs, i, 4))))"))
-            .as("fp"))
+          .select(col("doc_id"),
+            explode(call_function("winnow_md5", col("text"))).as("fp"))
           .orderBy("doc_id", "fp"),
       Some("""WITH base AS (
         |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents

@@ -45,11 +45,11 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("t06: array-domain winnowing plans no window exchange") {
+  test("t06: fused winnowing plans no window exchange") {
     val p = plan("t06_rolling_fingerprint")
     assert(!p.contains("Window"), "winnowing regressed to explode+window")
-    assert(p.contains("rollinghashes") || p.contains("rolling_hashes") ||
-      p.toLowerCase.contains("rollinghashes"))
+    assert(p.toLowerCase.contains("winnow"),
+      "winnowing lost the fused native expression")
   }
 
   test("s04: IVF probe is a partition-pruned read of the bucketed index") {

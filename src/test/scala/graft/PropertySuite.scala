@@ -32,6 +32,31 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("winnowFps equals the declarative hash->window-min->distinct pipeline") {
+    // reference: per-position hashes, w-window minima, distinct, sorted —
+    // exactly the array_distinct(transform(.., array_min(slice(..))))
+    // form the fused kernel replaced
+    def reference(s: String, k: Int, w: Int, md5: Boolean): Seq[Long] = {
+      val nh = s.length - k + 1
+      if (nh - w + 1 <= 0) return Nil
+      val hs = (0 until nh).map { p =>
+        val sub = s.substring(p, p + k)
+        if (md5) VectorOps.md5Prefix32(UTF8String.fromString(sub))
+        else sub.foldLeft(0L)((acc, c) => (acc * 257 + c) % 1000000007L)
+      }
+      (0 to nh - w).map(i => hs.slice(i, i + w).min).distinct.sorted
+    }
+    for {
+      s <- samples(asciiText, 150)
+      (k, w) <- Seq((8, 4), (3, 2), (5, 5))
+      md5 <- Seq(false, true)
+    } {
+      val fused = VectorOps
+        .winnowFps(UTF8String.fromString(s), k, w, md5).toLongArray().toSeq
+      assert(fused == reference(s, k, w, md5), s"k=$k w=$w md5=$md5 s=$s")
+    }
+  }
+
   test("md5Prefix32 equals the hex-prefix radix parse") {
     samples(asciiText, 300).foreach { s =>
       val native = VectorOps.md5Prefix32(UTF8String.fromString(s))
