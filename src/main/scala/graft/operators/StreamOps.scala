@@ -1041,12 +1041,17 @@ object StreamOps {
             StructField("text", StringType))))
           .option("maxFilesPerTrigger", "1").parquet(dir)
         val banded = src
+          // tokenize ONCE per row into a column: referencing split(text)
+          // inside the position lambda would re-split the document at every
+          // position — O(n^2) string work per doc (measured: 3ms/doc, the
+          // bulk of st23's per-trigger addBatch time)
+          .withColumn("toks", split(col("text"), " "))
           // sequence(1, n) with n < 1 would generate a DESCENDING range —
           // short docs must be dropped before the shingle expression
-          .filter(expr("size(split(text, ' ')) >= 5"))
+          .filter(expr("size(toks) >= 5"))
           .withColumn("shd", expr(
-            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
-              "p -> concat_ws(' ', slice(split(text, ' '), p, 5))))"))
+            "array_distinct(transform(sequence(1, size(toks) - 4), " +
+              "p -> concat_ws(' ', slice(toks, p, 5))))"))
           .withColumn("hs", expr(
             "transform(shd, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
           .withColumn("mh", expr(

@@ -345,11 +345,15 @@ object TextAnalysis {
       "t11_repetition_ratio",
       (s, d) => {
         val docs = T.documents(s, d)
-        val bi = docs.select(col("doc_id"),
-          explode(expr(
-            "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1)," +
-              " (w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))"))
-            .as("bigram"))
+        // tokenize once per row: split(text) referenced inside the lambda
+        // would re-split the document per bigram position (O(n^2) per doc)
+        val bi = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(slice(ts, 1, size(ts) - 1)," +
+                " (w, i) -> concat(w, ' ', element_at(ts, i + 2)))"))
+              .as("bigram"))
         val biStats = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(
             sum("c").as("n_bigrams"),
