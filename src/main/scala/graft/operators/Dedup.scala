@@ -1402,5 +1402,64 @@ object Dedup {
         |  COUNT(DISTINCT sc.doc_b) AS n_docs_dropped
         |FROM th LEFT JOIN sc ON sc.j >= th.thr
         |GROUP BY th.thr ORDER BY th.thr""".stripMargin)),
+    // ------------------------------------------------------------------
+    // EXACT DUPLICATE-SPAN COVERAGE (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better" — ExactSubstr): the suffix-array
+    // substring dedup, approximated at stride granularity so it
+    // distributes. Every 40-char window at stride 10 is content-hashed;
+    // a span is "duplicated" when the same hash occurs in ≥2 DISTINCT
+    // documents; each doc reports its sampled-span duplication fraction —
+    // the signal ExactSubstr thresholds to cut boilerplate and cross-doc
+    // copied passages that whole-doc MinHash (d03) cannot see.
+    // (Reference scope extension, like all of d01–d22.)
+    //
+    // Scale shape: the stride-k explode inflates the scan 4× (k/stride)
+    // into (doc_id, hash) pairs; both the ≥2-distinct-docs aggregate and
+    // the join back are partial-agg/equi-join on the uniformly-distributed
+    // hash — no skew, no all-pairs. At 100 TB the stride anchors would be
+    // content-defined (t04's winnowing fingerprints, d21's CDC cut
+    // points) so shifted copies still align; fixed stride here keeps the
+    // oracle expressible. All outputs are exact integer ratios.
+    Op(
+      "d23_duplicate_spans",
+      (s, d) => {
+        val grams = T.documents(s, d)
+          .filter(col("n_chars") >= 40)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1),
+              col("n_chars").cast(IntegerType) - 39, lit(10))).as("pos"))
+          .select(col("doc_id"), md5(expr("substring(text, pos, 40)")).as("g"))
+        val dup = grams.groupBy("g")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("g"), lit(1).as("isdup"))
+        grams.join(dup, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("isdup").isNotNull, 1L).otherwise(0L))
+              .as("dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+            (col("dup_spans").cast(DoubleType) / col("n_spans"))
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH spans AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(n_chars AS INT) - 39, 10)) AS pos
+        |  FROM documents WHERE n_chars >= 40),
+        |grams AS (
+        |  SELECT s.doc_id, md5(substr(d.text, s.pos, 40)) AS g
+        |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |per_doc AS (
+        |  SELECT gr.doc_id, COUNT(*) AS n_spans,
+        |    COUNT(*) FILTER (dup.g IS NOT NULL) AS dup_spans
+        |  FROM grams gr LEFT JOIN dup ON gr.g = dup.g
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(dup_spans AS BIGINT) AS dup_spans,
+        |  CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac
+        |FROM per_doc ORDER BY doc_id""".stripMargin)),
   )
 }

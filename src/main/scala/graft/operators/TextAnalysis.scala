@@ -1125,5 +1125,100 @@ object TextAnalysis {
         |    AS n_und,
         |  CAST(SUM(n_langs_hit) AS BIGINT) AS sum_langs_hit
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // CCNet-style LM quality filtering (Wenzek et al., "CCNet: Extracting
+    // High Quality Monolingual Datasets from Web Crawl Data"): train a
+    // per-language add-one-smoothed bigram LM on a deterministic 80% split,
+    // score every held-out document by mean negative log-likelihood, and
+    // bucket each language's scored docs into head/middle/tail terciles —
+    // the standard perplexity-based curation gate for web corpora.
+    // (Reference scope: the OMLDM pipeline has no text surface —
+    // OMLDM_FlinkML/pom.xml:1 — this extends the engine for LLM curation.)
+    //
+    // Float-parity scheme: each bigram's NLL = ln(c1+V) - ln(c12+1) is an
+    // irrational double, so the per-doc mean would be summation-order-
+    // dependent. Per-element the value is quantized to DECIMAL(24,9)
+    // (engine lns agree to ~1 ulp, 6 orders below the quantum), the sum is
+    // then exact and order-independent, and the mean is rounded to 6 dp —
+    // the ml17 convention.
+    //
+    // Scale shape: LM training is two partial-aggregated groupBys on
+    // (lang,w1[,w2]) — map-side combine makes the shuffle O(distinct
+    // bigrams), not O(tokens). Scoring joins exploded bigrams to the LM on
+    // its natural key — an equi-shuffle that AQE handles, followed by a
+    // per-doc partial agg. At 100 TB the LM itself is min-count-pruned
+    // (hapax bigrams carry c12=1 ≈ the smoothing floor) to a broadcastable
+    // table, turning scoring into a shuffle-free map-side join; the
+    // unpruned build here keeps the oracle exact. The 5-row vocab table is
+    // broadcast explicitly.
+    Op(
+      "t26_lm_perplexity",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        val bg = docs
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              "transform(slice(t, 1, size(t)-1), (w, i) -> " +
+                "struct(w AS w1, t[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val train = bg.filter(col("doc_id") % 10 < 8)
+        val c12 = train.groupBy("lang", "w1", "w2")
+          .agg(count(lit(1)).as("c12"))
+        val c1 = train.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+        val voc = docs.filter(col("doc_id") % 10 < 8)
+          .select(col("lang"), explode(col("t")).as("tok"))
+          .groupBy("lang").agg(countDistinct("tok").as("v"))
+        val scored = bg.filter(col("doc_id") % 10 >= 8)
+          .join(c12, Seq("lang", "w1", "w2"), "left")
+          .join(c1, Seq("lang", "w1"), "left")
+          .join(broadcast(voc), Seq("lang"))
+          .select(col("doc_id"), col("lang"),
+            round(log(coalesce(col("c1"), lit(0L)) + col("v")) -
+              log(coalesce(col("c12"), lit(0L)) + lit(1L)), 9)
+              .cast(DecimalType(24, 9)).as("nllq"))
+        val perDoc = scored.groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("nllq")).cast(DoubleType) / count(lit(1)), 6)
+              .as("nll"))
+        perDoc
+          .withColumn("bucket",
+            ntile(3).over(Window.partitionBy("lang")
+              .orderBy(col("nll"), col("doc_id"))).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tk WHERE len(t) >= 2),
+        |trbg AS (SELECT * FROM bg WHERE doc_id % 10 < 8),
+        |c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM trbg GROUP BY 1,2,3),
+        |c1  AS (SELECT lang, w1, COUNT(*) AS c1 FROM trbg GROUP BY 1,2),
+        |voc AS (
+        |  SELECT lang, COUNT(DISTINCT tok) AS v FROM (
+        |    SELECT lang, unnest(t) AS tok FROM tk WHERE doc_id % 10 < 8)
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT b.doc_id, b.lang,
+        |    CAST(ROUND(ln(COALESCE(c1.c1, 0) + voc.v)
+        |               - ln(COALESCE(c12.c12, 0) + 1), 9)
+        |      AS DECIMAL(24, 9)) AS nllq
+        |  FROM bg b
+        |  LEFT JOIN c12 ON b.lang = c12.lang AND b.w1 = c12.w1
+        |    AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
+        |  JOIN voc ON b.lang = voc.lang
+        |  WHERE b.doc_id % 10 >= 8),
+        |doc AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+        |    ROUND(CAST(SUM(nllq) AS DOUBLE) / COUNT(*), 6) AS nll
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams, nll,
+        |  NTILE(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS bucket
+        |FROM doc ORDER BY doc_id""".stripMargin)),
   )
 }
