@@ -636,7 +636,84 @@ object MLOps {
           col("n_fitted"))
         .orderBy("dim")
     }, Some(orrParityOracle)),
+    // ------------------------------------------------------------------
+    // BATCH LLOYD REFINEMENT, VALUE-LEVEL PARITY (the r6 verdict's "tighten
+    // where a value-level cross-engine check is derivable"): unlike the
+    // online/MacQueen pass (ml06, order-dependent by nature), full-batch
+    // Lloyd sweeps are partitioning-independent — each iteration is one
+    // exact aggregate — so the oracle can recompute the ENTIRE training
+    // trajectory. Features quantize to micro-unit integers via
+    // floor(x*1e6+0.5) (IEEE multiply/add/floor — bit-identical in both
+    // engines), cluster sums are exact integer aggregates, each centroid is
+    // one exact double division, and assignment argmins tie-break to the
+    // smallest cluster id. Init = the 3 smallest vec_ids; 2 sweeps; output
+    // carries raw doubles with NO rounding anywhere — full bit parity.
+    // Scale shape: see graft.ml.LloydRefine (one scan + one k-row partial
+    // agg per sweep, centroids as literals, collect is O(k*d) model state).
+    Op("ml18_lloyd_refine_parity", (s, d) => {
+      val pts = T.embeddings(s, d).select(
+        col("vec_id") +: (0 until 4).map(j =>
+          floor(element_at(col("embedding"), j + 1).cast(DoubleType) *
+            lit(1000000.0) + lit(0.5)).cast(LongType).as(s"x$j")): _*)
+      val init = pts.orderBy("vec_id").limit(3).collect()
+        .map(r => (0 until 4).map(j => r.getLong(1 + j).toDouble).toArray)
+      val (cent, n) = graft.ml.LloydRefine.refine(
+        pts, (0 until 4).map(j => s"x$j"), init, iters = 2)
+      import s.implicits._
+      (0 until 3).map(c => (c.toLong, n(c),
+          cent(c)(0) / 1000000.0, cent(c)(1) / 1000000.0,
+          cent(c)(2) / 1000000.0, cent(c)(3) / 1000000.0))
+        .toDF("cluster", "n_points", "mu0", "mu1", "mu2", "mu3")
+        .orderBy("cluster")
+    }, Some(lloydOracle)),
   )
+
+  /** Unrolled 2-sweep / k=3 / d=4 Lloyd trajectory for ml18: quantize,
+    * seed from the 3 smallest vec_ids, then assignment (ROW_NUMBER over
+    * dist with cluster-id tiebreak ≡ the engine's first-match CASE) and
+    * exact integer-sum update, twice. Mirrors LloydRefine step for step.
+    */
+  private def lloydOracle: String = {
+    val dims = 0 until 4
+    def xs = dims.map(j =>
+      s"CAST(floor(CAST(embedding[${j + 1}] AS DOUBLE) * 1000000 + 0.5) " +
+        s"AS BIGINT) AS x$j").mkString(", ")
+    def dist = dims.map(j =>
+      s"(CAST(p.x$j AS DOUBLE) - c.m$j) * (CAST(p.x$j AS DOUBLE) - c.m$j)")
+      .mkString(" + ")
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT p.vec_id, ${dims.map(j => s"p.x$j").mkString(", ")}, c.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |      ORDER BY $dist, c.cl) AS rk
+         |  FROM pts p CROSS JOIN $cents c)"""
+    def update(name: String, a: String) =
+      s"""$name AS (
+         |  SELECT cl, COUNT(*) AS n,
+         |    ${dims.map(j => s"SUM(x$j) AS s$j").mkString(", ")}
+         |  FROM $a WHERE rk = 1 GROUP BY cl)"""
+    def centroid(name: String, prev: String, u: String) =
+      s"""$name AS (
+         |  SELECT $prev.cl, COALESCE(u.n, 0) AS n,
+         |    ${dims.map(j =>
+              s"COALESCE(CAST(u.s$j AS DOUBLE) / u.n, $prev.m$j) AS m$j")
+             .mkString(", ")}
+         |  FROM $prev LEFT JOIN $u u ON $prev.cl = u.cl)"""
+    s"""WITH pts AS (SELECT vec_id, $xs FROM embeddings),
+       |init AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+       |    ${dims.map(j => s"CAST(x$j AS DOUBLE) AS m$j").mkString(", ")}
+       |  FROM (SELECT * FROM pts ORDER BY vec_id LIMIT 3)),
+       |${assign("a1", "init")},
+       |${update("u1", "a1")},
+       |${centroid("c1", "init", "u1")},
+       |${assign("a2", "c1")},
+       |${update("u2", "a2")},
+       |${centroid("c2", "c1", "u2")}
+       |SELECT CAST(cl AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n_points,
+       |  ${dims.map(j => s"m$j / 1000000 AS mu$j").mkString(", ")}
+       |FROM c2 ORDER BY cluster""".stripMargin
+  }
 
   /** Leibniz expansion of a 4x4 determinant as a SQL expression; `e(r, c)`
     * names the matrix entry. 24 terms, canonical permutation order.
