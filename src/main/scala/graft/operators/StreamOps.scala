@@ -828,6 +828,39 @@ object StreamOps {
       spokeLifecycleGate(s2.table(q.name), T.embeddings(s, d).count())
     }, Some(spokeLifecycleOracle)),
     // ------------------------------------------------------------------
+    // STREAMING LM QUALITY SCORING (the serving path of t26's CCNet-style
+    // filter): held-out documents arrive over multiple triggers; each
+    // trigger explodes the batch to bigrams (stateless), scores them
+    // against the STATIC batch-trained bigram LM via stream-static left
+    // joins, and appends per-bigram quantized NLLs — the shape of scoring
+    // a live crawl against yesterday's LM. The post-drain rollup (per-doc
+    // mean + tercile bucket) is presentation, and the gate is the EXACT
+    // t26 oracle: streaming scoring must reproduce batch scoring
+    // bit-for-bit (the DECIMAL(24,9) per-bigram quantization makes the
+    // per-doc sum indifferent to trigger boundaries). At 100 TB the LM is
+    // min-count-pruned and broadcast (see lmArtifacts), so each trigger is
+    // a shuffle-free map-side join; state here is zero — the stream is
+    // append-only projections and joins.
+    Op("st32_stream_lm_score", (s, d) => {
+      val (c12, c1, voc) = TextAnalysis.lmArtifacts(s, d)
+      val held = T.documents(s, d).filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "lang", "text")
+      val schema = held.schema
+      val dir = Streaming.stagedDir("lmscore", d) { dir =>
+        held.filter(col("doc_id") % 20 < 10)
+          .coalesce(1).write.mode("append").parquet(dir)
+        held.filter(col("doc_id") % 20 >= 10)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val res = Streaming.runStream(s, dir, schema, uniq("st32"), src =>
+        TextAnalysis.lmBigrams(src)
+          .transform(TextAnalysis.lmScore(c12, c1, voc)))
+      TextAnalysis.lmBucket(res.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nllq")).cast(DoubleType) / count(lit(1)), 6)
+            .as("nll")))
+    }, Some(TextAnalysis.lmOracleSql)),
+    // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial
     // aggregate (one row per key per trigger); the read path compacts the

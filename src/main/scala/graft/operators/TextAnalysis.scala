@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1154,42 +1155,72 @@ object TextAnalysis {
     Op(
       "t26_lm_perplexity",
       (s, d) => {
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-        val bg = docs
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), col("lang"),
-            explode(expr(
-              "transform(slice(t, 1, size(t)-1), (w, i) -> " +
-                "struct(w AS w1, t[i+1] AS w2))")).as("b"))
-          .select(col("doc_id"), col("lang"),
-            col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val train = bg.filter(col("doc_id") % 10 < 8)
-        val c12 = train.groupBy("lang", "w1", "w2")
-          .agg(count(lit(1)).as("c12"))
-        val c1 = train.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
-        val voc = docs.filter(col("doc_id") % 10 < 8)
-          .select(col("lang"), explode(col("t")).as("tok"))
-          .groupBy("lang").agg(countDistinct("tok").as("v"))
-        val scored = bg.filter(col("doc_id") % 10 >= 8)
-          .join(c12, Seq("lang", "w1", "w2"), "left")
-          .join(c1, Seq("lang", "w1"), "left")
-          .join(broadcast(voc), Seq("lang"))
-          .select(col("doc_id"), col("lang"),
-            round(log(coalesce(col("c1"), lit(0L)) + col("v")) -
-              log(coalesce(col("c12"), lit(0L)) + lit(1L)), 9)
-              .cast(DecimalType(24, 9)).as("nllq"))
-        val perDoc = scored.groupBy("doc_id", "lang")
+        val (c12, c1, voc) = lmArtifacts(s, d)
+        val scored = lmBigrams(T.documents(s, d)
+            .filter(col("doc_id") % 10 >= 8))
+          .transform(lmScore(c12, c1, voc))
+        lmBucket(scored.groupBy("doc_id", "lang")
           .agg(count(lit(1)).as("n_bigrams"),
             round(sum(col("nllq")).cast(DoubleType) / count(lit(1)), 6)
-              .as("nll"))
-        perDoc
-          .withColumn("bucket",
-            ntile(3).over(Window.partitionBy("lang")
-              .orderBy(col("nll"), col("doc_id"))).cast(LongType))
-          .orderBy("doc_id")
+              .as("nll")))
       },
-      Some("""WITH tk AS (
+      Some(lmOracleSql)),
+  )
+
+  /** Explode a documents frame into (doc_id, lang, w1, w2) bigram rows —
+    * the shared tokenization contract of t26 (batch) and st32 (stream). */
+  private[operators] def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(slice(t, 1, size(t)-1), (w, i) -> " +
+            "struct(w AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Train the per-language add-one bigram LM on the deterministic 80%
+    * split: (bigram counts, context counts, vocab sizes). The two count
+    * tables are persisted — st32's stream-static joins re-evaluate the
+    * static side every trigger, and at 100 TB these are written once as
+    * a table (min-count-pruned to broadcast size), not recomputed. */
+  private[operators] def lmArtifacts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+    val train = lmBigrams(T.documents(s, d).filter(col("doc_id") % 10 < 8))
+    val c12 = train.groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("c12")).persist()
+    val c1 = train.groupBy("lang", "w1").agg(count(lit(1)).as("c1")).persist()
+    val voc = docs.filter(col("doc_id") % 10 < 8)
+      .select(col("lang"), explode(col("t")).as("tok"))
+      .groupBy("lang").agg(countDistinct("tok").as("v"))
+    (c12, c1, voc)
+  }
+
+  /** Per-bigram smoothed NLL, quantized to DECIMAL(24,9) so downstream
+    * sums are order-independent (see t26's scaladoc). */
+  private[operators] def lmScore(
+      c12: DataFrame, c1: DataFrame, voc: DataFrame)(
+      bg: DataFrame): DataFrame =
+    bg.join(c12, Seq("lang", "w1", "w2"), "left")
+      .join(c1, Seq("lang", "w1"), "left")
+      .join(broadcast(voc), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        round(log(coalesce(col("c1"), lit(0L)) + col("v")) -
+          log(coalesce(col("c12"), lit(0L)) + lit(1L)), 9)
+          .cast(DecimalType(24, 9)).as("nllq"))
+
+  /** Tercile bucketing + presentation order over per-doc NLL rows. */
+  private[operators] def lmBucket(perDoc: DataFrame): DataFrame =
+    perDoc.withColumn("bucket",
+        ntile(3).over(Window.partitionBy("lang")
+          .orderBy(col("nll"), col("doc_id"))).cast(LongType))
+      .orderBy("doc_id")
+
+  // lazy: referenced by the `ops` val above, which initializes first
+  private[operators] lazy val lmOracleSql: String =
+    """WITH tk AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         |bg AS (
         |  SELECT doc_id, lang,
@@ -1219,6 +1250,5 @@ object TextAnalysis {
         |  FROM sc GROUP BY 1, 2)
         |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams, nll,
         |  NTILE(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS bucket
-        |FROM doc ORDER BY doc_id""".stripMargin)),
-  )
+        |FROM doc ORDER BY doc_id""".stripMargin
 }
