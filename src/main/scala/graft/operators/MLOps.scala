@@ -666,7 +666,113 @@ object MLOps {
         .toDF("cluster", "n_points", "mu0", "mu1", "mu2", "mu3")
         .orderBy("cluster")
     }, Some(lloydOracle)),
+    // ------------------------------------------------------------------
+    // PA-II SEQUENTIAL TRAJECTORY, VALUE-LEVEL PARITY: the strongest gate
+    // an ORDER-DEPENDENT online learner admits. The stream is pinned to ONE
+    // sorted partition (the SingleLearner shape the reference forces for
+    // global models, FlinkSpoke.scala:203-211), so the fit is a single
+    // deterministic sequence of IEEE double ops — hinge, tau, axpy — with
+    // no transcendentals; a DuckDB RECURSIVE CTE replays every update
+    // bit-for-bit, INCLUDING the Trainer's test-ring diversion (every
+    // cnt%10>=8 point parks in the 256-slot FIFO ring and trains only when
+    // evicted by the 256-th later ring point — Pipeline.scala:166-178,
+    // mirroring FlinkSpoke.scala:92-107). Output is raw unrounded doubles:
+    // w, b, and the cumulative hinge loss. At sf0.01 the ring never fills
+    // (100 ring points < 256) — the sf0.1 self-check drives the eviction
+    // path too. This is a PARITY gate, not a scale shape: production PA
+    // runs the partitioned protocols (ml01); one sorted partition is the
+    // price of a replayable trajectory.
+    Op("ml19_pa_value_parity", (s, d) => {
+      val base = T.embeddings(s, d).select(col("vec_id").as("id"),
+        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+          .as("features"),
+        when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+      val keyed = base.rdd
+        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+      val one = new org.apache.spark.Partitioner {
+        def numPartitions: Int = 1
+        def getPartition(key: Any): Int = 0
+      }
+      val rdd = keyed.repartitionAndSortWithinPartitions(one).map(_._2)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(19, "PA", Map("C" -> 1.0), Nil, "Synchronous",
+          rounds = 1), rdd)
+      val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
+      import s.implicits._
+      ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
+          ((4L, m.b)) :+ ((5L, fitted.model.cumLoss)))
+        .map { case (i, v) => (i, v, fitted.model.n) })
+        .toDF("dim", "weight", "n_fitted")
+        .orderBy("dim")
+    }, Some(paParityOracle)),
   )
+
+  /** Recursive-CTE replay of ml19's PA-II trajectory: rebuild the exact
+    * training SEQUENCE (direct points interleaved with 256-slot FIFO ring
+    * evictions — ring point k trains at the push of ring point k+256), then
+    * step the recursion through margin/hinge/tau/axpy with every double
+    * expression shaped exactly as La.dot/PAClassifier.fit compute it
+    * (ascending-dim left-associated sums seeded at 0.0). C = 1.0, so the
+    * PA-II denominator constant 1/(2C) = 0.5 is float-exact.
+    */
+  private def paParityOracle: String = {
+    val dims = 0 until 4
+    val margin = dims.map(j => s"s.w$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + " + s.b"
+    val nsq = dims.map(j => s"p.x$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT vec_id,
+       |    ${dims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
+              .mkString(", ")},
+       |    CASE WHEN label % 2 = 1 THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(-1 AS DOUBLE) END AS y,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnt
+       |  FROM embeddings),
+       |rng AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt) - 1 AS rk
+       |  FROM raw WHERE cnt % 10 >= 8),
+       |ev AS (
+       |  SELECT a.x0, a.x1, a.x2, a.x3, a.y, b.cnt AS ttime
+       |  FROM rng a JOIN rng b ON b.rk = a.rk + 256),
+       |seq AS (
+       |  SELECT x0, x1, x2, x3, y, cnt AS ttime FROM raw WHERE cnt % 10 < 8
+       |  UNION ALL
+       |  SELECT x0, x1, x2, x3, y, ttime FROM ev),
+       |pts AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ttime) AS i FROM seq),
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS i,
+       |    ${dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")},
+       |    CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS cum
+       |  UNION ALL
+       |  SELECT t.i,
+       |    ${dims.map(j =>
+              s"CASE WHEN t.l > 0 THEN t.w$j + t.a * t.x$j ELSE t.w$j END")
+             .mkString(",\n|    ")},
+       |    CASE WHEN t.l > 0 THEN t.b + t.a ELSE t.b END,
+       |    t.cum + t.l
+       |  FROM (
+       |    SELECT u.*,
+       |      CASE WHEN u.l > 0
+       |        THEN (u.l / (u.nsq + CAST(1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |          * u.y
+       |        ELSE CAST(0 AS DOUBLE) END AS a
+       |    FROM (
+       |      SELECT s.i + 1 AS i,
+       |        ${dims.map(j => s"s.w$j").mkString(", ")}, s.b, s.cum,
+       |        ${dims.map(j => s"p.x$j").mkString(", ")}, p.y,
+       |        greatest(CAST(0 AS DOUBLE),
+       |          CAST(1 AS DOUBLE) - p.y * ($margin)) AS l,
+       |        $nsq AS nsq
+       |      FROM step s JOIN pts p ON p.i = s.i + 1) u) t),
+       |fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2
+       |       WHEN 3 THEN w3 WHEN 4 THEN b ELSE cum END AS weight,
+       |  fin.i AS n_fitted
+       |FROM fin, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
 
   /** Unrolled 2-sweep / k=3 / d=4 Lloyd trajectory for ml18: quantize,
     * seed from the 3 smallest vec_ids, then assignment (ROW_NUMBER over
