@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -27,6 +27,30 @@ import org.apache.spark.sql.types.DoubleType
   */
 object LloydRefine {
 
+  /** Argmin assignment as codegen-able columns: (cluster id, its squared
+    * distance). Distances are left-associated ascending-dim double sums
+    * from the integer features and centroid literals; ties break to the
+    * smallest cluster id — the determinism contract shared with the
+    * cross-engine oracles (ml18/d24).
+    */
+  def assignExprs(
+      cols: Seq[String], cent: Array[Array[Double]]): (Column, Column) = {
+    val k = cent.length
+    require(k >= 2, s"assignExprs needs >= 2 centroids, got $k")
+    val dists = (0 until k).map { c =>
+      cols.indices.map { j =>
+        val diff = col(cols(j)).cast(DoubleType) - lit(cent(c)(j))
+        diff * diff
+      }.reduce(_ + _)
+    }
+    val m = least(dists: _*)
+    // first matching cluster wins — identical to ORDER BY dist, cl
+    val cl = (0 until k - 1).foldRight(lit(k - 1)) { (c, rest) =>
+      when(dists(c) === m, lit(c)).otherwise(rest)
+    }
+    (cl, m)
+  }
+
   /** Run `iters` Lloyd sweeps over `df`'s integer feature columns `cols`,
     * starting from `init` (micro-unit centroids, k × cols.length).
     * Returns (final centroids in micro-units, final assignment counts);
@@ -43,17 +67,7 @@ object LloydRefine {
     var cent = init.map(_.clone())
     var counts = new Array[Long](k)
     for (_ <- 0 until iters) {
-      val dists = (0 until k).map { c =>
-        (0 until d).map { j =>
-          val diff = col(cols(j)).cast(DoubleType) - lit(cent(c)(j))
-          diff * diff
-        }.reduce(_ + _)
-      }
-      val m = least(dists: _*)
-      // first matching cluster wins — identical to ORDER BY dist, cl
-      val cl = (0 until k - 1).foldRight(lit(k - 1)) { (c, rest) =>
-        when(dists(c) === m, lit(c)).otherwise(rest)
-      }
+      val (cl, _) = assignExprs(cols, cent)
       val stats = df
         .groupBy(cl.as("cl"))
         .agg(count(lit(1)).as("n"),

@@ -1461,5 +1461,33 @@ object Dedup {
         |  CAST(dup_spans AS BIGINT) AS dup_spans,
         |  CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac
         |FROM per_doc ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // PROTOTYPICALITY PRUNING (the centroid-distance half of SemDeDup /
+    // D4, Abbas et al.: cluster the embedding space, then prune per
+    // cluster by distance to the centroid — here the farthest decile, the
+    // outlier tail that D4 drops before its near-dup sweep). Reuses
+    // ml18's deterministic batch-Lloyd fit (MLOps.lloydFit), so the whole
+    // chain — quantized features, 2-sweep centroids, assignment, in-cluster
+    // distance ranks — is replayed value-exactly by the DuckDB oracle with
+    // raw unrounded dist2 doubles. The decile cut is pure integer
+    // arithmetic (rk*10 <= n), no float threshold to drift.
+    // Scale shape: one scan for assignment (centroids are k*d literals,
+    // no join), one window rank partitioned by cluster id — k partitions,
+    // each a partial sort; at 100 TB the rank becomes a per-cluster
+    // quantile-sketch threshold (q54's machinery) instead of a full sort.
+    Op("d24_prototype_prune", (s, d) => {
+      val (pts, cent, _) = MLOps.lloydFit(s, d)
+      val (cl, dist2) = graft.ml.LloydRefine.assignExprs(
+        (0 until 4).map(j => s"x$j"), cent)
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("dist2").desc, col("vec_id"))
+      pts.select(col("vec_id"), cl.cast(LongType).as("cluster"),
+          dist2.as("dist2"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("n_c", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("rk") * 10 <= col("n_c"))
+        .select("vec_id", "cluster", "dist2", "rk")
+        .orderBy("vec_id")
+    }, Some(MLOps.d24OracleSql)),
   )
 }

@@ -651,14 +651,7 @@ object MLOps {
     // Scale shape: see graft.ml.LloydRefine (one scan + one k-row partial
     // agg per sweep, centroids as literals, collect is O(k*d) model state).
     Op("ml18_lloyd_refine_parity", (s, d) => {
-      val pts = T.embeddings(s, d).select(
-        col("vec_id") +: (0 until 4).map(j =>
-          floor(element_at(col("embedding"), j + 1).cast(DoubleType) *
-            lit(1000000.0) + lit(0.5)).cast(LongType).as(s"x$j")): _*)
-      val init = pts.orderBy("vec_id").limit(3).collect()
-        .map(r => (0 until 4).map(j => r.getLong(1 + j).toDouble).toArray)
-      val (cent, n) = graft.ml.LloydRefine.refine(
-        pts, (0 until 4).map(j => s"x$j"), init, iters = 2)
+      val (_, cent, n) = lloydFit(s, d)
       import s.implicits._
       (0 until 3).map(c => (c.toLong, n(c),
           cent(c)(0) / 1000000.0, cent(c)(1) / 1000000.0,
@@ -779,19 +772,43 @@ object MLOps {
     * dist with cluster-id tiebreak ≡ the engine's first-match CASE) and
     * exact integer-sum update, twice. Mirrors LloydRefine step for step.
     */
-  private def lloydOracle: String = {
-    val dims = 0 until 4
+  /** ml18/d24 shared engine-side fit: micro-unit 4-dim features, init from
+    * the 3 smallest vec_ids, 2 Lloyd sweeps. Returns (feature frame with
+    * x0..x3, final centroids in micro-units, final counts). */
+  private[operators] def lloydFit(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Array[Array[Double]], Array[Long]) = {
+    val pts = T.embeddings(s, d).select(
+      col("vec_id") +: (0 until 4).map(j =>
+        floor(element_at(col("embedding"), j + 1).cast(DoubleType) *
+          lit(1000000.0) + lit(0.5)).cast(LongType).as(s"x$j")): _*)
+    val init = pts.orderBy("vec_id").limit(3).collect()
+      .map(r => (0 until 4).map(j => r.getLong(1 + j).toDouble).toArray)
+    val (cent, n) = graft.ml.LloydRefine.refine(
+      pts, (0 until 4).map(j => s"x$j"), init, iters = 2)
+    (pts, cent, n)
+  }
+
+  private def lloydDims = 0 until 4
+
+  /** The squared-distance expression between point alias `p` and centroid
+    * alias `c` — left-associated ascending-dim, the engines' shared form. */
+  private def lloydDistSql: String =
+    lloydDims.map(j =>
+      s"(CAST(p.x$j AS DOUBLE) - c.m$j) * (CAST(p.x$j AS DOUBLE) - c.m$j)")
+      .mkString(" + ")
+
+  /** CTE chain (everything after WITH) rebuilding ml18's 2-sweep Lloyd
+    * trajectory; ends at `c2` = (cl, n, m0..m3). Shared by ml18 and d24. */
+  private def lloydCtes: String = {
+    val dims = lloydDims
     def xs = dims.map(j =>
       s"CAST(floor(CAST(embedding[${j + 1}] AS DOUBLE) * 1000000 + 0.5) " +
         s"AS BIGINT) AS x$j").mkString(", ")
-    def dist = dims.map(j =>
-      s"(CAST(p.x$j AS DOUBLE) - c.m$j) * (CAST(p.x$j AS DOUBLE) - c.m$j)")
-      .mkString(" + ")
     def assign(name: String, cents: String) =
       s"""$name AS (
          |  SELECT p.vec_id, ${dims.map(j => s"p.x$j").mkString(", ")}, c.cl,
          |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
-         |      ORDER BY $dist, c.cl) AS rk
+         |      ORDER BY $lloydDistSql, c.cl) AS rk
          |  FROM pts p CROSS JOIN $cents c)"""
     def update(name: String, a: String) =
       s"""$name AS (
@@ -805,7 +822,7 @@ object MLOps {
               s"COALESCE(CAST(u.s$j AS DOUBLE) / u.n, $prev.m$j) AS m$j")
              .mkString(", ")}
          |  FROM $prev LEFT JOIN $u u ON $prev.cl = u.cl)"""
-    s"""WITH pts AS (SELECT vec_id, $xs FROM embeddings),
+    s"""pts AS (SELECT vec_id, $xs FROM embeddings),
        |init AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
        |    ${dims.map(j => s"CAST(x$j AS DOUBLE) AS m$j").mkString(", ")}
@@ -815,11 +832,35 @@ object MLOps {
        |${centroid("c1", "init", "u1")},
        |${assign("a2", "c1")},
        |${update("u2", "a2")},
-       |${centroid("c2", "c1", "u2")}
-       |SELECT CAST(cl AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n_points,
-       |  ${dims.map(j => s"m$j / 1000000 AS mu$j").mkString(", ")}
-       |FROM c2 ORDER BY cluster""".stripMargin
+       |${centroid("c2", "c1", "u2")}""".stripMargin
   }
+
+  private def lloydOracle: String =
+    s"""WITH $lloydCtes
+       |SELECT CAST(cl AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n_points,
+       |  ${lloydDims.map(j => s"m$j / 1000000 AS mu$j").mkString(", ")}
+       |FROM c2 ORDER BY cluster""".stripMargin
+
+  /** d24: assign every point to its final (post-2-sweep) centroid, rank
+    * within cluster by distance DESC (vec_id tiebreak), keep the farthest
+    * decile (rk*10 <= n — pure integer arithmetic, no float threshold). */
+  private[operators] def d24OracleSql: String =
+    s"""WITH $lloydCtes,
+       |a3 AS (
+       |  SELECT p.vec_id, c.cl, ($lloydDistSql) AS dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $lloydDistSql, c.cl) AS rk
+       |  FROM pts p CROSS JOIN c2 c),
+       |asg AS (SELECT vec_id, cl, dist2 FROM a3 WHERE rk = 1),
+       |rnk AS (
+       |  SELECT vec_id, cl, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY cl
+       |      ORDER BY dist2 DESC, vec_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cl) AS n_c
+       |  FROM asg)
+       |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, dist2,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM rnk WHERE rk * 10 <= n_c ORDER BY vec_id""".stripMargin
 
   /** Leibniz expansion of a 4x4 determinant as a SQL expression; `e(r, c)`
     * names the matrix entry. 24 terms, canonical permutation order.

@@ -548,4 +548,29 @@ class PipelineSparkSuite extends AnyFunSuite {
     assert(feats(8L) == Seq(3.0, 4.0))
     assert(byId(8L).getAs[String]("operation") == "forecasting")
   }
+
+  test("LloydRefine: partition-count invariance, empty-cluster carry, exact counts") {
+    import spark.implicits._
+    // a 10x10 integer grid in micro-units; two live centroids + one decoy
+    // so far away it can never win a point
+    val pts = (0 until 100).map(i =>
+      (i.toLong, (i % 10).toLong * 1000000L, (i / 10).toLong * 1000000L))
+    val init = Array(
+      Array(0.0, 0.0), Array(9e6, 9e6), Array(1e12, 1e12))
+    def run(parts: Int) = {
+      val df = spark.createDataset(pts).toDF("id", "x0", "x1")
+        .repartition(parts)
+      ml.LloydRefine.refine(df, Seq("x0", "x1"), init.map(_.clone()), 3)
+    }
+    val (c1, n1) = run(1)
+    val (c8, n8) = run(8)
+    // bit-identical at any parallelism (integer sums + exact divisions)
+    assert(c1.map(_.toSeq).toSeq == c8.map(_.toSeq).toSeq)
+    assert(n1.toSeq == n8.toSeq)
+    // the decoy cluster stays empty and keeps its init centroid verbatim
+    assert(n1(2) == 0L)
+    assert(c1(2).toSeq == Seq(1e12, 1e12))
+    // every point assigned exactly once per sweep
+    assert(n1.sum == 100L)
+  }
 }
