@@ -775,13 +775,13 @@ object MLOps {
   /** ml18/d24 shared engine-side fit: micro-unit 4-dim features, init from
     * the 3 smallest vec_ids, 2 Lloyd sweeps. Returns (feature frame with
     * x0..x3, final centroids in micro-units, final counts). */
-  private[operators] def lloydFit(s: SparkSession, d: String)
+  private[operators] def lloydFit(s: SparkSession, d: String, k: Int = 3)
       : (org.apache.spark.sql.DataFrame, Array[Array[Double]], Array[Long]) = {
     val pts = T.embeddings(s, d).select(
       col("vec_id") +: (0 until 4).map(j =>
         floor(element_at(col("embedding"), j + 1).cast(DoubleType) *
           lit(1000000.0) + lit(0.5)).cast(LongType).as(s"x$j")): _*)
-    val init = pts.orderBy("vec_id").limit(3).collect()
+    val init = pts.orderBy("vec_id").limit(k).collect()
       .map(r => (0 until 4).map(j => r.getLong(1 + j).toDouble).toArray)
     val (cent, n) = graft.ml.LloydRefine.refine(
       pts, (0 until 4).map(j => s"x$j"), init, iters = 2)
@@ -797,9 +797,10 @@ object MLOps {
       s"(CAST(p.x$j AS DOUBLE) - c.m$j) * (CAST(p.x$j AS DOUBLE) - c.m$j)")
       .mkString(" + ")
 
-  /** CTE chain (everything after WITH) rebuilding ml18's 2-sweep Lloyd
-    * trajectory; ends at `c2` = (cl, n, m0..m3). Shared by ml18 and d24. */
-  private def lloydCtes: String = {
+  /** CTE chain (everything after WITH) rebuilding the 2-sweep Lloyd
+    * trajectory for k centroids; ends at `c2` = (cl, n, m0..m3). Shared by
+    * ml18, d24 (k=3) and s14 (k=4). */
+  private[operators] def lloydCtes(k: Int = 3): String = {
     val dims = lloydDims
     def xs = dims.map(j =>
       s"CAST(floor(CAST(embedding[${j + 1}] AS DOUBLE) * 1000000 + 0.5) " +
@@ -826,7 +827,7 @@ object MLOps {
        |init AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
        |    ${dims.map(j => s"CAST(x$j AS DOUBLE) AS m$j").mkString(", ")}
-       |  FROM (SELECT * FROM pts ORDER BY vec_id LIMIT 3)),
+       |  FROM (SELECT * FROM pts ORDER BY vec_id LIMIT $k)),
        |${assign("a1", "init")},
        |${update("u1", "a1")},
        |${centroid("c1", "init", "u1")},
@@ -836,7 +837,7 @@ object MLOps {
   }
 
   private def lloydOracle: String =
-    s"""WITH $lloydCtes
+    s"""WITH ${lloydCtes()}
        |SELECT CAST(cl AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n_points,
        |  ${lloydDims.map(j => s"m$j / 1000000 AS mu$j").mkString(", ")}
        |FROM c2 ORDER BY cluster""".stripMargin
@@ -845,7 +846,7 @@ object MLOps {
     * within cluster by distance DESC (vec_id tiebreak), keep the farthest
     * decile (rk*10 <= n — pure integer arithmetic, no float threshold). */
   private[operators] def d24OracleSql: String =
-    s"""WITH $lloydCtes,
+    s"""WITH ${lloydCtes()},
        |a3 AS (
        |  SELECT p.vec_id, c.cl, ($lloydDistSql) AS dist2,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
@@ -861,6 +862,51 @@ object MLOps {
        |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, dist2,
        |  CAST(rk AS BIGINT) AS rk
        |FROM rnk WHERE rk * 10 <= n_c ORDER BY vec_id""".stripMargin
+
+  /** s14: the full IVF search replayed value-exactly — k=4 Lloyd coarse
+    * quantizer (same trajectory CTEs), inverted-list assignment, nprobe=2
+    * probe selection per query, exact top-3 rerank over the probed lists.
+    * Every float is an exact double from integer micro-features. */
+  private[operators] def s14OracleSql: String = {
+    val dims = lloydDims
+    val qdist = dims.map(j =>
+      s"(CAST(q.qx$j AS DOUBLE) - c.m$j) * (CAST(q.qx$j AS DOUBLE) - c.m$j)")
+      .mkString(" + ")
+    val cdist = dims.map(j =>
+      s"(CAST(cd.qx$j AS DOUBLE) - CAST(pp.x$j AS DOUBLE)) * " +
+        s"(CAST(cd.qx$j AS DOUBLE) - CAST(pp.x$j AS DOUBLE))")
+      .mkString(" + ")
+    s"""WITH ${lloydCtes(4)},
+       |a3 AS (
+       |  SELECT p.vec_id, c.cl,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $lloydDistSql, c.cl) AS rk
+       |  FROM pts p CROSS JOIN c2 c),
+       |asg AS (SELECT vec_id, cl FROM a3 WHERE rk = 1),
+       |q AS (
+       |  SELECT vec_id AS qid,
+       |    ${dims.map(j => s"x$j AS qx$j").mkString(", ")}
+       |  FROM pts WHERE vec_id % 100 = 0),
+       |pr AS (
+       |  SELECT q.qid, ${dims.map(j => s"q.qx$j").mkString(", ")}, c.cl,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY $qdist, c.cl) AS prk
+       |  FROM q CROSS JOIN c2 c),
+       |cd AS (
+       |  SELECT pr.qid, ${dims.map(j => s"pr.qx$j").mkString(", ")}, a.vec_id
+       |  FROM pr JOIN asg a ON a.cl = pr.cl AND a.vec_id <> pr.qid
+       |  WHERE pr.prk <= 2),
+       |sc AS (
+       |  SELECT cd.qid, cd.vec_id, ($cdist) AS dist2
+       |  FROM cd JOIN pts pp ON pp.vec_id = cd.vec_id),
+       |rnk AS (
+       |  SELECT qid, vec_id, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY dist2, vec_id) AS rk
+       |  FROM sc)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, dist2
+       |FROM rnk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
 
   /** Leibniz expansion of a 4x4 determinant as a SQL expression; `e(r, c)`
     * names the matrix entry. 24 terms, canonical permutation order.

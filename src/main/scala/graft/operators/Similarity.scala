@@ -1012,5 +1012,60 @@ object Similarity {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  true AS all_topk_complete, true AS filtered_recall_ge_090
         |FROM embeddings WHERE vec_id < 16""".stripMargin)),
+    // ------------------------------------------------------------------
+    // IVF SEARCH WITH A VALUE-EXACT ORACLE — the family's strongest gate.
+    // s02-s13 gate recall rollups because their quantizers (online
+    // K-means, LSH planes) are not SQL-replayable; ml18's deterministic
+    // batch-Lloyd coarse quantizer IS, so this op replays the ENTIRE ANN
+    // path cross-engine: k=4 coarse fit -> inverted-list assignment ->
+    // nprobe=2 probe selection per query -> exact top-3 rerank over the
+    // probed lists, all on integer micro-features whose doubles are
+    // bit-identical in both engines (raw unrounded dist2 in the output).
+    // Any drift anywhere — a centroid, a list assignment, a probe pick, a
+    // rank tiebreak — fails the driver hash.
+    // Scale shape: the real IVF serving plan. Lists are the equi-join key
+    // (probe rows join candidates on cluster id — at 100 TB the index is
+    // laid out list-partitioned so each probe reads one partition, s04's
+    // pruning); the probe ranking joins each query to k centroid rows
+    // (broadcast, k tiny); the rerank is a per-query partial top-k. No
+    // crossJoin of queries x corpus anywhere.
+    Op("s14_ivf_exact_search", (s, d) => {
+      val (pts, cent, _) = MLOps.lloydFit(s, d, k = 4)
+      val dims = 0 until 4
+      val xCols = dims.map(j => s"x$j")
+      val (cl, _) = graft.ml.LloydRefine.assignExprs(xCols, cent)
+      val indexed = pts.withColumn("cluster", cl.cast(LongType))
+      import s.implicits._
+      // k=4 centroid rows (exact doubles from the fit) — broadcast side
+      val cents = cent.zipWithIndex.toSeq
+        .map { case (m, c) => (c.toLong, m(0), m(1), m(2), m(3)) }
+        .toDF("cl", "m0", "m1", "m2", "m3")
+      val queries = indexed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid") +:
+          dims.map(j => col(s"x$j").as(s"qx$j")): _*)
+      val qdist = dims.map { j =>
+        val diff = col(s"qx$j").cast(DoubleType) - col(s"m$j")
+        diff * diff
+      }.reduce(_ + _)
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("prk", row_number().over(
+          Window.partitionBy("qid").orderBy(qdist, col("cl"))))
+        .filter(col("prk") <= 2)
+        .select(col("qid") +: dims.map(j => col(s"qx$j")) :+ col("cl"): _*)
+      val cdist = dims.map { j =>
+        val diff = col(s"qx$j").cast(DoubleType) - col(s"x$j").cast(DoubleType)
+        diff * diff
+      }.reduce(_ + _)
+      probes
+        .join(indexed.withColumnRenamed("cluster", "cl"), Seq("cl"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cdist.as("dist2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id")))
+          .cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("qid", "rk", "vec_id", "dist2")
+        .orderBy("qid", "rk")
+    }, Some(MLOps.s14OracleSql)),
   )
 }
