@@ -675,30 +675,49 @@ object MLOps {
     // path too. This is a PARITY gate, not a scale shape: production PA
     // runs the partitioned protocols (ml01); one sorted partition is the
     // price of a replayable trajectory.
-    Op("ml19_pa_value_parity", (s, d) => {
-      val base = T.embeddings(s, d).select(col("vec_id").as("id"),
-        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
-          .as("features"),
-        when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
-      val keyed = base.rdd
-        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
-      val one = new org.apache.spark.Partitioner {
-        def numPartitions: Int = 1
-        def getPartition(key: Any): Int = 0
-      }
-      val rdd = keyed.repartitionAndSortWithinPartitions(one).map(_._2)
-      val fitted = Trainer.fit(s,
-        PipelineSpec(19, "PA", Map("C" -> 1.0), Nil, "Synchronous",
-          rounds = 1), rdd)
-      val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
-      import s.implicits._
-      ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
-          ((4L, m.b)) :+ ((5L, fitted.model.cumLoss)))
-        .map { case (i, v) => (i, v, fitted.model.n) })
-        .toDF("dim", "weight", "n_fitted")
-        .orderBy("dim")
-    }, Some(paParityOracle)),
+    Op("ml19_pa_value_parity",
+      (s, d) => seqParityFit(s, d, 19, "PA", Map("C" -> 1.0)),
+      Some(paParityOracle)),
+    // ------------------------------------------------------------------
+    // Same trajectory-replay gate for the SECOND order-dependent learner:
+    // Pegasos SVM (ml04's invariant rollup stays the distributed gate;
+    // this pins the sequential update rule itself). Unlike PA, Pegasos
+    // mutates w on EVERY step (the (1 - eta*lambda) decay), so the replay
+    // also proves the decay/learning-rate schedule — eta = 1/(lambda*t)
+    // with t the ring-aware fit index — not just the hinge-active updates.
+    // lambda = 0.0625 = 2^-4 keeps the constants float-exact.
+    Op("ml20_svm_value_parity",
+      (s, d) => seqParityFit(s, d, 20, "SVM", Map("lambda" -> 0.0625)),
+      Some(svmParityOracle)),
   )
+
+  /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
+    * partition (SingleLearner shape), fit one round through Trainer (ring
+    * diversion and all), and emit the raw unrounded model — w per dim,
+    * b as dim 4, cumulative loss as dim 5. */
+  private def seqParityFit(s: SparkSession, d: String, id: Int,
+      learner: String, hp: Map[String, Double]): DataFrame = {
+    val base = T.embeddings(s, d).select(col("vec_id").as("id"),
+      expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+        .as("features"),
+      when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+    val keyed = base.rdd
+      .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+    val one = new org.apache.spark.Partitioner {
+      def numPartitions: Int = 1
+      def getPartition(key: Any): Int = 0
+    }
+    val rdd = keyed.repartitionAndSortWithinPartitions(one).map(_._2)
+    val fitted = Trainer.fit(s,
+      PipelineSpec(id, learner, hp, Nil, "Synchronous", rounds = 1), rdd)
+    val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
+    import s.implicits._
+    ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
+        ((4L, m.b)) :+ ((5L, fitted.model.cumLoss)))
+      .map { case (i, v) => (i, v, fitted.model.n) })
+      .toDF("dim", "weight", "n_fitted")
+      .orderBy("dim")
+  }
 
   /** Recursive-CTE replay of ml19's PA-II trajectory: rebuild the exact
     * training SEQUENCE (direct points interleaved with 256-slot FIFO ring
@@ -708,13 +727,13 @@ object MLOps {
     * (ascending-dim left-associated sums seeded at 0.0). C = 1.0, so the
     * PA-II denominator constant 1/(2C) = 0.5 is float-exact.
     */
-  private def paParityOracle: String = {
+  /** Shared ml19/ml20 CTE prefix: rebuild the exact one-partition training
+    * SEQUENCE — vec_id order, with the Trainer's 256-slot FIFO test-ring
+    * diversion (ring point k trains at the push of ring point k+256) —
+    * ending at `pts` = (x0..x3, y, i) with i the 1-based fit index. */
+  private def ringSeqCtes: String = {
     val dims = 0 until 4
-    val margin = dims.map(j => s"s.w$j * p.x$j")
-      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + " + s.b"
-    val nsq = dims.map(j => s"p.x$j * p.x$j")
-      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
-    s"""WITH RECURSIVE raw AS (
+    s"""raw AS (
        |  SELECT vec_id,
        |    ${dims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
               .mkString(", ")},
@@ -732,7 +751,24 @@ object MLOps {
        |  SELECT x0, x1, x2, x3, y, cnt AS ttime FROM raw WHERE cnt % 10 < 8
        |  UNION ALL
        |  SELECT x0, x1, x2, x3, y, ttime FROM ev),
-       |pts AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ttime) AS i FROM seq),
+       |pts AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ttime) AS i FROM seq)"""
+      .stripMargin
+  }
+
+  /** The engines' shared pre-update hinge loss: margin = dot(w,x)+b with
+    * the ascending-dim left-associated sum seeded at 0.0. */
+  private def hingeSql: String = {
+    val margin = (0 until 4).map(j => s"s.w$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + " + s.b"
+    s"""greatest(CAST(0 AS DOUBLE),
+       |          CAST(1 AS DOUBLE) - p.y * ($margin))""".stripMargin
+  }
+
+  private def paParityOracle: String = {
+    val dims = 0 until 4
+    val nsq = dims.map(j => s"p.x$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+    s"""WITH RECURSIVE $ringSeqCtes,
        |step AS (
        |  SELECT CAST(0 AS BIGINT) AS i,
        |    ${dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")},
@@ -754,9 +790,48 @@ object MLOps {
        |      SELECT s.i + 1 AS i,
        |        ${dims.map(j => s"s.w$j").mkString(", ")}, s.b, s.cum,
        |        ${dims.map(j => s"p.x$j").mkString(", ")}, p.y,
-       |        greatest(CAST(0 AS DOUBLE),
-       |          CAST(1 AS DOUBLE) - p.y * ($margin)) AS l,
+       |        $hingeSql AS l,
        |        $nsq AS nsq
+       |      FROM step s JOIN pts p ON p.i = s.i + 1) u) t),
+       |fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2
+       |       WHEN 3 THEN w3 WHEN 4 THEN b ELSE cum END AS weight,
+       |  fin.i AS n_fitted
+       |FROM fin, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** ml20: Pegasos SVM trajectory replay (PegasosSVM.fit step for step):
+    * t = the 1-based fit index, eta = 1/(lambda*t), every w component
+    * decays by (1 - eta*lambda) each step, the hinge-active steps then add
+    * eta*y*x (w) and eta*y (b — never decayed). lambda = 0.0625 (2^-4,
+    * float-exact). Same ring-diverted sequence and output shape as ml19. */
+  private def svmParityOracle: String = {
+    val dims = 0 until 4
+    val lam = "CAST(0.0625 AS DOUBLE)"
+    s"""WITH RECURSIVE $ringSeqCtes,
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS i,
+       |    ${dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")},
+       |    CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS cum
+       |  UNION ALL
+       |  SELECT t.i,
+       |    ${dims.map(j =>
+              s"CASE WHEN t.l > 0 THEN t.w$j * t.f + t.a * t.x$j " +
+                s"ELSE t.w$j * t.f END").mkString(",\n|    ")},
+       |    CASE WHEN t.l > 0 THEN t.b + t.a ELSE t.b END,
+       |    t.cum + t.l
+       |  FROM (
+       |    SELECT u.*,
+       |      CAST(1 AS DOUBLE) - u.eta * $lam AS f,
+       |      u.eta * u.y AS a
+       |    FROM (
+       |      SELECT s.i + 1 AS i,
+       |        ${dims.map(j => s"s.w$j").mkString(", ")}, s.b, s.cum,
+       |        ${dims.map(j => s"p.x$j").mkString(", ")}, p.y,
+       |        $hingeSql AS l,
+       |        CAST(1 AS DOUBLE) / ($lam * CAST(s.i + 1 AS DOUBLE)) AS eta
        |      FROM step s JOIN pts p ON p.i = s.i + 1) u) t),
        |fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
        |SELECT CAST(v.dim AS BIGINT) AS dim,
