@@ -689,6 +689,16 @@ object MLOps {
     Op("ml20_svm_value_parity",
       (s, d) => seqParityFit(s, d, 20, "SVM", Map("lambda" -> 0.0625)),
       Some(svmParityOracle)),
+    // ------------------------------------------------------------------
+    // Third trajectory gate: epsilon-insensitive PA-II REGRESSION, on the
+    // raw integer labels (0-9) as targets — exercises the two-sided
+    // residual sign logic (s = -sign(e)) the classifiers never touch.
+    // epsilon = 0.125 = 2^-3, C = 1.0: all constants float-exact.
+    Op("ml21_regressorpa_value_parity",
+      (s, d) => seqParityFit(s, d, 21, "RegressorPA",
+        Map("C" -> 1.0, "epsilon" -> 0.125),
+        target = col("label").cast(DoubleType)),
+      Some(regParityOracle)),
   )
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
@@ -696,11 +706,13 @@ object MLOps {
     * diversion and all), and emit the raw unrounded model — w per dim,
     * b as dim 4, cumulative loss as dim 5. */
   private def seqParityFit(s: SparkSession, d: String, id: Int,
-      learner: String, hp: Map[String, Double]): DataFrame = {
+      learner: String, hp: Map[String, Double],
+      target: org.apache.spark.sql.Column =
+        when(col("label") % 2 === 1, 1.0).otherwise(-1.0)): DataFrame = {
     val base = T.embeddings(s, d).select(col("vec_id").as("id"),
       expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
         .as("features"),
-      when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+      target.as("target"))
     val keyed = base.rdd
       .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
     val one = new org.apache.spark.Partitioner {
@@ -731,14 +743,15 @@ object MLOps {
     * SEQUENCE — vec_id order, with the Trainer's 256-slot FIFO test-ring
     * diversion (ring point k trains at the push of ring point k+256) —
     * ending at `pts` = (x0..x3, y, i) with i the 1-based fit index. */
-  private def ringSeqCtes: String = {
+  private def ringSeqCtes(
+      ySql: String = "CASE WHEN label % 2 = 1 THEN CAST(1 AS DOUBLE) " +
+        "ELSE CAST(-1 AS DOUBLE) END"): String = {
     val dims = 0 until 4
     s"""raw AS (
        |  SELECT vec_id,
        |    ${dims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
               .mkString(", ")},
-       |    CASE WHEN label % 2 = 1 THEN CAST(1 AS DOUBLE)
-       |         ELSE CAST(-1 AS DOUBLE) END AS y,
+       |    $ySql AS y,
        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnt
        |  FROM embeddings),
        |rng AS (
@@ -768,7 +781,7 @@ object MLOps {
     val dims = 0 until 4
     val nsq = dims.map(j => s"p.x$j * p.x$j")
       .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
-    s"""WITH RECURSIVE $ringSeqCtes,
+    s"""WITH RECURSIVE ${ringSeqCtes()},
        |step AS (
        |  SELECT CAST(0 AS BIGINT) AS i,
        |    ${dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")},
@@ -802,6 +815,53 @@ object MLOps {
        |ORDER BY dim""".stripMargin
   }
 
+  /** ml21: epsilon-insensitive PA-II regression replay (PARegressor.fit):
+    * e = margin - y, l = max(0, |e| - eps), hinge-active steps add
+    * s*tau*x (w) and s*tau (b) with s = -sign-ish(e) (e > 0 -> -1 else
+    * +1) and the same PA-II tau denominator. y = raw label. */
+  private def regParityOracle: String = {
+    val dims = 0 until 4
+    val margin = dims.map(j => s"s.w$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + " + s.b"
+    val nsq = dims.map(j => s"p.x$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+    s"""WITH RECURSIVE ${ringSeqCtes("CAST(label AS DOUBLE)")},
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS i,
+       |    ${dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")},
+       |    CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS cum
+       |  UNION ALL
+       |  SELECT t.i,
+       |    ${dims.map(j =>
+              s"CASE WHEN t.l > 0 THEN t.w$j + t.a * t.x$j ELSE t.w$j END")
+             .mkString(",\n|    ")},
+       |    CASE WHEN t.l > 0 THEN t.b + t.a ELSE t.b END,
+       |    t.cum + t.l
+       |  FROM (
+       |    SELECT u.*,
+       |      CASE WHEN u.l > 0
+       |        THEN (CASE WHEN u.e > 0 THEN CAST(-1 AS DOUBLE)
+       |                   ELSE CAST(1 AS DOUBLE) END)
+       |          * (u.l / (u.nsq + CAST(1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |        ELSE CAST(0 AS DOUBLE) END AS a
+       |    FROM (
+       |      SELECT s.i + 1 AS i,
+       |        ${dims.map(j => s"s.w$j").mkString(", ")}, s.b, s.cum,
+       |        ${dims.map(j => s"p.x$j").mkString(", ")}, p.y,
+       |        ($margin) - p.y AS e,
+       |        greatest(CAST(0 AS DOUBLE),
+       |          abs(($margin) - p.y) - CAST(0.125 AS DOUBLE)) AS l,
+       |        $nsq AS nsq
+       |      FROM step s JOIN pts p ON p.i = s.i + 1) u) t),
+       |fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2
+       |       WHEN 3 THEN w3 WHEN 4 THEN b ELSE cum END AS weight,
+       |  fin.i AS n_fitted
+       |FROM fin, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
+
   /** ml20: Pegasos SVM trajectory replay (PegasosSVM.fit step for step):
     * t = the 1-based fit index, eta = 1/(lambda*t), every w component
     * decays by (1 - eta*lambda) each step, the hinge-active steps then add
@@ -810,7 +870,7 @@ object MLOps {
   private def svmParityOracle: String = {
     val dims = 0 until 4
     val lam = "CAST(0.0625 AS DOUBLE)"
-    s"""WITH RECURSIVE $ringSeqCtes,
+    s"""WITH RECURSIVE ${ringSeqCtes()},
        |step AS (
        |  SELECT CAST(0 AS BIGINT) AS i,
        |    ${dims.map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")},
