@@ -699,16 +699,42 @@ object MLOps {
         Map("C" -> 1.0, "epsilon" -> 0.125),
         target = col("label").cast(DoubleType)),
       Some(regParityOracle)),
+    // ------------------------------------------------------------------
+    // ONLINE K-MEANS (MacQueen) TRAJECTORY PARITY — the ml06 code path
+    // itself, not the batch variant: the oracle replays the learner's
+    // full stateful life, in order — 32 buffered fit calls, farthest-point
+    // seeding over that buffer (3 unrolled argmax-of-min selections with
+    // the strict-> first-index tie rule), the non-seed buffer replayed
+    // through MacQueen assignment, then every later point charged
+    // nearestDist to cumLoss and folded in with the 1/n count-weighted
+    // centroid drift — all through the Trainer's ring diversion, all in
+    // one DuckDB recursive CTE over 22 state columns. Raw unrounded
+    // centroids and loss; k=4 over 4 dims (bufferTarget = 32).
+    Op("ml22_kmeans_value_parity", (s, d) => {
+      val fitted = Trainer.fit(s,
+        PipelineSpec(22, "K-means", Map("k" -> 4.0), Nil, "Synchronous",
+          rounds = 1), seqRdd(s, d, lit(0.0)))
+      val m = fitted.model.asInstanceOf[graft.ml.KMeansState]
+      import s.implicits._
+      (0 until 4).map(c => (c.toLong, m.counts(c),
+          m.centroids(c * 4), m.centroids(c * 4 + 1),
+          m.centroids(c * 4 + 2), m.centroids(c * 4 + 3),
+          fitted.model.n, fitted.model.cumLoss))
+        .toDF("cluster", "n_assigned", "mu0", "mu1", "mu2", "mu3",
+          "n_fitted", "cum_loss")
+        .orderBy("cluster")
+    }, Some(kmParityOracle)),
   )
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
     * partition (SingleLearner shape), fit one round through Trainer (ring
     * diversion and all), and emit the raw unrounded model — w per dim,
     * b as dim 4, cumulative loss as dim 5. */
-  private def seqParityFit(s: SparkSession, d: String, id: Int,
-      learner: String, hp: Map[String, Double],
-      target: org.apache.spark.sql.Column =
-        when(col("label") % 2 === 1, 1.0).otherwise(-1.0)): DataFrame = {
+  /** One vec_id-sorted partition of (4-dim features, target) — the
+    * replayable-sequence input shared by the ml19-ml22 trajectory gates. */
+  private def seqRdd(s: SparkSession, d: String,
+      target: org.apache.spark.sql.Column)
+      : org.apache.spark.rdd.RDD[(Array[Double], Double)] = {
     val base = T.embeddings(s, d).select(col("vec_id").as("id"),
       expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
         .as("features"),
@@ -719,9 +745,16 @@ object MLOps {
       def numPartitions: Int = 1
       def getPartition(key: Any): Int = 0
     }
-    val rdd = keyed.repartitionAndSortWithinPartitions(one).map(_._2)
+    keyed.repartitionAndSortWithinPartitions(one).map(_._2)
+  }
+
+  private def seqParityFit(s: SparkSession, d: String, id: Int,
+      learner: String, hp: Map[String, Double],
+      target: org.apache.spark.sql.Column =
+        when(col("label") % 2 === 1, 1.0).otherwise(-1.0)): DataFrame = {
     val fitted = Trainer.fit(s,
-      PipelineSpec(id, learner, hp, Nil, "Synchronous", rounds = 1), rdd)
+      PipelineSpec(id, learner, hp, Nil, "Synchronous", rounds = 1),
+      seqRdd(s, d, target))
     val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
     import s.implicits._
     ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
@@ -860,6 +893,99 @@ object MLOps {
        |  fin.i AS n_fitted
        |FROM fin, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
        |ORDER BY dim""".stripMargin
+  }
+
+  /** ml22: MacQueen K-means replay (OnlineKMeans.fit + seedFromBuffer +
+    * KMeansState.nearest, step for step). Sequence CTEs: the ring-diverted
+    * fit order; `buf` = the first 32 fit calls; c1p..c4p = the farthest-
+    * point seeds (argmax of min-distance-to-chosen, strict-> first-index
+    * ties == ORDER BY dmin DESC, i); `evo` = the MacQueen assignment
+    * sequence (non-seed buffer replays first, loss-free, then the live
+    * tail charging nearestDist); `step` folds it with the 1/n drift.
+    * Distances are (centroid - x) squared, ascending dims, 0.0-seeded —
+    * KMeansState.nearest's exact shape. */
+  private def kmParityOracle: String = {
+    val dims = 0 until 4
+    val cs = 0 until 4
+    def dist(pa: String, pb: String) = dims.map(j =>
+      s"($pa.x$j - $pb.x$j) * ($pa.x$j - $pb.x$j)").mkString(" + ")
+    def cdist(c: Int) = dims.map(j =>
+      s"(s.c${c}_$j - p.x$j) * (s.c${c}_$j - p.x$j)").mkString(" + ")
+    val sel =
+      s"""buf AS (SELECT * FROM pts WHERE i <= 32),
+         |c1p AS (SELECT * FROM buf WHERE i = 1),
+         |s2 AS (SELECT b.i, (${dist("a", "b")}) AS dmin
+         |       FROM buf b, c1p a WHERE b.i <> a.i),
+         |c2p AS (SELECT * FROM buf WHERE i =
+         |  (SELECT i FROM s2 ORDER BY dmin DESC, i LIMIT 1)),
+         |s3 AS (SELECT b.i, least((${dist("a", "b")}), (${dist("c", "b")}))
+         |         AS dmin
+         |       FROM buf b, c1p a, c2p c WHERE b.i NOT IN (a.i, c.i)),
+         |c3p AS (SELECT * FROM buf WHERE i =
+         |  (SELECT i FROM s3 ORDER BY dmin DESC, i LIMIT 1)),
+         |s4 AS (SELECT b.i, least(least((${dist("a", "b")}),
+         |         (${dist("c", "b")})), (${dist("d", "b")})) AS dmin
+         |       FROM buf b, c1p a, c2p c, c3p d
+         |       WHERE b.i NOT IN (a.i, c.i, d.i)),
+         |c4p AS (SELECT * FROM buf WHERE i =
+         |  (SELECT i FROM s4 ORDER BY dmin DESC, i LIMIT 1))""".stripMargin
+    val evs =
+      s"""evs AS (
+         |  SELECT x0, x1, x2, x3, 0 AS addloss, 0 AS ph, i FROM buf
+         |  WHERE i NOT IN ((SELECT i FROM c1p), (SELECT i FROM c2p),
+         |                  (SELECT i FROM c3p), (SELECT i FROM c4p))
+         |  UNION ALL
+         |  SELECT x0, x1, x2, x3, 1, 1, i FROM pts WHERE i > 32),
+         |evo AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ph, i) AS j
+         |        FROM evs)""".stripMargin
+    val anchor = (cs.flatMap(c => dims.map(j =>
+        s"(SELECT x$j FROM c${c + 1}p) AS c${c}_$j")) ++
+      cs.map(c => s"CAST(1 AS BIGINT) AS n$c")).mkString(", ")
+    val newCent = cs.flatMap(c => dims.map(j =>
+      s"CASE WHEN t.bc = $c THEN t.c${c}_$j + t.f * (t.x$j - t.c${c}_$j) " +
+        s"ELSE t.c${c}_$j END")).mkString(",\n|    ")
+    val newN = cs.map(c =>
+      s"t.n$c + CASE WHEN t.bc = $c THEN 1 ELSE 0 END").mkString(", ")
+    val dcols = cs.map(c => s"(${cdist(c)}) AS d$c").mkString(",\n|          ")
+    val stateCols = (cs.flatMap(c => dims.map(j => s"s.c${c}_$j")) ++
+      cs.map(c => s"s.n$c")).mkString(", ")
+    val lst = "least(u.d0, u.d1, u.d2, u.d3)"
+    val fSel = cs.init.map(c =>
+      s"WHEN $c THEN CAST(1 AS DOUBLE)/CAST(v.n$c + 1 AS DOUBLE)")
+      .mkString(" ") + s" ELSE CAST(1 AS DOUBLE)/CAST(v.n${cs.last} + 1 AS DOUBLE)"
+    val muSel = dims.map(j =>
+      "CASE v.c " + cs.init.map(c => s"WHEN $c THEN c${c}_$j").mkString(" ") +
+        s" ELSE c${cs.last}_$j END AS mu$j").mkString(",\n|  ")
+    s"""WITH RECURSIVE ${ringSeqCtes("CAST(0 AS DOUBLE)")},
+       |$sel,
+       |$evs,
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS j, $anchor, CAST(0 AS DOUBLE) AS cum
+       |  UNION ALL
+       |  SELECT t.j,
+       |    $newCent,
+       |    $newN,
+       |    t.cum + CASE WHEN t.addloss = 1 THEN t.bd
+       |                 ELSE CAST(0 AS DOUBLE) END
+       |  FROM (
+       |    SELECT v.*, CASE v.bc $fSel END AS f
+       |    FROM (
+       |      SELECT u.*, $lst AS bd,
+       |        CASE WHEN u.d0 = $lst THEN 0
+       |             WHEN u.d1 = $lst THEN 1
+       |             WHEN u.d2 = $lst THEN 2 ELSE 3 END AS bc
+       |      FROM (
+       |        SELECT s.j + 1 AS j, $stateCols, s.cum,
+       |          p.x0, p.x1, p.x2, p.x3, p.addloss,
+       |          $dcols
+       |        FROM step s JOIN evo p ON p.j = s.j + 1) u) v) t),
+       |fin AS (SELECT * FROM step ORDER BY j DESC LIMIT 1)
+       |SELECT CAST(v.c AS BIGINT) AS cluster,
+       |  CASE v.c WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+       |       ELSE n3 END AS n_assigned,
+       |  $muSel,
+       |  (SELECT COUNT(*) FROM pts) AS n_fitted, fin.cum AS cum_loss
+       |FROM fin, (VALUES (0), (1), (2), (3)) v(c) ORDER BY cluster""".stripMargin
   }
 
   /** ml20: Pegasos SVM trajectory replay (PegasosSVM.fit step for step):
