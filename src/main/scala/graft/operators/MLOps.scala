@@ -724,6 +724,28 @@ object MLOps {
           "n_fitted", "cum_loss")
         .orderBy("cluster")
     }, Some(kmParityOracle)),
+    // ------------------------------------------------------------------
+    // MULTICLASS PA TRAJECTORY PARITY (7th learner; only NN and HT remain
+    // invariant-gated — tanh is not cross-engine bit-stable and tree
+    // growth is structural). The replay covers the max-score rival pick
+    // (argmax over r != y, strict-> smallest-index ties), the two-sided
+    // hinge l = 1 - s_y + s_r, the PA-II multiclass tau, and the paired
+    // +/- row updates incl. biases — 3 classes x 5 weights = 15 state
+    // columns, scores seeded at the BIAS term exactly as
+    // MultiClassModel.score computes them.
+    Op("ml23_multiclasspa_value_parity", (s, d) => {
+      val fitted = Trainer.fit(s,
+        PipelineSpec(23, "MultiClassPA", Map("C" -> 1.0, "classes" -> 3.0),
+          Nil, "Synchronous", rounds = 1),
+        seqRdd(s, d, (col("label") % 3).cast(DoubleType)))
+      val m = fitted.model.asInstanceOf[graft.ml.MultiClassModel]
+      import s.implicits._
+      (for { r <- 0 until 3; j <- 0 to 4 } yield
+        (r.toLong, j.toLong, m.w(r * 5 + j), fitted.model.n,
+          fitted.model.cumLoss))
+        .toDF("clazz", "dim", "weight", "n_fitted", "cum_loss")
+        .orderBy("clazz", "dim")
+    }, Some(mcParityOracle)),
   )
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
@@ -893,6 +915,68 @@ object MLOps {
        |  fin.i AS n_fitted
        |FROM fin, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
        |ORDER BY dim""".stripMargin
+  }
+
+  /** ml23: MultiClassPA replay (MultiClassPA.fit + MultiClassModel.score/
+    * argmax step for step). Scores seed at the bias and fold dims
+    * ascending; the rival is the max-score class != y with strict->
+    * first-index ties; hinge-active steps apply the paired +/- updates. */
+  private def mcParityOracle: String = {
+    val dims = 0 until 4
+    val ks = 0 until 3
+    def sc(r: Int) =
+      dims.foldLeft(s"s.w${r}_4")((e, j) => s"($e + s.w${r}_$j * p.x$j)")
+    val nsq = dims.map(j => s"p.x$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+    val state = ks.flatMap(r => (0 to 4).map(j => s"s.w${r}_$j"))
+      .mkString(", ")
+    val anchor = ks.flatMap(r => (0 to 4).map(j =>
+      s"CAST(0 AS DOUBLE) AS w${r}_$j")).mkString(", ")
+    val rv =
+      "CASE u.y WHEN 0 THEN (CASE WHEN u.s1 >= u.s2 THEN 1 ELSE 2 END) " +
+        "WHEN 1 THEN (CASE WHEN u.s0 >= u.s2 THEN 0 ELSE 2 END) " +
+        "ELSE (CASE WHEN u.s0 >= u.s1 THEN 0 ELSE 1 END) END"
+    val sy = "CASE u.y WHEN 0 THEN u.s0 WHEN 1 THEN u.s1 ELSE u.s2 END"
+    val sr = "CASE w.rv WHEN 0 THEN w.s0 WHEN 1 THEN w.s1 ELSE w.s2 END"
+    val upd = ks.flatMap(r => (0 to 4).map { j =>
+      val xj = if (j < 4) s"t.x$j" else "CAST(1 AS DOUBLE)"
+      s"CASE WHEN t.l > 0 AND t.y = $r THEN t.w${r}_$j + t.tau * $xj " +
+        s"WHEN t.l > 0 AND t.rv = $r THEN t.w${r}_$j - t.tau * $xj " +
+        s"ELSE t.w${r}_$j END"
+    }).mkString(",\n|    ")
+    val wSel = "CASE v.rj " + (for { r <- ks; j <- 0 to 4 }
+      yield s"WHEN ${r * 5 + j} THEN w${r}_$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE ${ringSeqCtes("CAST(label % 3 AS INTEGER)")},
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, $anchor, CAST(0 AS DOUBLE) AS cum
+       |  UNION ALL
+       |  SELECT t.i,
+       |    $upd,
+       |    t.cum + t.l
+       |  FROM (
+       |    SELECT v.*, CASE WHEN v.l > 0
+       |        THEN v.l / (CAST(2 AS DOUBLE) * (v.nsq + CAST(1 AS DOUBLE))
+       |          + CAST(0.5 AS DOUBLE))
+       |        ELSE CAST(0 AS DOUBLE) END AS tau
+       |    FROM (
+       |      SELECT w.*, greatest(CAST(0 AS DOUBLE),
+       |          (CAST(1 AS DOUBLE) - w.sy) + ($sr)) AS l
+       |      FROM (
+       |        SELECT u.*, $rv AS rv, $sy AS sy
+       |        FROM (
+       |          SELECT s.i + 1 AS i, $state, s.cum,
+       |            p.x0, p.x1, p.x2, p.x3, p.y,
+       |            ${sc(0)} AS s0, ${sc(1)} AS s1, ${sc(2)} AS s2,
+       |            $nsq AS nsq
+       |          FROM step s JOIN pts p ON p.i = s.i + 1) u) w) v) t),
+       |fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(v.rj // 5 AS BIGINT) AS clazz,
+       |  CAST(v.rj % 5 AS BIGINT) AS dim,
+       |  $wSel AS weight,
+       |  fin.i AS n_fitted, fin.cum AS cum_loss
+       |FROM fin, (VALUES ${(0 until 15).map(i => s"($i)").mkString(", ")})
+       |  v(rj)
+       |ORDER BY clazz, dim""".stripMargin
   }
 
   /** ml22: MacQueen K-means replay (OnlineKMeans.fit + seedFromBuffer +
