@@ -307,5 +307,63 @@ object Curation {
         |FROM mt t LEFT JOIN rm ON rm.modality = t.modality
         |JOIN kp ON kp.modality = t.modality
         |ORDER BY t.modality""".stripMargin)),
+    // ------------------------------------------------------------------
+    // DATASET CARD — the per-(source, lang) summary table every corpus
+    // release publishes (HuggingFace dataset cards, Dolma/RedPajama
+    // reports): volumes (docs/tokens/bytes), exact-duplicate exposure,
+    // short-doc prevalence (the Gopher length floor), and the holdout
+    // split mass, with exact-rational rates. One corpus scan projects
+    // every per-doc measure; the only extra pass is the corpus-wide
+    // md5 duplicate-group aggregate joined back on the hash (partial agg
+    // + equi-join, no skew); the final rollup is map-side partial on the
+    // low-cardinality (source, lang) key. All counts int64, rates exact
+    // int/int divisions — hash-stable at any partitioning and scale.
+    Op(
+      "p04_data_card",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("source"), col("lang"),
+          col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          md5(col("text")).as("h"))
+        val dupGroups = docs.groupBy("h").agg(count(lit(1)).as("nh"))
+          .filter(col("nh") >= 2).select(col("h"), lit(1).as("isdup"))
+        docs.join(dupGroups, Seq("h"), "left")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum("n_chars").cast(LongType).as("n_chars"),
+            sum(when(col("isdup").isNotNull, 1L).otherwise(0L))
+              .as("n_exact_dup"),
+            sum(when(col("n_tok") < 20L, 1L).otherwise(0L)).as("n_short"),
+            sum(when(col("doc_id") % 10 >= 8, 1L).otherwise(0L))
+              .as("n_held"))
+          .withColumn("dup_rate",
+            col("n_exact_dup").cast(DoubleType) / col("n_docs"))
+          .withColumn("mean_doc_tokens",
+            col("n_tokens").cast(DoubleType) / col("n_docs"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH docs AS (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dup AS (SELECT h FROM docs GROUP BY h HAVING COUNT(*) >= 2)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup,
+        |  CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short,
+        |  CAST(SUM(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_held,
+        |  CAST(CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS DOUBLE) AS dup_rate,
+        |  CAST(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS DOUBLE)
+        |    AS mean_doc_tokens
+        |FROM docs LEFT JOIN dup ON docs.h = dup.h
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin)),
   )
 }
