@@ -343,7 +343,13 @@ object Curation {
             col("n_tokens").cast(DoubleType) / col("n_docs"))
           .orderBy("source", "lang")
       },
-      Some("""WITH docs AS (
+      Some(dataCardOracle)),
+  )
+
+  /** p04's card SQL — also the gate for st33's incrementally-maintained
+    * card (lazy: referenced from the `ops` val above, which inits first). */
+  private[operators] lazy val dataCardOracle: String =
+    """WITH docs AS (
         |  SELECT source, lang, doc_id, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |    md5(text) AS h
@@ -364,6 +370,5 @@ object Curation {
         |    AS mean_doc_tokens
         |FROM docs LEFT JOIN dup ON docs.h = dup.h
         |GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin)),
-  )
+        |ORDER BY source, lang""".stripMargin
 }

@@ -861,6 +861,75 @@ object StreamOps {
             .as("nll")))
     }, Some(TextAnalysis.lmOracleSql)),
     // ------------------------------------------------------------------
+    // INCREMENTALLY-MAINTAINED DATASET CARD (streaming p04): documents
+    // arrive over two triggers; each micro-batch appends two tiny partial
+    // logs — the additive (source, lang) volume counters and the
+    // (hash, source, lang) occurrence ledger that makes CORPUS-WIDE
+    // exact-duplicate detection incremental (a doc is dup-exposed iff its
+    // hash's summed count across all triggers is >= 2, so late arrivals
+    // retroactively flip earlier docs — which per-trigger counting alone
+    // cannot see). The read path compacts both logs and must hash-match
+    // p04's batch oracle verbatim. All counters int64-additive: trigger
+    // boundaries cannot move a bit. At 100 TB the hash ledger is the
+    // dedup index (hash-partitioned, O(corpus) like any dedup state);
+    // the volume log stays O(sources x langs x triggers).
+    Op("st33_stream_data_card", (s, d) => {
+      val docsDf = T.documents(s, d)
+        .select("doc_id", "source", "lang", "text", "n_chars")
+      val schema = docsDf.schema
+      val dir = Streaming.stagedDir("datacard", d) { dir =>
+        docsDf.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        docsDf.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val out = Streaming.scratchDir("graft_card_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val m = batch.select(col("source"), col("lang"), col("doc_id"),
+              col("n_chars"),
+              size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+              md5(col("text")).as("h"))
+            m.groupBy("source", "lang")
+              .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+                sum("n_chars").cast(LongType).as("n_chars"),
+                sum(when(col("n_tok") < 20L, 1L).otherwise(0L))
+                  .as("n_short"),
+                sum(when(col("doc_id") % 10 >= 8, 1L).otherwise(0L))
+                  .as("n_held"))
+              .write.mode("append").parquet(s"$out/card")
+            m.groupBy("h", "source", "lang").agg(count(lit(1)).as("c"))
+              .write.mode("append").parquet(s"$out/hashes")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val card = s.read.parquet(s"$out/card").groupBy("source", "lang")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"), sum("n_short").as("n_short"),
+          sum("n_held").as("n_held"))
+      val hp = s.read.parquet(s"$out/hashes")
+      val dupHashes = hp.groupBy("h").agg(sum("c").as("tot"))
+        .filter(col("tot") >= 2).select("h")
+      val dups = hp.join(dupHashes, Seq("h"))
+        .groupBy("source", "lang").agg(sum("c").as("n_exact_dup"))
+      card.join(dups, Seq("source", "lang"), "left")
+        .withColumn("n_exact_dup", coalesce(col("n_exact_dup"), lit(0L)))
+        .withColumn("dup_rate",
+          col("n_exact_dup").cast(DoubleType) / col("n_docs"))
+        .withColumn("mean_doc_tokens",
+          col("n_tokens").cast(DoubleType) / col("n_docs"))
+        .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+          "n_exact_dup", "n_short", "n_held", "dup_rate",
+          "mean_doc_tokens")
+        .orderBy("source", "lang")
+    }, Some(Curation.dataCardOracle)),
+    // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial
     // aggregate (one row per key per trigger); the read path compacts the
