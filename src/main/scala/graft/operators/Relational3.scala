@@ -315,5 +315,69 @@ object Relational3 {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND ABS(a.t - b.t) <= 300000000
         |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TPC-H Q21 SHAPE — "suppliers who kept orders waiting": for finished
+    // orders, the late supplier (shipped > 90 days after the order date)
+    // on multi-supplier orders where NO OTHER supplier was also late.
+    // Q21 is the optimizer's nested-EXISTS/NOT-EXISTS stress test; the
+    // Spark-first plan REWRITES the correlated semi/anti pair as one
+    // per-order aggregate — countDistinct suppliers and countDistinct
+    // LATE suppliers — joined back to the late lines (late AND nsupp>=2
+    // AND nlate=1 <=> EXISTS other supplier AND NOT EXISTS other late
+    // supplier). At 100 TB that is ONE shuffle on the order key (the
+    // aggregate and the join-back share it; lineitem bucketed on
+    // l_orderkey makes both exchange-free) instead of three correlated
+    // passes over lineitem; supplier/nation broadcast at the end. Counts
+    // are per late LINE, Q21's own multiplicity.
+    Op(
+      "q66_waiting_suppliers",
+      (s, d) => {
+        val fo = T.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val l = T.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(fo, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1)
+              .otherwise(0).as("late"))
+        val per = l.groupBy("l_orderkey")
+          .agg(countDistinct("l_suppkey").as("nsupp"),
+            countDistinct(when(col("late") === 1, col("l_suppkey")))
+              .as("nlate"))
+        val waits = l.filter(col("late") === 1)
+          .join(per.filter(col("nsupp") >= 2 && col("nlate") === 1),
+            Seq("l_orderkey"))
+          .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        waits
+          .join(broadcast(T.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(T.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"),
+            col("numwait").cast(LongType).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH fo AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |l AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > fo.o_orderdate + INTERVAL 90 DAY
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey),
+        |per AS (
+        |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp,
+        |    COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+        |  FROM l GROUP BY 1),
+        |q AS (
+        |  SELECT l.l_suppkey, COUNT(*) AS waits
+        |  FROM l JOIN per ON l.l_orderkey = per.l_orderkey
+        |  WHERE l.late = 1 AND per.nsupp >= 2 AND per.nlate = 1
+        |  GROUP BY 1)
+        |SELECT s.s_name, n.n_name, CAST(q.waits AS BIGINT) AS numwait
+        |FROM q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin)),
   )
 }
