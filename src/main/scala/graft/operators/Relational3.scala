@@ -379,5 +379,56 @@ object Relational3 {
         |FROM q JOIN supplier s ON s.s_suppkey = q.l_suppkey
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TPC-H Q22 SHAPE — "global sales opportunity": rich customers (above
+    // the positive-balance average within a selective nation set) with no
+    // RECENT order (every fixture customer has ordered at least once, so
+    // the cut is a date — "lapsed" rather than "never", same plan shape).
+    // The canonical scalar-subquery + anti-join optimizer shape: the
+    // average is ONE broadcast row (decimal-exact sum / count, Num.davg),
+    // the lapsed test is a LEFT ANTI join against date-filtered orders on
+    // the customer key — the o_orderdate predicate pushes to the orders
+    // parquet scan, shrinking the anti build side before any exchange. At
+    // 100 TB: shuffled anti join on o_custkey (or broadcast of the
+    // distinct recent-custkey set if it fits), never a correlated
+    // per-row probe; nation-set pruning pushes to the customer scan.
+    Op(
+      "q67_sales_opportunity",
+      (s, d) => {
+        val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+        val cutoff = "2001-04-01"
+        val cust = T.customer(s, d)
+          .filter(col("c_nationkey").isin(nations: _*))
+        val avgBal = cust
+          .filter(col("c_acctbal") > 0.0)
+          .agg(Num.davg(col("c_acctbal")).as("avg_bal"))
+        val recent = T.orders(s, d)
+          .filter(col("o_orderdate") >= lit(cutoff).cast(DateType))
+          .select(col("o_custkey"))
+        cust
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal").cast(DoubleType) > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast(LongType).as("cntry"))
+          .agg(count(lit(1)).as("numcust"),
+            Num.dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("cntry")
+      },
+      Some(s"""WITH cust AS (
+        |  SELECT * FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |ab AS (
+        |  SELECT ${Num.sqlDavg("c_acctbal")} AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0),
+        |rich AS (
+        |  SELECT c.* FROM cust c, ab
+        |  WHERE CAST(c.c_acctbal AS DOUBLE) > ab.avg_bal
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderdate >= DATE '2001-04-01'))
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+        |  COUNT(*) AS numcust,
+        |  ${Num.sqlDsum("c_acctbal")} AS totacctbal
+        |FROM rich GROUP BY 1 ORDER BY cntry""".stripMargin)),
   )
 }
