@@ -445,11 +445,16 @@ object Relational {
       "q23_correlated_avg",
       (s, d) => {
         val li = T.lineitem(s, d)
-        // ~1 row per part key (|part| ≈ SF·200k) — broadcast the aggregate
-        // side so the probe over lineitem stays shuffle-free.
-        val partAvg = broadcast(li.groupBy(col("l_partkey").as("pk"))
+        // ~1 row per part key — but |part| ≈ SF·200k, so the aggregate's
+        // size SCALES WITH THE FACT TABLE and must not carry a forced
+        // broadcast hint (at 100 TB it is billions of rows). Unhinted, AQE
+        // sees the post-aggregation size at runtime: broadcast at small SF,
+        // co-partitioned shuffle join on l_partkey at scale (both sides
+        // already hash by the join key, map-side partial agg shrinks the
+        // build side before the exchange).
+        val partAvg = li.groupBy(col("l_partkey").as("pk"))
           .agg((sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
-            .cast(DoubleType).as("avg_qty")))
+            .cast(DoubleType).as("avg_qty"))
         li.join(partAvg, col("l_partkey") === col("pk"))
           .filter(col("l_quantity") < lit(0.4) * col("avg_qty"))
           .agg(

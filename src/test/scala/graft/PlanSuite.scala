@@ -29,9 +29,16 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
   }
 
-  test("q23: decorrelated per-part aggregate broadcasts") {
+  test("q23: per-part aggregate broadcasts by SIZE, not by forced hint") {
+    // the aggregate side is |part|-scaled (fact-derived), so a forced
+    // broadcast hint would OOM at 100 TB — the choice must come from the
+    // planner's size estimate (broadcast at small SF, shuffle join at scale)
+    val df = SparkEntry.queries("q23_correlated_avg")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("ResolvedHint"),
+      "q23 regained a forced broadcast hint on an SF-scaling side")
     val p = plan("q23_correlated_avg")
-    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastHashJoin"), "size-based broadcast lost at test SF")
     assert(!p.contains("SortMergeJoin"))
   }
 
