@@ -430,5 +430,73 @@ object Relational3 {
         |  COUNT(*) AS numcust,
         |  ${Num.sqlDsum("c_acctbal")} AS totacctbal
         |FROM rich GROUP BY 1 ORDER BY cntry""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TPC-H Q13 SHAPE — customer order-count distribution: LEFT OUTER join
+    // that must KEEP zero-order customers, then a double aggregation
+    // (per-customer count → histogram of counts). The qualifying-order
+    // predicate is applied to the orders side BEFORE the join so it pushes
+    // to the parquet scan (equivalent to Q13's join-condition filter for a
+    // left join). Scale shape: one shuffle joins customer⋈orders on
+    // custkey; the first groupBy is on the SAME key, so the join output's
+    // hash partitioning is reused with no second exchange; the histogram
+    // aggregate sees O(distinct counts) rows. count(o_orderkey) counts
+    // only matched (non-null) rows — the outer-join-count semantics the
+    // shape exists to test.
+    Op(
+      "q68_custdist",
+      (s, d) => {
+        val qualifying = T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 150000.0)
+          .select(col("o_custkey"), col("o_orderkey"))
+        T.customer(s, d).select(col("c_custkey"))
+          .join(qualifying, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TPC-H Q18 SHAPE — large-volume customers. The canonical
+    // aggregate-reuse rewrite: instead of Q18's `o_orderkey IN (GROUP BY
+    // HAVING)` subquery PLUS a re-aggregation of lineitem, the per-order
+    // quantity rollup is computed ONCE (one lineitem shuffle on
+    // l_orderkey, map-side partial agg), filtered to the rare heavy
+    // orders, and joined back — the filtered side is tiny at any SF, so
+    // AQE broadcasts it against orders and the enriched result against
+    // customer (no forced hints; the sizes are runtime facts). Final
+    // top-100 takes the TakeOrdered path, never a global sort.
+    Op(
+      "q69_large_volume",
+      (s, d) => {
+        val heavy = T.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(Num.dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 300.0)
+        heavy
+          .join(T.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, ${Num.sqlDsum("l_quantity")} AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING ${Num.sqlDsum("l_quantity")} > 300) h
+        |JOIN orders ON o_orderkey = h.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
   )
 }

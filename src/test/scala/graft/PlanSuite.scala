@@ -42,6 +42,18 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q68: qualifying-order predicate pushes to the orders scan") {
+    val p = plan("q68_custdist")
+    assert(p.contains("PushedFilters") && p.contains("o_orderpriority"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q69: top-100 takes the TakeOrdered path, not a global sort") {
+    val p = plan("q69_large_volume")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("q32: band join is a broadcast nested-loop probe") {
     val p = plan("q32_band_join")
     assert(p.contains("BroadcastNestedLoopJoin"))
