@@ -1165,6 +1165,59 @@ object TextAnalysis {
               .as("nll")))
       },
       Some(lmOracleSql)),
+    // ------------------------------------------------------------------
+    // TEMPERATURE-SCALED LANGUAGE SAMPLING (the mBERT/mT5/XLM-R mixture
+    // staple): resampling weights q_l ∝ p_l^α flatten the language
+    // distribution so low-resource languages are seen more than their raw
+    // share. α = 0.5 — the exponentiated-smoothing default — is
+    // deliberately the ONE temperature whose power is an IEEE sqrt
+    // (correctly rounded by the standard), so every q is bit-identical
+    // cross-engine with no rounding tolerance anywhere: p is one exact
+    // division of two longs, the normalizer sums pico-unit-quantized
+    // sqrts (floor(x*1e12+0.5) — the ml18 idiom; a double→DECIMAL cast
+    // would NOT parity: Spark casts via the shortest-repr string, DuckDB
+    // via the exact binary expansion, and they disagree at digit 17-18),
+    // and q / repeat_factor / sampled_docs are single IEEE ops on those. Scale shape: ONE partial-agg groupBy(lang)
+    // leaves O(languages) rows; everything downstream is arithmetic on
+    // the tiny aggregate joined back by two one-row broadcasts. At 100 TB
+    // the output IS the sampling plan — q_l feeds t43-style weighted
+    // draws or a per-language quota without touching the corpus again.
+    Op(
+      "t27_temperature_mix",
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("n_tot"))
+        val p = counts.crossJoin(broadcast(tot))
+          .withColumn("p",
+            col("n_docs").cast(DoubleType) / col("n_tot").cast(DoubleType))
+          .withColumn("sq", sqrt(col("p")))
+        val z = p.agg((sum(floor(col("sq") * lit(1.0e12) + lit(0.5))
+            .cast(LongType)).cast(DoubleType) / lit(1.0e12)).as("z"))
+        p.crossJoin(broadcast(z))
+          .withColumn("q", col("sq") / col("z"))
+          .select(col("lang"), col("n_docs"), col("p"), col("q"),
+            (col("q") / col("p")).as("repeat_factor"),
+            floor(lit(1000000.0) * col("q") + lit(0.5)).cast(LongType)
+              .as("sampled_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS n_tot FROM c),
+        |s AS (
+        |  SELECT lang, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p,
+        |    SQRT(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS sq
+        |  FROM c, t),
+        |z AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(sq * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1e12 AS z
+        |  FROM s)
+        |SELECT lang, n_docs, p, sq / z AS q,
+        |  (sq / z) / p AS repeat_factor,
+        |  CAST(FLOOR(1000000.0 * (sq / z) + 0.5) AS BIGINT) AS sampled_docs
+        |FROM s, z ORDER BY lang""".stripMargin)),
   )
 
   /** Explode a documents frame into (doc_id, lang, w1, w2) bigram rows —
