@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Op, T}
 import graft.functions.F
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1489,5 +1489,91 @@ object Dedup {
         .select("vec_id", "cluster", "dist2", "rk")
         .orderBy("vec_id")
     }, Some(MLOps.d24OracleSql)),
+    // ------------------------------------------------------------------
+    // LSH BANDING AUTO-TUNER: pick (bands b, rows r) with b*r = 128 for a
+    // target Jaccard threshold t = 0.5 by scoring each candidate's
+    // S-curve P(s) = 1 - (1 - s^r)^b on a fixed similarity grid
+    // (s = 0.05..0.95): FP area = sum of P below t, FN area = sum of
+    // (1 - P) at/above t. This is the engine choosing d03/d15's banding
+    // knobs instead of the user hand-picking them. Every candidate has
+    // power-of-two b and r, so s^r and (1-s^r)^b are pure SQUARING CHAINS
+    // — IEEE multiplies both engines execute identically (a pow() call
+    // would not be bit-stable); grid sums are pico-unit integer sums
+    // (ml18 idiom), and the final areas are single exact divisions.
+    // Scale shape: a literal 8x19 plan-constant table — the tuning cost
+    // is O(1) regardless of corpus size; the selected (b, r) parametrizes
+    // the real banded dedup pass.
+    Op("d25_lsh_tuning", (s, d) => {
+      import s.implicits._
+      def sq(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((acc, _) => acc * acc)
+      val branches = LSH_CANDS.map { case (b, r, jB, kR) =>
+        val grid = (1 to 19).map(_.toLong).toDF("i")
+          .withColumn("s", lit(0.05) * col("i").cast(DoubleType))
+        val pCol = lit(1.0) - sq(lit(1.0) - sq(col("s"), kR), jB)
+        grid.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+          col("i"), pCol.as("p"))
+      }
+      val scored = branches.reduce(_.union(_))
+        .withColumn("errq",
+          when(col("i") <= 9,
+            floor(col("p") * lit(1.0e12) + lit(0.5)).cast(LongType))
+          .otherwise(
+            floor((lit(1.0) - col("p")) * lit(1.0e12) + lit(0.5))
+              .cast(LongType)))
+        .withColumn("is_fp", col("i") <= 9)
+        .groupBy("b", "r")
+        .agg(
+          sum(when(col("is_fp"), col("errq")).otherwise(0L)).as("fp_units"),
+          sum(when(!col("is_fp"), col("errq")).otherwise(0L)).as("fn_units"))
+      scored
+        .select(col("b"), col("r"),
+          (col("fp_units").cast(DoubleType) / lit(1.0e12)).as("fp_area"),
+          (col("fn_units").cast(DoubleType) / lit(1.0e12)).as("fn_area"),
+          ((col("fp_units") + col("fn_units")).cast(DoubleType) / lit(1.0e12))
+            .as("total_err"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("fp_units") + col("fn_units"), col("b")))
+            .cast(LongType).as("rnk"))
+        .orderBy("rnk")
+    }, Some(d25OracleSql)),
   )
+
+  /** (b, r, log2 b, log2 r) banding candidates with b*r = 128. */
+  private lazy val LSH_CANDS: Seq[(Int, Int, Int, Int)] =
+    (0 to 7).map(j => (1 << (7 - j), 1 << j, 7 - j, j))
+
+  /** DuckDB side of d25: the same squaring chains, generated as nested
+    * CTE columns so each power is one multiply of the previous — the
+    * identical IEEE op sequence the Column fold builds. */
+  private[operators] lazy val d25OracleSql: String = {
+    def chain(expr0: String, k: Int): String =
+      (1 to k).foldLeft(expr0)((acc, _) => s"($acc * $acc)")
+    val branches = LSH_CANDS.map { case (b, r, jB, kR) =>
+      val p = s"(1.0 - ${chain(s"(1.0 - ${chain("s", kR)})", jB)})"
+      s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, i,
+         |  $p AS p
+         |FROM grid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH grid AS (
+       |  SELECT CAST(i AS BIGINT) AS i, 0.05 * CAST(i AS DOUBLE) AS s
+       |  FROM generate_series(1, 19) t(i)),
+       |curves AS (
+       |$branches),
+       |agg AS (
+       |  SELECT b, r,
+       |    SUM(CASE WHEN i <= 9
+       |      THEN CAST(FLOOR(p * 1e12 + 0.5) AS BIGINT) ELSE 0 END)
+       |      AS fp_units,
+       |    SUM(CASE WHEN i > 9
+       |      THEN CAST(FLOOR((1.0 - p) * 1e12 + 0.5) AS BIGINT) ELSE 0 END)
+       |      AS fn_units
+       |  FROM curves GROUP BY b, r)
+       |SELECT b, r,
+       |  CAST(fp_units AS DOUBLE) / 1e12 AS fp_area,
+       |  CAST(fn_units AS DOUBLE) / 1e12 AS fn_area,
+       |  CAST(fp_units + fn_units AS DOUBLE) / 1e12 AS total_err,
+       |  ROW_NUMBER() OVER (ORDER BY fp_units + fn_units, b) AS rnk
+       |FROM agg ORDER BY rnk""".stripMargin
+  }
 }
