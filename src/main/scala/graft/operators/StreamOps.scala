@@ -930,6 +930,45 @@ object StreamOps {
         .orderBy("source", "lang")
     }, Some(Curation.dataCardOracle)),
     // ------------------------------------------------------------------
+    // INCREMENTALLY-MAINTAINED TEMPERATURE MIXTURE (streaming t27): the
+    // sampling plan a live multilingual ingest keeps current. Documents
+    // arrive over two triggers; each micro-batch appends one tiny
+    // per-language count partial (int64-additive — trigger boundaries
+    // cannot move a bit), and the read path compacts the partial log and
+    // applies t27's EXACT mixture arithmetic: the gate is the identical
+    // batch oracle, so the stream-maintained plan must equal the
+    // batch-computed plan bit-for-bit. At 100 TB the partial log is
+    // O(languages x triggers) regardless of ingest volume — recomputing
+    // the mixture after each trigger costs a constant-size fold, never a
+    // corpus rescan.
+    Op("st34_stream_temperature_mix", (s, d) => {
+      val docsDf = T.documents(s, d).select("doc_id", "lang")
+      val schema = docsDf.schema
+      val dir = Streaming.stagedDir("tempmix", d) { dir =>
+        docsDf.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        docsDf.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val out = Streaming.scratchDir("graft_tmix_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.groupBy("lang").agg(count(lit(1)).as("n"))
+              .write.mode("append").parquet(s"$out/counts")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      TextAnalysis.temperatureMix(
+        s.read.parquet(s"$out/counts")
+          .groupBy("lang").agg(sum("n").as("n_docs")))
+    }, Some(TextAnalysis.temperatureMixOracle)),
+    // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial
     // aggregate (one row per key per trigger); the read path compacts the

@@ -1184,41 +1184,47 @@ object TextAnalysis {
     // draws or a per-language quota without touching the corpus again.
     Op(
       "t27_temperature_mix",
-      (s, d) => {
-        val counts = T.documents(s, d)
-          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        val tot = counts.agg(sum(col("n_docs")).as("n_tot"))
-        val p = counts.crossJoin(broadcast(tot))
-          .withColumn("p",
-            col("n_docs").cast(DoubleType) / col("n_tot").cast(DoubleType))
-          .withColumn("sq", sqrt(col("p")))
-        val z = p.agg((sum(floor(col("sq") * lit(1.0e12) + lit(0.5))
-            .cast(LongType)).cast(DoubleType) / lit(1.0e12)).as("z"))
-        p.crossJoin(broadcast(z))
-          .withColumn("q", col("sq") / col("z"))
-          .select(col("lang"), col("n_docs"), col("p"), col("q"),
-            (col("q") / col("p")).as("repeat_factor"),
-            floor(lit(1000000.0) * col("q") + lit(0.5)).cast(LongType)
-              .as("sampled_docs"))
-          .orderBy("lang")
-      },
-      Some("""WITH c AS (
-        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-        |t AS (SELECT SUM(n_docs) AS n_tot FROM c),
-        |s AS (
-        |  SELECT lang, n_docs,
-        |    CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p,
-        |    SQRT(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS sq
-        |  FROM c, t),
-        |z AS (
-        |  SELECT CAST(SUM(CAST(FLOOR(sq * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
-        |    / 1e12 AS z
-        |  FROM s)
-        |SELECT lang, n_docs, p, sq / z AS q,
-        |  (sq / z) / p AS repeat_factor,
-        |  CAST(FLOOR(1000000.0 * (sq / z) + 0.5) AS BIGINT) AS sampled_docs
-        |FROM s, z ORDER BY lang""".stripMargin)),
+      (s, d) => temperatureMix(T.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
+      Some(temperatureMixOracle)),
   )
+
+  /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared
+    * with the incrementally-maintained streaming twin (st34). */
+  private[operators] def temperatureMix(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n_docs")).as("n_tot"))
+    val p = counts.crossJoin(broadcast(tot))
+      .withColumn("p",
+        col("n_docs").cast(DoubleType) / col("n_tot").cast(DoubleType))
+      .withColumn("sq", sqrt(col("p")))
+    val z = p.agg((sum(floor(col("sq") * lit(1.0e12) + lit(0.5))
+        .cast(LongType)).cast(DoubleType) / lit(1.0e12)).as("z"))
+    p.crossJoin(broadcast(z))
+      .withColumn("q", col("sq") / col("z"))
+      .select(col("lang"), col("n_docs"), col("p"), col("q"),
+        (col("q") / col("p")).as("repeat_factor"),
+        floor(lit(1000000.0) * col("q") + lit(0.5)).cast(LongType)
+          .as("sampled_docs"))
+      .orderBy("lang")
+  }
+
+  private[operators] lazy val temperatureMixOracle: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT SUM(n_docs) AS n_tot FROM c),
+      |s AS (
+      |  SELECT lang, n_docs,
+      |    CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p,
+      |    SQRT(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS sq
+      |  FROM c, t),
+      |z AS (
+      |  SELECT CAST(SUM(CAST(FLOOR(sq * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 1e12 AS z
+      |  FROM s)
+      |SELECT lang, n_docs, p, sq / z AS q,
+      |  (sq / z) / p AS repeat_factor,
+      |  CAST(FLOOR(1000000.0 * (sq / z) + 0.5) AS BIGINT) AS sampled_docs
+      |FROM s, z ORDER BY lang""".stripMargin
 
   /** Explode a documents frame into (doc_id, lang, w1, w2) bigram rows —
     * the shared tokenization contract of t26 (batch) and st32 (stream). */
