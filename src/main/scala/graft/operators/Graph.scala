@@ -116,7 +116,11 @@ object Graph {
     * shared by g06 (histogram) and g07 (modularity). Splice after
     * `WITH RECURSIVE`.
     */
-  private val sqlFineCcCtes =
+  /** Oracle mirror of [[fineSampledUndirectedEdges]] alone (the `und` CTE
+    * + both orientations `bi`) — shared by the CC closure below and g09's
+    * Louvain pass, which needs the edges but not the recursive closure.
+    */
+  private val sqlUndCtes =
     """und AS (
       |  SELECT a, b FROM (
       |    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -125,7 +129,10 @@ object Graph {
       |     AND l1.l_partkey < l2.l_partkey)
       |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
       |               1, 2) = '00'),
-      |bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
+
+  private val sqlFineCcCtes =
+    s"""$sqlUndCtes,
       |nodes AS (SELECT DISTINCT a AS n FROM bi),
       |reach(n, m) AS (
       |  SELECT n, n FROM nodes
@@ -644,5 +651,61 @@ object Graph {
         | AND l1.l_partkey < l2.l_partkey
         |GROUP BY 1, 2
         |ORDER BY w DESC, a, b LIMIT 50""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ONE SYNCHRONOUS LOUVAIN PASS from singleton communities — the move
+    // step of the standard community-detection loop (g06/g07 give the CC
+    // labels and their quality; this is the step that BUILDS finer
+    // communities). Each node evaluates moving into a neighbor's
+    // singleton community; the modularity gain for that case reduces to
+    // the EXACT INTEGER score 2m - k_i*k_j (positive iff the move helps),
+    // so the argmax (ties -> smallest neighbor id) and the whole output
+    // hash-match with no FP anywhere. Scale shape: one degree aggregate
+    // (map-side partial), one self-equi-join of the O(edges) directed
+    // list against the O(nodes) degree table per endpoint (broadcast
+    // here; shuffled equi-join on the node key at 100 TB), and a
+    // per-node window argmax partitioned by a key the join already
+    // hashes. Synchronous moves need no conflict resolution — each row
+    // only reads its neighbors' PRE-PASS state, the Jacobi iteration
+    // every distributed Louvain uses.
+    Op(
+      "g09_louvain_pass",
+      (s, d) => {
+        val und = fineSampledUndirectedEdges(s, d).persist()
+        val m = und.count()
+        val bi = und.select(col("a"), col("b"))
+          .unionByName(und.select(col("b").as("a"), col("a").as("b")))
+        val deg = bi.groupBy(col("a").as("n")).agg(count(lit(1)).as("k"))
+        val cand = bi
+          .join(deg.select(col("n").as("a"), col("k").as("ki")), "a")
+          .join(deg.select(col("n").as("b"), col("k").as("kj")), "b")
+          .withColumn("gain", lit(2L * m) - col("ki") * col("kj"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy(col("gain").desc, col("b"))
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("a").as("node"), col("ki").as("k"),
+            when(col("gain") > 0L, col("b")).otherwise(col("a"))
+              .as("new_comm"),
+            col("gain").as("best_gain"))
+          .orderBy("node")
+      },
+      Some(s"""WITH $sqlUndCtes,
+        |deg AS (SELECT a AS n, COUNT(*) AS k FROM bi GROUP BY a),
+        |m AS (SELECT COUNT(*) AS m FROM und),
+        |cand AS (
+        |  SELECT bi.a AS node, bi.b AS nb, da.k AS ki,
+        |    2 * m.m - da.k * db.k AS gain
+        |  FROM bi JOIN deg da ON da.n = bi.a
+        |  JOIN deg db ON db.n = bi.b, m),
+        |best AS (
+        |  SELECT node, ki, nb, gain,
+        |    ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY gain DESC, nb) AS rk
+        |  FROM cand)
+        |SELECT node, CAST(ki AS BIGINT) AS k,
+        |  CAST(CASE WHEN gain > 0 THEN nb ELSE node END AS BIGINT)
+        |    AS new_comm,
+        |  CAST(gain AS BIGINT) AS best_gain
+        |FROM best WHERE rk = 1 ORDER BY node""".stripMargin)),
   )
 }

@@ -318,5 +318,39 @@ object SourceOps {
         |  CAST(bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
         |    AS content_xor
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // HIVE-STYLE PARTITIONED LAYOUT — the third physical-layout family
+    // next to q46 (range clustering) and q55 (Z-order): the corpus lands
+    // partitioned by its dominant filter column (lang), so a
+    // single-language read is PARTITION-PRUNED — the non-matching
+    // directories are never opened, which at 100 TB is the difference
+    // between scanning one language and scanning the world. The gate
+    // reads ONE partition back and proves (a) losslessness of the
+    // partitioned write (counts + char mass + order-independent content
+    // xor against the unpartitioned fixture) and (b) that the partition
+    // column round-trips from the directory name, not the file payload.
+    // PlanSuite separately pins PartitionFilters in the pruned scan.
+    Op(
+      "w12_hive_partitioned",
+      (s, d) => {
+        val dir = graft.streaming.Streaming.stagedDir("w12hive", d) { dir =>
+          T.documents(s, d).write.mode("overwrite")
+            .partitionBy("lang").parquet(dir)
+        }
+        s.read.parquet(dir)
+          .filter(col("lang") === "en" || col("lang") === "zh")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast(LongType)).as("n_chars"),
+            expr("bit_xor(cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint))")
+              .as("content_xor"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -54,6 +54,12 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("w12: single-language read of the hive layout is partition-pruned") {
+    val p = plan("w12_hive_partitioned")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("lang"), s"lang predicate not in PartitionFilters:\n$pf")
+  }
+
   test("q32: band join is a broadcast nested-loop probe") {
     val p = plan("q32_band_join")
     assert(p.contains("BroadcastNestedLoopJoin"))
