@@ -644,13 +644,7 @@ object Graph {
           .select(col("a"), col("b"), col("w"))
           .orderBy(col("w").desc, col("a"), col("b"))
           .limit(50),
-      Some("""SELECT l1.l_partkey AS a, l2.l_partkey AS b,
-        |  COUNT(*) AS w
-        |FROM lineitem l1 JOIN lineitem l2
-        |  ON l1.l_orderkey = l2.l_orderkey
-        | AND l1.l_partkey < l2.l_partkey
-        |GROUP BY 1, 2
-        |ORDER BY w DESC, a, b LIMIT 50""".stripMargin)),
+      Some(copurchaseTop50Oracle)),
     // ------------------------------------------------------------------
     // ONE SYNCHRONOUS LOUVAIN PASS from singleton communities — the move
     // step of the standard community-detection loop (g06/g07 give the CC
@@ -708,4 +702,16 @@ object Graph {
         |  CAST(gain AS BIGINT) AS best_gain
         |FROM best WHERE rk = 1 ORDER BY node""".stripMargin)),
   )
+
+  /** g08's content gate over the co-purchase projection — shared with the
+    * incrementally-maintained streaming twin (st35), which must reproduce
+    * the identical top-50 from per-trigger delta joins. */
+  private[operators] lazy val copurchaseTop50Oracle: String =
+    """SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+      |  COUNT(*) AS w
+      |FROM lineitem l1 JOIN lineitem l2
+      |  ON l1.l_orderkey = l2.l_orderkey
+      | AND l1.l_partkey < l2.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY w DESC, a, b LIMIT 50""".stripMargin
 }

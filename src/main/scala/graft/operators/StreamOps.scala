@@ -969,6 +969,65 @@ object StreamOps {
           .groupBy("lang").agg(sum("n").as("n_docs")))
     }, Some(TextAnalysis.temperatureMixOracle)),
     // ------------------------------------------------------------------
+    // INCREMENTALLY-MAINTAINED CO-PURCHASE EDGES (streaming g08): the
+    // graph artifact every g-query reads, maintained by DELTA SELF-JOIN
+    // instead of nightly recomputation. Items arrive over two triggers
+    // SPLIT WITHIN ORDERS (partkey parity), so co-purchase pairs span
+    // trigger boundaries — the case per-trigger self-joins alone cannot
+    // see. Each micro-batch emits batch x batch pairs (strict pk order)
+    // PLUS batch x prior-ledger pairs (min/max normalized), appends the
+    // weight partials, then appends itself to the ledger; every unordered
+    // row pair lands in exactly one category, so the compacted weights
+    // equal the batch self-join's — the gate is g08's VERBATIM top-50
+    // oracle. Scale shape: the delta join is |batch| x O(basket) via the
+    // order-key equi-join (the ledger is hash-partitioned by order key at
+    // 100 TB, so each trigger shuffles only the batch); the pair log is
+    // int64-additive and compaction folds into any read.
+    Op("st35_stream_edge_maintenance", (s, d) => {
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val schema = li.schema
+      val dir = Streaming.stagedDir("edgemaint", d) { dir =>
+        li.filter(col("pk") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        li.filter(col("pk") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val out = Streaming.scratchDir("graft_edgeinc_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.persist()
+            val intra = b.as("x").join(b.as("y"),
+                col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+              .select(col("x.pk").as("a"), col("y.pk").as("b"))
+            val pairs =
+              if (new java.io.File(s"$out/ledger").exists) {
+                val prior = s.read.parquet(s"$out/ledger")
+                intra.unionByName(b.as("x").join(prior.as("y"),
+                    col("x.ok") === col("y.ok") &&
+                      col("x.pk") =!= col("y.pk"))
+                  .select(least(col("x.pk"), col("y.pk")).as("a"),
+                    greatest(col("x.pk"), col("y.pk")).as("b")))
+              } else intra
+            pairs.groupBy("a", "b").agg(count(lit(1)).as("w"))
+              .write.mode("append").parquet(s"$out/pairs")
+            b.write.mode("append").parquet(s"$out/ledger")
+            b.unpersist()
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/pairs")
+        .groupBy("a", "b").agg(sum("w").as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(50)
+    }, Some(Graph.copurchaseTop50Oracle)),
+    // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial
     // aggregate (one row per key per trigger); the read path compacts the
