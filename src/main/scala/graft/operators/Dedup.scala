@@ -1537,6 +1537,48 @@ object Dedup {
             .cast(LongType).as("rnk"))
         .orderBy("rnk")
     }, Some(d25OracleSql)),
+    // ------------------------------------------------------------------
+    // CROSS-SOURCE DUPLICATION ATTRIBUTION MATRIX — p04's dataset card
+    // says how much each (source, lang) cell duplicates; this says WHO
+    // SHARES CONTENT WITH WHOM: for every shared content fingerprint,
+    // the per-source occurrence counts c_s expand to pair counts
+    // (c_s1*c_s2 across sources, c_s*(c_s-1)/2 within), summed into a
+    // source x source matrix — the tool that catches one crawl mirroring
+    // another. The fingerprint is the 16-char OPENING PREFIX (the d13
+    // boilerplate relative — this fixture has no full-text exact dups, so
+    // a whole-text hash would gate on an empty matrix; shared templated
+    // openings are live and the pair algebra is identical for any key
+    // choice). All-integer arithmetic. Scale shape: one partial-agg
+    // groupBy on (fingerprint, source), a self-equi-join ON THE
+    // FINGERPRINT whose per-key fan-out is bounded by the source count
+    // (≤ |sources| rows per key, never a corpus blow-up), and an
+    // O(sources²) output aggregate.
+    Op("d26_dup_attribution", (s, d) => {
+      val occ = T.documents(s, d)
+        .select(md5(substring(col("text"), 1, 16)).as("h"), col("source"))
+        .groupBy("h", "source").agg(count(lit(1)).as("c"))
+      occ.as("x").join(occ.as("y"),
+          col("x.h") === col("y.h") && col("x.source") <= col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          when(col("x.source") === col("y.source"),
+            expr("x.c * (x.c - 1) div 2"))
+            .otherwise(col("x.c") * col("y.c")).as("np"))
+        .groupBy("source_a", "source_b")
+        .agg(sum("np").as("n_dup_pairs"))
+        .filter(col("n_dup_pairs") > 0L)
+        .orderBy("source_a", "source_b")
+    }, Some("""WITH occ AS (
+      |  SELECT md5(substr(text, 1, 16)) AS h, source, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    CASE WHEN x.source = y.source THEN x.c * (x.c - 1) // 2
+      |         ELSE x.c * y.c END AS np
+      |  FROM occ x JOIN occ y
+      |    ON x.h = y.h AND x.source <= y.source)
+      |SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS n_dup_pairs
+      |FROM pairs GROUP BY 1, 2 HAVING SUM(np) > 0
+      |ORDER BY source_a, source_b""".stripMargin)),
   )
 
   /** (b, r, log2 b, log2 r) banding candidates with b*r = 128. */

@@ -274,7 +274,71 @@ object Multimodal {
         |  al.aa AS audio_idx, a.energy
         |FROM al LEFT JOIN a ON a.doc_id = al.doc_id AND a.a = al.aa
         |ORDER BY al.doc_id, frame_idx""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ASPECT-RATIO BUCKETING — the image-generation training staple
+    // (variable-resolution batch packing): every image maps to the
+    // NEAREST of 7 standard aspect buckets so a batch can share one
+    // shape. Nearness of w/h to p/q is decided in EXACT INTEGERS:
+    // |w*q - h*p| / (h*q) comparisons share the factor h, so the score
+    // |w*q - h*p| * (144/q) (144 = lcm of the bucket denominators) ranks
+    // identically — no division, no float, ties -> smallest bucket id.
+    // Width/height come from mm01's metadata derivation. Scale shape:
+    // the 7-bucket table is a broadcast literal; scoring is a codegen'd
+    // projection (7 rows per image pre-aggregation, map-side combined),
+    // and the output is O(buckets). The per-bucket MEAN aspect ratio is
+    // pico-unit-quantized so its sum is partition-order free.
+    Op("mm09_aspect_buckets", (s, d) => {
+      import s.implicits._
+      val h = "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"
+      val imgs = T.documents(s, d).select(col("doc_id"),
+        (lit(64L) + expr(h) % 1024L).as("w"),
+        (lit(64L) + expr(s"$h div 1024") % 1024L).as("hh"))
+      val buckets = MM_BUCKETS.toDF("bucket_id", "p", "q")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score"), col("bucket_id"))
+      imgs.crossJoin(broadcast(buckets))
+        .withColumn("score",
+          abs(col("w") * col("q") - col("hh") * col("p")) *
+            (lit(144L) / col("q")).cast(LongType))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("bucket_id", "p", "q")
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("w") * col("hh")).as("sum_pixels"),
+          (sum(floor((col("w").cast(DoubleType) / col("hh").cast(DoubleType))
+              * lit(1.0e12) + lit(0.5)).cast(LongType)).cast(DoubleType) /
+            lit(1.0e12) / count(lit(1)).cast(DoubleType)).as("mean_ar"))
+        .orderBy("bucket_id")
+    }, Some("""WITH imgs AS (
+      |  SELECT doc_id,
+      |    64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1024) AS w,
+      |    64 + ((('0x' || substr(md5(text), 1, 8))::BIGINT // 1024) % 1024)
+      |      AS h
+      |  FROM documents),
+      |buckets(bucket_id, p, q) AS (VALUES
+      |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (1, 4, 3), (2, 3, 4), (3, 16, 9), (4, 9, 16), (5, 3, 2), (6, 2, 3)),
+      |scored AS (
+      |  SELECT doc_id, w, h, bucket_id, p, q,
+      |    abs(w * q - h * p) * (144 // q) AS score
+      |  FROM imgs CROSS JOIN buckets),
+      |best AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score, bucket_id) AS rk
+      |  FROM scored)
+      |SELECT bucket_id, p, q, COUNT(*) AS n_images,
+      |  CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+      |  CAST(SUM(CAST(FLOOR((CAST(w AS DOUBLE) / CAST(h AS DOUBLE))
+      |      * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*)
+      |    AS mean_ar
+      |FROM best WHERE rk = 1
+      |GROUP BY bucket_id, p, q ORDER BY bucket_id""".stripMargin)),
   )
+
+  /** (bucket_id, p, q) standard aspect buckets; q divides 144. */
+  private lazy val MM_BUCKETS: Seq[(Long, Long, Long)] = Seq(
+    (0L, 1L, 1L), (1L, 4L, 3L), (2L, 3L, 4L), (3L, 16L, 9L),
+    (4L, 9L, 16L), (5L, 3L, 2L), (6L, 2L, 3L))
 
   /** The mm07 stripe-energy perceptual hash: (doc_id, phash) for every doc
     * with >= 64 payload units. Shared with the p03 pipeline.
