@@ -344,6 +344,77 @@ object Curation {
           .orderBy("source", "lang")
       },
       Some(dataCardOracle)),
+    // ------------------------------------------------------------------
+    // TRAINING MANIFEST — the mixture made actionable: quality-filter the
+    // corpus (Gopher-lite length gates), compute the α=0.5 temperature
+    // mixture OVER THE SURVIVORS (t27's exact arithmetic, shared helper),
+    // convert it to per-language QUOTAS against a half-corpus token
+    // budget, then SELECT the quota deterministically (md5 rank within
+    // language, doc_id tiebreak — t12's pick idiom) and emit the
+    // per-(lang, source) manifest a downstream trainer consumes. Every
+    // stage is the parity-proven standalone semantics; the composition
+    // stays one CTE chain for the oracle. Scale shape: the mixture is
+    // O(languages); selection is one window rank per language partition
+    // (at 100 TB: quota via the q54 quantile sketch on the md5 rank key
+    // instead of a full per-language sort); the manifest is
+    // O(langs x sources).
+    Op(
+      "p05_training_manifest",
+      (s, d) => {
+        val surv = T.documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+          .filter(col("n_tok") >= 20L && col("n_chars") >= 100L)
+        val mix = TextAnalysis.temperatureMix(
+          surv.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
+          .select(col("lang"), col("q"))
+        val budget = surv.agg(floor(count(lit(1)) / lit(2L))
+          .cast(LongType).as("budget"))
+        val quota = mix.crossJoin(broadcast(budget))
+          .select(col("lang"),
+            floor(col("budget").cast(DoubleType) * col("q") + lit(0.5))
+              .cast(LongType).as("quota"))
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("text")), col("doc_id"))
+        surv.withColumn("rk", row_number().over(w).cast(LongType))
+          .join(broadcast(quota), Seq("lang"))
+          .filter(col("rk") <= col("quota"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("n_sel_tokens"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH surv AS (
+        |  SELECT doc_id, lang, source, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE CAST(len(string_split(text, ' ')) AS BIGINT) >= 20
+        |    AND n_chars >= 100),
+        |c AS (SELECT lang, COUNT(*) AS n_docs FROM surv GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS n_tot FROM c),
+        |sx AS (
+        |  SELECT lang,
+        |    SQRT(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS sq
+        |  FROM c, t),
+        |z AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(sq * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1e12 AS z
+        |  FROM sx),
+        |b AS (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS budget
+        |      FROM surv),
+        |quota AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(CAST(budget AS DOUBLE) * (sq / z) + 0.5) AS BIGINT)
+        |      AS quota
+        |  FROM sx, z, b),
+        |ranked AS (
+        |  SELECT surv.*, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(text), doc_id) AS rk
+        |  FROM surv)
+        |SELECT r.lang, r.source, COUNT(*) AS n_sel,
+        |  CAST(SUM(r.n_tok) AS BIGINT) AS n_sel_tokens
+        |FROM ranked r JOIN quota ON quota.lang = r.lang
+        |WHERE r.rk <= quota.quota
+        |GROUP BY r.lang, r.source
+        |ORDER BY r.lang, r.source""".stripMargin)),
   )
 
   /** p04's card SQL — also the gate for st33's incrementally-maintained
