@@ -1028,6 +1028,44 @@ object StreamOps {
         .limit(50)
     }, Some(Graph.copurchaseTop50Oracle)),
     // ------------------------------------------------------------------
+    // STREAMING DISTRIBUTION-DRIFT MONITOR (incremental t28): the
+    // (source, token) count ledger is int64-additive, so per-trigger
+    // partials compact to EXACTLY the batch counts and the KL arithmetic
+    // (one rounded transcendental per term, decimal-summed) reproduces
+    // the batch report bit-for-bit — the gate is t28's verbatim oracle.
+    // The live shape: each trigger folds O(batch vocab) partials into the
+    // ledger; recomputing the drift report after a trigger reads the
+    // compacted O(sources x vocab) aggregate, never the raw corpus.
+    Op("st36_stream_kl_drift", (s, d) => {
+      val docsDf = T.documents(s, d).select("doc_id", "source", "text")
+      val schema = docsDf.schema
+      val dir = Streaming.stagedDir("kldrift", d) { dir =>
+        docsDf.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        docsDf.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val out = Streaming.scratchDir("graft_kl_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("source"),
+                explode(split(col("text"), " ")).as("w"))
+              .groupBy("source", "w").agg(count(lit(1)).as("n"))
+              .write.mode("append").parquet(s"$out/counts")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      TextAnalysis.sourceKl(
+        s.read.parquet(s"$out/counts")
+          .groupBy("source", "w").agg(sum("n").as("c_sw")))
+    }, Some(TextAnalysis.sourceKlOracle)),
+    // ------------------------------------------------------------------
     // Incremental materialized aggregate via foreachBatch (the lambda-free
     // upsert pattern): each micro-batch appends its tiny per-key partial
     // aggregate (one row per key per trigger); the read path compacts the

@@ -1187,6 +1187,25 @@ object TextAnalysis {
       (s, d) => temperatureMix(T.documents(s, d)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
       Some(temperatureMixOracle)),
+    // ------------------------------------------------------------------
+    // PER-SOURCE DISTRIBUTION DRIFT — KL(source ‖ corpus) over unigram
+    // token distributions: the curation signal that catches a crawl whose
+    // vocabulary quietly diverged from the mixture (CUSUM/st26 watches a
+    // numeric statistic; this watches the whole token distribution).
+    // Source vocabularies are subsets of the corpus vocabulary by
+    // construction, so every term's p_corpus > 0 and the sum is finite.
+    // Scale shape: ONE (source, w) partial-agg scan; the corpus marginals
+    // derive from that aggregate (no second corpus pass); the term join
+    // keys on the token (shuffled equi-join at scale, the aggregate
+    // already hash-partitioned by a compatible key) and the output is
+    // O(sources). ln is rounded to 9 decimals into DECIMAL(24,9) before
+    // summing (t26's idiom), making the reduction order-free.
+    Op(
+      "t28_source_kl_drift",
+      (s, d) => sourceKl(T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))),
+      Some(sourceKlOracle)),
   )
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared
@@ -1207,6 +1226,54 @@ object TextAnalysis {
           .as("sampled_docs"))
       .orderBy("lang")
   }
+
+  /** t28's divergence arithmetic over a (source, w, c_sw) token-count
+    * table — shared with the incrementally-maintained streaming twin
+    * (st36). Every count is exact; the one transcendental (ln) is rounded
+    * to 9 decimals into DECIMAL(24,9) before summing (the t26 idiom), so
+    * the per-source sum is partition- and trigger-order free. */
+  private[operators] def sourceKl(cntSw: DataFrame): DataFrame = {
+    val cntW = cntSw.groupBy("w").agg(sum("c_sw").as("c_cw"))
+    val nS = cntSw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val nC = cntSw.agg(sum("c_sw").as("n_c"))
+    cntSw
+      .join(cntW, "w")
+      .join(nS, "source")
+      .crossJoin(broadcast(nC))
+      .select(col("source"),
+        round((col("c_sw").cast(DoubleType) / col("n_s").cast(DoubleType)) *
+          log((col("c_sw") * col("n_c")).cast(DoubleType) /
+            (col("c_cw") * col("n_s")).cast(DoubleType)), 9)
+          .cast(DecimalType(24, 9)).as("term"),
+        col("n_s"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("vocab_used"),
+        sum(col("term")).cast(DoubleType).as("kl"))
+      .orderBy("source")
+  }
+
+  private[operators] lazy val sourceKlOracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |csw AS (
+      |  SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2),
+      |cw AS (SELECT w, SUM(c_sw) AS c_cw FROM csw GROUP BY w),
+      |ns AS (SELECT source, SUM(c_sw) AS n_s FROM csw GROUP BY source),
+      |nc AS (SELECT SUM(c_sw) AS n_c FROM csw),
+      |terms AS (
+      |  SELECT csw.source,
+      |    CAST(ROUND((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+      |      ln(CAST(c_sw * n_c AS DOUBLE) / CAST(c_cw * n_s AS DOUBLE)), 9)
+      |      AS DECIMAL(24, 9)) AS term,
+      |    n_s
+      |  FROM csw JOIN cw ON cw.w = csw.w
+      |  JOIN ns ON ns.source = csw.source, nc)
+      |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS vocab_used,
+      |  CAST(SUM(term) AS DOUBLE) AS kl
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
   private[operators] lazy val temperatureMixOracle: String =
     """WITH c AS (
