@@ -352,5 +352,38 @@ object SourceOps {
         |    AS content_xor
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // NESTED-STRUCT SCHEMA PRUNING — documents persisted in the nested
+    // shape real lakehouse corpora use (metadata struct wrapping the
+    // payload): a rollup that touches only two metadata leaves must reach
+    // the parquet scan with a ReadSchema of JUST those leaves — at 100 TB
+    // reading `meta.stats.n_tok` without pruning drags the text payload
+    // (~99% of the bytes) through every scan. The values gate proves the
+    // nested roundtrip; PlanSuite pins that the scan's ReadSchema
+    // excludes the payload column (Spark's nested-schema-pruning rule at
+    // work — declarative select, no manual projection pushdown).
+    Op(
+      "w13_nested_pruning",
+      (s, d) => {
+        val dir = graft.streaming.Streaming.stagedDir("w13nest", d) { dir =>
+          T.documents(s, d)
+            .select(col("doc_id"),
+              struct(col("lang"), col("source"),
+                struct(col("n_chars"),
+                  size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+                  .as("stats")).as("meta"),
+              col("text"))
+            .write.mode("overwrite").parquet(dir)
+        }
+        s.read.parquet(dir)
+          .select(col("meta.lang").as("lang"),
+            col("meta.stats.n_tok").as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

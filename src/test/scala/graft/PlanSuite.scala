@@ -60,6 +60,13 @@ class PlanSuite extends AnyFunSuite {
     assert(pf.contains("lang"), s"lang predicate not in PartitionFilters:\n$pf")
   }
 
+  test("w13: nested scan prunes to the two metadata leaves (no payload)") {
+    val p = plan("w13_nested_pruning")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(rs.contains("n_tok") && rs.contains("lang"), rs)
+    assert(!rs.contains("text"), s"payload column not pruned:\n$rs")
+  }
+
   test("q32: band join is a broadcast nested-loop probe") {
     val p = plan("q32_band_join")
     assert(p.contains("BroadcastNestedLoopJoin"))
