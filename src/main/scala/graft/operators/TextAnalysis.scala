@@ -1206,6 +1206,75 @@ object TextAnalysis {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))),
       Some(sourceKlOracle)),
+    // ------------------------------------------------------------------
+    // VOCABULARY GROWTH CURVE (Heaps' law) over TRIGRAM types: |vocab|
+    // within the first k tokens of the deterministic doc_id-ordered
+    // stream, for a doubling grid of k — the sizing signal for tokenizer
+    // training and OOV-rate forecasting (trigrams because this fixture's
+    // unigram inventory saturates at 31 types inside the first window —
+    // a flat curve gates nothing). All exact integers: the GLOBAL
+    // position of a trigram is the per-doc cumulative token offset (a
+    // window sum over O(docs) rows — never a token-level sort) plus the
+    // in-doc position of its first token; each type's first occurrence
+    // is a min aggregate; the curve is a sum-of-indicators against the
+    // broadcast grid. Docs under 3 tokens are excluded on BOTH sides
+    // (Spark's sequence() descends when stop < start — the empty-doc
+    // divergence between engines lives exactly there). Scale shape: one
+    // explode scan into a (type, min-index) partial agg, O(docs) window,
+    // O(grid) output.
+    Op(
+      "t29_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("n_tok", size(col("t")).cast(LongType))
+          .filter(col("n_tok") >= 3L)
+        val offs = docs.withColumn("off",
+          coalesce(sum("n_tok").over(org.apache.spark.sql.expressions
+            .Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val firstPos = offs
+          .withColumn("p", explode(expr("sequence(1, size(t) - 2)")))
+          .select(
+            expr("concat_ws(' ', element_at(t, p), element_at(t, p + 1), " +
+              "element_at(t, p + 2))").as("w"),
+            (col("off") + col("p")).as("gidx"))
+          .groupBy("w").agg(min("gidx").as("first_idx"))
+        val grid = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L,
+          64000L, Long.MaxValue).toDF("k")
+        firstPos.crossJoin(broadcast(grid))
+          .groupBy("k")
+          .agg(sum(when(col("first_idx") <= col("k"), 1L).otherwise(0L))
+            .as("vocab"))
+          .select(col("k"), col("vocab"))
+          .orderBy("k")
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE CAST(len(string_split(text, ' ')) AS BIGINT) >= 3),
+        |offs AS (
+        |  SELECT doc_id, t,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM docs),
+        |fp AS (
+        |  SELECT t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS w,
+        |    MIN(off + p) AS first_idx
+        |  FROM offs,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS p)
+        |  GROUP BY 1),
+        |grid(k) AS (VALUES (CAST(1000 AS BIGINT)), (2000), (4000),
+        |  (8000), (16000), (32000), (64000),
+        |  (9223372036854775807))
+        |SELECT k,
+        |  CAST(SUM(CASE WHEN first_idx <= k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab
+        |FROM fp CROSS JOIN grid
+        |GROUP BY k ORDER BY k""".stripMargin)),
   )
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared
