@@ -701,7 +701,63 @@ object Graph {
         |    AS new_comm,
         |  CAST(gain AS BIGINT) AS best_gain
         |FROM best WHERE rk = 1 ORDER BY node""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TWO-HOP RECOMMENDATIONS ("customers who bought this also
+    // bought...") — the item-item collaborative-filtering step over the
+    // co-purchase graph: candidate c for item a scores sum over shared
+    // neighbors m of w(a,m)*w(m,c), EXCLUDING items already co-purchased
+    // directly (a LEFT ANTI join on the edge set) and self-loops.
+    // Integer path arithmetic -> exact hash gate. Scale shape: ONE
+    // self-equi-join of the weighted edge list on the middle node
+    // (wedge-bounded like g02, on the same 1/16-thinned view), a
+    // map-side-combinable score aggregate on (a, c), the anti join on
+    // the canonical edge key, and TakeOrdered for the top-100 — never a
+    // global sort. At 100 TB both joins shuffle on item keys the edge
+    // artifact is already bucketed by.
+    Op(
+      "g10_two_hop_recs",
+      (s, d) => {
+        val bi = sampledWeightedBi(s, d).persist()
+        val paths = bi.select(col("a"), col("b").as("m"), col("w").as("w1"))
+          .join(bi.select(col("a").as("m"), col("b").as("c"),
+            col("w").as("w2")), "m")
+          .filter(col("a") =!= col("c"))
+          .groupBy("a", "c").agg(sum(col("w1") * col("w2")).as("score"))
+        paths
+          .join(bi.select(col("a"), col("b").as("c")),
+            Seq("a", "c"), "left_anti")
+          .orderBy(col("score").desc, col("a"), col("c"))
+          .limit(100)
+      },
+      Some("""WITH ed AS (
+        |  SELECT a, b, w FROM (
+        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS w
+        |    FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey
+        |     AND l1.l_partkey <> l2.l_partkey
+        |    GROUP BY 1, 2)
+        |  WHERE substr(md5(CAST(LEAST(a, b) AS VARCHAR) || ':' ||
+        |    CAST(GREATEST(a, b) AS VARCHAR)), 1, 1) = '0'),
+        |paths AS (
+        |  SELECT x.a, y.b AS c, SUM(x.w * y.w) AS score
+        |  FROM ed x JOIN ed y ON x.b = y.a
+        |  WHERE x.a <> y.b GROUP BY 1, 2)
+        |SELECT p.a, p.c, CAST(p.score AS BIGINT) AS score
+        |FROM paths p
+        |WHERE NOT EXISTS (SELECT 1 FROM ed
+        |  WHERE ed.a = p.a AND ed.b = p.c)
+        |ORDER BY score DESC, a, c LIMIT 100""".stripMargin)),
   )
+
+  /** g10's 1/16-thinned weighted directed edge view (both orientations,
+    * canonical-pair md5 sample — the [[sampledUndirectedEdges]] thinning
+    * with the shared-order weight kept). */
+  private[graft] def sampledWeightedBi(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    coPurchaseEdges(s, d)
+      .filter(substring(md5(concat(
+        least(col("a"), col("b")).cast("string"), lit(":"),
+        greatest(col("a"), col("b")).cast("string"))), 1, 1) === "0")
 
   /** g08's content gate over the co-purchase projection — shared with the
     * incrementally-maintained streaming twin (st35), which must reproduce
