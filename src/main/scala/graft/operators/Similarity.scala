@@ -1067,5 +1067,71 @@ object Similarity {
         .select("qid", "rk", "vec_id", "dist2")
         .orderBy("qid", "rk")
     }, Some(MLOps.s14OracleSql)),
+    // ------------------------------------------------------------------
+    // MAXIMUM INNER-PRODUCT SEARCH via the augmented-norm reduction
+    // (Shrivastava & Li, NeurIPS 2014): with every corpus vector
+    // augmented to the constant norm M = max|x| (extra coordinate
+    // sqrt(M² - |x|²)) and queries augmented with 0, cosine ranking over
+    // the augmented space EQUALS inner-product ranking — which is what
+    // lets the engine's cosine ANN stack (s02-s14) serve MIPS workloads
+    // unchanged. The gate proves the reduction end to end: top-3 per
+    // query by raw inner product and by the augmented cosine, with the
+    // per-rank agreement emitted as a hash-gated column. Every score is
+    // the shared left-fold dot kernel (bit-identical cross-engine); the
+    // norm cap is a one-row broadcast max over n² (no sqrt until the
+    // final scalar ops). Scale shape: identical to s01's baseline — one
+    // broadcast of the 16-query set, one corpus scan, per-query top-k;
+    // the reduction adds two scalars per row.
+    Op("s15_mips_search", (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+            .as("n2"))
+      val maxN2 = e.agg(max("n2").as("m2"))
+      val q = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("n2").as("qn2"))
+      val scored = e.crossJoin(broadcast(q)).crossJoin(broadcast(maxN2))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ip",
+          expr("aggregate(zip_with(q_emb, embedding, " +
+            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .withColumn("mips_cos",
+          col("ip") / (sqrt(col("qn2")) * sqrt(col("m2"))))
+      val wIp = Window.partitionBy("q_id")
+        .orderBy(col("ip").desc, col("vec_id"))
+      val wCos = Window.partitionBy("q_id")
+        .orderBy(col("mips_cos").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(wCos).cast(LongType))
+        .withColumn("rk_ip", row_number().over(wIp).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("ip"),
+          col("mips_cos"), (col("rk") === col("rk_ip")).as("agree"))
+        .orderBy("q_id", "rk")
+    }, Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${VecSql.dot("embedding", "embedding")} AS n2
+      |  FROM embeddings),
+      |m AS (SELECT MAX(n2) AS m2 FROM e),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+      |      FROM e WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    ${VecSql.dot("q.q_emb", "e.embedding")} AS ip, q.qn2, m.m2
+      |  FROM e CROSS JOIN q CROSS JOIN m
+      |  WHERE e.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, ip,
+      |    ip / (sqrt(qn2) * sqrt(m2)) AS mips_cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY ip / (sqrt(qn2) * sqrt(m2)) DESC, vec_id) AS rk,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY ip DESC, vec_id) AS rk_ip
+      |  FROM sc)
+      |SELECT q_id, rk, vec_id, ip, mips_cos, rk = rk_ip AS agree
+      |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
   )
 }
