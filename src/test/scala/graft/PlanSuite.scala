@@ -67,6 +67,18 @@ class PlanSuite extends AnyFunSuite {
     assert(!rs.contains("text"), s"payload column not pruned:\n$rs")
   }
 
+  test("g10: top-100 recommendations take the TakeOrdered path") {
+    val p = plan("g10_two_hop_recs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("s15: MIPS scan broadcasts the query set (no corpus shuffle)") {
+    val p = plan("s15_mips_search")
+    assert(!p.contains("SortMergeJoin"), "query join degraded to SMJ")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q32: band join is a broadcast nested-loop probe") {
     val p = plan("q32_band_join")
     assert(p.contains("BroadcastNestedLoopJoin"))
