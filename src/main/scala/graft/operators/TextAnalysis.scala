@@ -1220,7 +1220,10 @@ object TextAnalysis {
     // broadcast grid. Docs under 3 tokens are excluded on BOTH sides
     // (Spark's sequence() descends when stop < start — the empty-doc
     // divergence between engines lives exactly there). Scale shape: one
-    // explode scan into a (type, min-index) partial agg, O(docs) window,
+    // explode scan into a (type, min-index) partial agg, a TWO-PHASE
+    // prefix sum for the offsets (per-bucket windows in parallel + a
+    // bucket ledger 1000x smaller than the doc count — a single global
+    // ORDER BY window would serialize every doc through one partition),
     // O(grid) output.
     Op(
       "t29_vocab_growth",
@@ -1230,10 +1233,19 @@ object TextAnalysis {
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .withColumn("n_tok", size(col("t")).cast(LongType))
           .filter(col("n_tok") >= 3L)
-        val offs = docs.withColumn("off",
-          coalesce(sum("n_tok").over(org.apache.spark.sql.expressions
-            .Window.orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bkt", (col("doc_id") / lit(1000L)).cast(LongType))
+        val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktOff = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
+          .withColumn("boff",
+            coalesce(sum("btot").over(org.apache.spark.sql.expressions
+              .Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "boff")
+        val offs = docs
+          .withColumn("inoff", coalesce(sum("n_tok").over(wIn), lit(0L)))
+          .join(broadcast(bktOff), "bkt")
+          .withColumn("off", col("boff") + col("inoff"))
         val firstPos = offs
           .withColumn("p", explode(expr("sequence(1, size(t) - 2)")))
           .select(
