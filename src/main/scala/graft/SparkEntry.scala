@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.ops ++
     operators.Relational2.ops ++
     operators.Relational3.ops ++
+    operators.Relational4.ops ++
     operators.AsOf.ops ++
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++
