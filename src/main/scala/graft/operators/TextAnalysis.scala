@@ -1287,6 +1287,106 @@ object TextAnalysis {
         |    AS vocab
         |FROM fp CROSS JOIN grid
         |GROUP BY k ORDER BY k""".stripMargin)),
+    // ------------------------------------------------------------------
+    // READABILITY PROFILE per language — the Flesch-style length/syllable
+    // statistics quality filters cut on (docs with very long words or
+    // dense syllable runs are OCR junk; very short ones are boilerplate).
+    // "Syllables" are maximal vowel runs — the standard dictionary-free
+    // approximation, identical regex in both engines. Parity: every
+    // per-document feature is an exact integer (token/letter/vowel-run
+    // counts); they aggregate as integer sums (order-independent), and the
+    // three derived doubles are computed by the SAME literal expression
+    // tree on bit-identical operands — one divide (+ for ease, two
+    // multiplies and two subtracts, left-associated) at the very end.
+    // Scale shape: pure per-row codegen'd expressions, map-side partial
+    // agg to O(langs) rows, no shuffle beyond the 5-row final exchange.
+    Op(
+      "t30_readability",
+      (s, d) => {
+        T.documents(s, d)
+          .select(col("lang"),
+            expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"),
+            expr("cast(length(replace(text, ' ', '')) as bigint)").as("n_let"),
+            expr("cast(size(regexp_extract_all(text, '[aeiou]+', 0)) as bigint)")
+              .as("n_syl"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
+            sum("n_let").as("let"), sum("n_syl").as("syl"))
+          .select(col("lang"), col("n_docs"), col("tok").as("n_tokens"),
+            (col("let").cast(DoubleType) / col("tok").cast(DoubleType))
+              .as("avg_word_len"),
+            (col("syl").cast(DoubleType) / col("tok").cast(DoubleType))
+              .as("syll_per_word"),
+            (lit(100.0)
+              - lit(60.0) * (col("syl").cast(DoubleType) / col("tok").cast(DoubleType))
+              - lit(10.0) * (col("let").cast(DoubleType) / col("tok").cast(DoubleType)))
+              .as("ease"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_let,
+        |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syl
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS tok,
+        |    SUM(n_let) AS let, SUM(n_syl) AS syl
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_docs, CAST(tok AS BIGINT) AS n_tokens,
+        |  CAST(let AS DOUBLE) / CAST(tok AS DOUBLE) AS avg_word_len,
+        |  CAST(syl AS DOUBLE) / CAST(tok AS DOUBLE) AS syll_per_word,
+        |  100.0 - 60.0 * (CAST(syl AS DOUBLE) / CAST(tok AS DOUBLE))
+        |        - 10.0 * (CAST(let AS DOUBLE) / CAST(tok AS DOUBLE)) AS ease
+        |FROM a ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // LEXICAL-DIVERSITY DECILES — type-token ratio + hapax census, the
+    // diversity cut curation stacks use next to t03/t21 (template spam has
+    // low TTR, OCR noise has high hapax share). Everything stays in the
+    // INTEGER domain: per-doc distinct/hapax counts are exact, the decile
+    // is integer arithmetic ((10*distinct) DIV tokens, capped), and the
+    // single double (corpus TTR per decile) is one divide of two exact
+    // integer sums. The hapax count is an array-domain lambda over the
+    // per-doc token list (docs are chunk-bounded, so the d*n per-doc cost
+    // is a constant at any corpus size) — shuffle-free like the winnowing
+    // family; only the O(10)-row aggregate exchanges.
+    Op(
+      "t31_lexical_diversity",
+      (s, d) => {
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(
+            expr("cast(size(t) as bigint)").as("n_tok"),
+            expr("cast(size(array_distinct(t)) as bigint)").as("n_dis"),
+            expr("cast(size(filter(array_distinct(t), " +
+              "x -> size(filter(t, y -> y = x)) = 1)) as bigint)").as("hapax"))
+          .select(expr("least((10 * n_dis) DIV n_tok, 9)").as("ttr_decile"),
+            col("n_tok"), col("n_dis"), col("hapax"))
+          .groupBy("ttr_decile")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+            sum("n_dis").as("sum_distinct"), sum("hapax").as("sum_hapax"))
+          .withColumn("ttr",
+            col("sum_distinct").cast(DoubleType) / col("sum_tok").cast(DoubleType))
+          .orderBy("ttr_decile")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (
+        |  SELECT CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_dis,
+        |    CAST(len(list_filter(list_distinct(t),
+        |      x -> len(list_filter(t, y -> y = x)) = 1)) AS BIGINT) AS hapax
+        |  FROM d),
+        |b AS (
+        |  SELECT LEAST((10 * n_dis) // n_tok, 9) AS ttr_decile,
+        |    n_tok, n_dis, hapax
+        |  FROM m)
+        |SELECT ttr_decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(SUM(n_dis) AS BIGINT) AS sum_distinct,
+        |  CAST(SUM(hapax) AS BIGINT) AS sum_hapax,
+        |  CAST(SUM(n_dis) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS ttr
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared
