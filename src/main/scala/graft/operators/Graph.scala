@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Op, T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Graph analytics over the part co-purchase graph (parts appearing in the
   * same order are neighbors — the item-item graph every recommender starts
@@ -747,6 +748,141 @@ object Graph {
         |WHERE NOT EXISTS (SELECT 1 FROM ed
         |  WHERE ed.a = p.a AND ed.b = p.c)
         |ORDER BY score DESC, a, c LIMIT 100""".stripMargin)),
+    // ------------------------------------------------------------------
+    // PERSONALIZED PAGERANK — g01's fixed-point integer recurrence with
+    // the teleport mass concentrated on a deterministic seed set (parts
+    // with key ≡ 0 mod 97): the "related to THESE items" ranking behind
+    // every seeded recommendation surface. Differences from g01 that the
+    // gate must honor exactly: rank mass starts on the seeds only
+    // (Scale/|S| each), and each round's teleport term re-injects into
+    // seeds via a FULL OUTER join of the contribution table against the
+    // seed set (a seed with no in-contributions this round must not
+    // vanish; a non-seed keeps only its damped contributions). All
+    // arithmetic is integral (DIV), so the ranking hash-matches the
+    // DuckDB unrolled-CTE oracle bit-for-bit under any partitioning.
+    // Scale shape: identical to g01's broadcast path — the O(nodes) rank
+    // table broadcasts against the degree-folded persisted edge list each
+    // round (seeds are a broadcast-sized side by construction); past
+    // broadcast size the g01 co-partitioned iteration applies unchanged.
+    Op(
+      "g11_personalized_pagerank",
+      (s, d) => {
+        val es = coPurchaseEdges(s, d).select("a", "b")
+        val deg = es.groupBy("a").agg(count(lit(1)).as("deg"))
+        val ej = es.join(deg, "a").persist()
+        val seeds = es.filter(col("a") % 97 === 0)
+          .select(col("a").as("node")).distinct().persist()
+        val nSeeds = seeds.count()
+        val basep = Scale / nSeeds
+        var ranks = seeds.select(col("node"), lit(basep).as("r"))
+        for (_ <- 1 to 5) {
+          val contrib = ej
+            .join(broadcast(ranks), ej("a") === ranks("node"))
+            .select(col("b").as("node"), expr("r DIV deg").as("c"))
+            .groupBy("node")
+            .agg(sum("c").as("s"))
+          ranks = contrib
+            .join(seeds.select(col("node"), lit(1).as("isSeed")),
+              Seq("node"), "full_outer")
+            .select(col("node"),
+              (when(col("isSeed").isNotNull, lit(15L * basep / 100L))
+                .otherwise(0L)
+                + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
+                .as("r"))
+            .localCheckpoint()
+        }
+        ej.unpersist(blocking = false)
+        ranks.orderBy(col("r").desc, col("node")).limit(20)
+          .select(col("node"), col("r").as("rank_fp"))
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""c$k AS (
+             |  SELECT e.b AS node, SUM(r.r // d.deg) AS s
+             |  FROM es e JOIN r${k - 1} r ON r.node = e.a
+             |  JOIN deg d ON d.a = e.a GROUP BY e.b),
+             |r$k AS (
+             |  SELECT COALESCE(c.node, sd.node) AS node,
+             |    (CASE WHEN sd.node IS NOT NULL
+             |       THEN (15 * (SELECT basep FROM params)) // 100
+             |       ELSE 0 END)
+             |    + (85 * COALESCE(c.s, 0)) // 100 AS r
+             |  FROM c$k c FULL OUTER JOIN seeds sd ON c.node = sd.node)"""
+            .stripMargin
+        s"""WITH es AS (
+           |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           |  FROM lineitem l1 JOIN lineitem l2
+           |    ON l1.l_orderkey = l2.l_orderkey
+           |   AND l1.l_partkey <> l2.l_partkey),
+           |deg AS (SELECT a, COUNT(*) AS deg FROM es GROUP BY a),
+           |seeds AS (SELECT DISTINCT a AS node FROM es WHERE a % 97 = 0),
+           |params AS (
+           |  SELECT CAST(${Scale} AS BIGINT) // COUNT(*) AS basep
+           |  FROM seeds),
+           |r0 AS (SELECT node, (SELECT basep FROM params) AS r FROM seeds),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r5
+           |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+      }),
+    // ------------------------------------------------------------------
+    // DEGREE ASSORTATIVITY — the Pearson correlation of endpoint degrees
+    // across directed edges, the one-number answer to "do popular items
+    // co-sell with popular items?". Float-parity scheme: every moment
+    // (Σx, Σy, Σxy, Σx², Σy², m) is an EXACT integer aggregate
+    // (order-independent under any partitioning); the correlation is then
+    // one fixed expression tree of multiply/subtract/sqrt/divide on those
+    // integers — and IEEE 754 requires sqrt to be correctly rounded (it
+    // is NOT a libm transcendental), so the double is bit-identical in
+    // both engines. Scale shape: two broadcast-or-shuffle joins attach
+    // the O(nodes) degree table to the edge scan, then a six-cell
+    // partial-agg fold — no edge-side shuffle survives. At 100 TB the
+    // moment sums would be lifted to DECIMAL(38,0) (deg ≤ 1e6 edges
+    // squared exceeds int64); at fixture scale int64 is exact and the
+    // oracle's HUGEINT sums cast down losslessly.
+    Op(
+      "g12_degree_assortativity",
+      (s, d) => {
+        val es = coPurchaseEdges(s, d).select("a", "b")
+        val deg = es.groupBy("a").agg(count(lit(1)).as("deg"))
+        val de = es
+          .join(deg.select(col("a"), col("deg").as("x")), "a")
+          .join(deg.select(col("a").as("b"), col("deg").as("y")), "b")
+          .select("x", "y")
+        de.agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"))
+          .select(col("m"), col("sx"), col("sxy"),
+            ((col("m") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+              / (sqrt((col("m") * col("sx2") - col("sx") * col("sx"))
+                  .cast(DoubleType))
+                * sqrt((col("m") * col("sy2") - col("sy") * col("sy"))
+                  .cast(DoubleType))))
+              .as("assortativity"))
+      },
+      Some("""WITH es AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey <> l2.l_partkey),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM es GROUP BY a),
+        |de AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM es JOIN deg da ON da.a = es.a
+        |  JOIN deg db ON db.a = es.b),
+        |s AS (
+        |  SELECT COUNT(*) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sx2,
+        |    CAST(SUM(y*y) AS BIGINT) AS sy2
+        |  FROM de)
+        |SELECT m, sx, sxy,
+        |  CAST(m*sxy - sx*sy AS DOUBLE)
+        |  / (sqrt(CAST(m*sx2 - sx*sx AS DOUBLE))
+        |     * sqrt(CAST(m*sy2 - sy*sy AS DOUBLE))) AS assortativity
+        |FROM s""".stripMargin)),
   )
 
   /** g10's 1/16-thinned weighted directed edge view (both orientations,

@@ -1133,5 +1133,70 @@ object Similarity {
       |  FROM sc)
       |SELECT q_id, rk, vec_id, ip, mips_cos, rk = rk_ip AS agree
       |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // INT8-QUANTIZED SEARCH — top-k retrieval over s05's int8 codes: the
+    // memory-bandwidth-bound serving path real vector stores run (4 bytes
+    // -> 1 byte per dim means 4x more vectors per scan, and the scoring
+    // loop is integer MACs a SIMD unit eats). Codes are s05's per-vector
+    // max-abs scheme; the score is the EXACT integer dot product of code
+    // vectors, so unlike every float-scored ANN gate the ENTIRE result —
+    // scores included — is value-checked cross-engine with no float
+    // hazard at all. Scale shape: the ≤16-query code set broadcasts, the
+    // corpus side is one scan projection (quantize + score are
+    // elementwise), and per-query top-5 needs only per-partition heaps +
+    // an O(queries*k) merge — no corpus shuffle. Zero-norm vectors are
+    // excluded up front (s05 proves all fixtures are nonzero).
+    Op("s16_int8_search", (s, d) => {
+      val codes = T.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
+        .withColumn("maxabs", expr(
+          "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("maxabs") > 0.0)
+        .select(col("vec_id"), expr(
+          "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))")
+          .as("q"))
+      val qs = codes.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("q").as("qv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("iscore").desc, col("vec_id"))
+      codes.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("iscore", expr(
+          "aggregate(zip_with(qv, q, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "vec_id", "iscore")
+        .orderBy("q_id", "rk")
+    }, Some("""WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, xd,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(xd, x -> abs(x))), (a, b) -> greatest(a, b))
+      |      AS maxabs
+      |  FROM v),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(xd, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+      |      AS q
+      |  FROM m WHERE maxabs > 0),
+      |qq AS (SELECT vec_id AS q_id, q AS qv FROM c WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT qq.q_id, c.vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, len(c.q)),
+      |        i -> qv[i] * c.q[i])), (a, b) -> a + b) AS iscore
+      |  FROM c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, iscore,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY iscore DESC, vec_id) AS rk
+      |  FROM sc)
+      |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, iscore
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
   )
 }
