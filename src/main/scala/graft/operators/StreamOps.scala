@@ -1037,14 +1037,7 @@ object StreamOps {
     // ledger; recomputing the drift report after a trigger reads the
     // compacted O(sources x vocab) aggregate, never the raw corpus.
     Op("st36_stream_kl_drift", (s, d) => {
-      val docsDf = T.documents(s, d).select("doc_id", "source", "text")
-      val schema = docsDf.schema
-      val dir = Streaming.stagedDir("kldrift", d) { dir =>
-        docsDf.filter(col("doc_id") % 2 === 0)
-          .coalesce(1).write.mode("append").parquet(dir)
-        docsDf.filter(col("doc_id") % 2 === 1)
-          .coalesce(1).write.mode("append").parquet(dir)
-      }
+      val (dir, schema) = stagedDocsTwoFiles(s, d)
       val out = Streaming.scratchDir("graft_kl_")
       Streaming.withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
@@ -1924,7 +1917,157 @@ object StreamOps {
         |  CAST(SUM(COALESCE(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0))
         |    AS BIGINT) AS sum_price_cents
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    // INCREMENTALLY-MAINTAINED HEAVY HITTERS — the streaming twin of
+    // t10's top-terms question, upgraded to a VALUE-level gate: each
+    // micro-batch appends its per-term partial counts (the st19 partials-
+    // log pattern — O(batch vocab) rows per trigger, no history rewrite),
+    // and the read path compacts the log and serves the exact top-20 with
+    // counts. Integer counts merge order-independently, so the stream's
+    // answer is bit-identical to the batch oracle no matter how the file
+    // triggers split the corpus. At 100 TB the partial log is
+    // O(vocab × triggers) and compaction folds into the serving read (or
+    // a background job); the top-k itself is a TakeOrdered, never a full
+    // sort.
+    Op("st37_stream_heavy_hitters", (s, d) => {
+      val (dir, schema) = stagedDocsTwoFiles(s, d)
+      val out = Streaming.scratchDir("graft_hh_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(explode(split(col("text"), " ")).as("term"))
+              .filter(col("term") =!= "")
+              .groupBy("term").agg(count(lit(1)).as("n"))
+              .write.mode("append").parquet(s"$out/counts")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val w = Window.orderBy(col("n").desc, col("term"))
+      s.read.parquet(s"$out/counts")
+        .groupBy("term").agg(sum("n").as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .select("rk", "term", "n")
+        .orderBy("rk")
+    }, Some("""WITH tok AS (
+      |  SELECT term FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> ''),
+      |cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT)
+      |    AS rk, term, n
+      |FROM cnt ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+    // ------------------------------------------------------------------
+    // STREAMING Z-SCORE SCORING against maintained statistics — the
+    // deploy shape of q51: a first stream maintains the per-key moment
+    // state (n, Σv, Σv² in the exact cent-integer domain — O(keys) state,
+    // order-independent merge), then the scoring stream evaluates each
+    // arriving event against the FINAL broadcast statistics and logs
+    // per-batch outlier partials (the st22 "probe a maintained artifact"
+    // posture). Every per-event z is one double expression on
+    // bit-identical operands, so counts and the max |z| hash-match q51's
+    // batch oracle exactly regardless of trigger boundaries. At 100 TB
+    // the moment state is O(event types), the scoring pass is stateless
+    // scan-cost, and the partials log is O(types × triggers).
+    Op("st38_stream_zscore", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
+      val out = Streaming.scratchDir("graft_zsc_")
+      Streaming.withStreamShuffle(s) {
+        val q1 = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") =!= "sentinel")
+          .withColumn("v100", (Num.dec2(col("value")) * 100).cast(LongType))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum("v100").as("s1"),
+                sum(col("v100") * col("v100")).as("s2"))
+              .write.mode("append").parquet(s"$out/moments")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt1")
+          .start()
+        q1.processAllAvailable(); q1.stop()
+        val mm = s.read.parquet(s"$out/moments")
+          .groupBy("event_type")
+          .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"))
+          .withColumn("mean",
+            (col("s1").cast(DoubleType) / col("n")).cast(DoubleType))
+          .withColumn("variance",
+            (col("s2").cast(DoubleType) / col("n") -
+              col("mean") * col("mean")).cast(DoubleType))
+          .select("event_type", "mean", "variance")
+        val q2 = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(col("event_type") =!= "sentinel")
+          .withColumn("v100", (Num.dec2(col("value")) * 100).cast(LongType))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.join(broadcast(mm), "event_type")
+              .withColumn("z",
+                (col("v100").cast(DoubleType) - col("mean")) /
+                  sqrt(col("variance")))
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n_events"),
+                sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L))
+                  .as("n_outliers"),
+                max(abs(col("z"))).as("max_abs_z"))
+              .write.mode("append").parquet(s"$out/scores")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt2")
+          .start()
+        q2.processAllAvailable(); q2.stop()
+      }
+      s.read.parquet(s"$out/scores")
+        .groupBy("event_type")
+        .agg(sum("n_events").as("n_events"),
+          sum("n_outliers").as("n_outliers"),
+          max("max_abs_z").as("max_abs_z"))
+        .orderBy("event_type")
+    }, Some("""WITH v AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(v100) AS s1, SUM(v100 * v100) AS s2
+      |  FROM v GROUP BY event_type),
+      |mm AS (
+      |  SELECT event_type, n,
+      |    CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE) AS mean,
+      |    CAST(CAST(s2 AS DOUBLE) / n -
+      |      (CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE) *
+      |       CAST(CAST(s1 AS DOUBLE) / n AS DOUBLE)) AS DOUBLE) AS variance
+      |  FROM m)
+      |SELECT v.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN abs((CAST(v100 AS DOUBLE) - mean)
+      |      / sqrt(variance)) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  MAX(abs((CAST(v100 AS DOUBLE) - mean) / sqrt(variance)))
+      |    AS max_abs_z
+      |FROM v JOIN mm ON v.event_type = mm.event_type
+      |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
   )
+
+  /** The two-file parity-split documents staging shared by st36/st37 (one
+    * trigger per half under maxFilesPerTrigger=1). */
+  private def stagedDocsTwoFiles(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, org.apache.spark.sql.types.StructType) = {
+    val docsDf = T.documents(s, d).select("doc_id", "source", "text")
+    val dir = Streaming.stagedDir("kldrift", d) { dir =>
+      docsDf.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(dir)
+      docsDf.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    (dir, docsDf.schema)
+  }
 
   /** st21 core, shared with tests: stream the documents fixture through the
     * hash-split projection into a split-partitioned parquet sink. Returns
