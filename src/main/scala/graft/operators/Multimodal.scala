@@ -333,6 +333,68 @@ object Multimodal {
       |    AS mean_ar
       |FROM best WHERE rk = 1
       |GROUP BY bucket_id, p, q ORDER BY bucket_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // SHOT-BOUNDARY DETECTION — the video-curation segmentation pass:
+    // per-frame signatures (mm05's 100-unit frame energies as the
+    // deterministic stand-in for decoded frame histograms), a boundary
+    // wherever the inter-frame delta exceeds the threshold, shots = cuts
+    // + 1. A real decoder swaps into the signature step; the Spark-side
+    // shape is what matters and is real: the ENTIRE per-document pipeline
+    // (frame fold → delta → threshold → shot census) runs in the array
+    // domain inside one codegen'd projection — no per-frame explode, no
+    // shuffle, scan-cost at 100 TB like the winnowing family. All outputs
+    // are exact integers (energies are code-point sums; the two-arg
+    // transform gives 1-based boundary indexes), so the gate is
+    // value-level. Single-frame payloads take the slice()-empty path (no
+    // descending-sequence hazard) and report one shot.
+    Op("mm10_shot_boundaries", (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("e", expr(
+          """transform(
+            |  sequence(CAST(0 AS BIGINT), CAST((length(text) - 1) div 100 AS BIGINT)),
+            |  f -> aggregate(
+            |    sequence(f * 100 + 1, least(CAST(length(text) AS BIGINT), (f + 1) * 100)),
+            |    CAST(0 AS BIGINT),
+            |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))"""
+            .stripMargin))
+        .withColumn("dl", expr(
+          "zip_with(slice(e, 2, size(e) - 1), slice(e, 1, size(e) - 1), " +
+            "(a, b) -> abs(a - b))"))
+        .select(col("doc_id"),
+          expr("cast(size(e) as bigint)").as("n_frames"),
+          expr("cast(1 + size(filter(dl, x -> x > 150)) as bigint)")
+            .as("n_shots"),
+          expr("aggregate(transform(dl, (x, i) -> IF(x > 150, " +
+            "CAST(i + 1 AS BIGINT), CAST(0 AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)").as("boundary_sum"),
+          expr("aggregate(dl, CAST(0 AS BIGINT), (a, b) -> greatest(a, b))")
+            .as("max_delta"))
+        .orderBy("doc_id")
+    }, Some("""WITH en AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, (length(text) - 1) // 100),
+      |      f -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(
+      |          generate_series(f * 100 + 1,
+      |            least(length(text), (f + 1) * 100)),
+      |          p -> CAST(unicode(text[p:p]) AS BIGINT))),
+      |        (a, b) -> a + b)) AS e
+      |  FROM documents),
+      |dl AS (
+      |  SELECT doc_id, len(e) AS n_frames,
+      |    list_transform(generate_series(1, len(e) - 1),
+      |      i -> abs(e[i + 1] - e[i])) AS d
+      |  FROM en)
+      |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(1 + len(list_filter(d, x -> x > 150)) AS BIGINT) AS n_shots,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, len(d)),
+      |      i -> CASE WHEN d[i] > 150 THEN CAST(i AS BIGINT)
+      |           ELSE 0 END)), (a, b) -> a + b) AS BIGINT) AS boundary_sum,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), d),
+      |    (a, b) -> greatest(a, b)) AS BIGINT) AS max_delta
+      |FROM dl ORDER BY doc_id""".stripMargin)),
   )
 
   /** (bucket_id, p, q) standard aspect buckets; q divides 144. */
