@@ -195,5 +195,95 @@ object Relational4 {
         |FROM rev JOIN mx ON total_rev_dec = m
         |JOIN supplier ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TPC-H Q2 SHAPE — min-cost supplier per part (argmin-per-group).
+    // With no partsupp fixture, unit cost derives from lineitem history:
+    // min observed extendedprice/quantity per (part, supplier). The
+    // argmin is the p01 MIN-STRUCT AGGREGATION — min(struct(price,
+    // suppkey)) gives the winner AND the deterministic tie-break in one
+    // partial-aggregable fold, where Q2's textbook correlated subquery
+    // (or a rank window over every part) would sort 200M part groups for
+    // one row each. Unit price is ONE IEEE division per (part,supp) —
+    // bit-identical in both engines; min over doubles is
+    // order-independent. Scale: two keyed aggregates riding the SAME
+    // (l_partkey[, l_suppkey]) shuffle, brand dimension broadcast at the
+    // end (at 100 TB the brand filter would drive a DPP/semi-join into
+    // the fact scan instead of post-filtering the aggregate).
+    Op(
+      "q74_min_cost_supplier",
+      (s, d) => {
+        val cost = T.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice").cast(DoubleType) /
+              col("l_quantity").cast(DoubleType)).as("up"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min("up").as("up"))
+        val best = cost.groupBy("l_partkey")
+          .agg(min(struct(col("up"), col("l_suppkey"))).as("b"),
+            count(lit(1)).as("n_suppliers"))
+        best
+          .join(broadcast(T.part(s, d).filter(col("p_brand") === "Brand#4")
+            .select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_brand"),
+            col("b.l_suppkey").as("best_suppkey"),
+            col("b.up").as("best_unit_price"), col("n_suppliers"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+        |      AS up
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey, l_suppkey, up,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY up, l_suppkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_suppliers
+        |  FROM cost)
+        |SELECT p.p_partkey, p.p_brand, b.l_suppkey AS best_suppkey,
+        |  b.up AS best_unit_price, CAST(b.n_suppliers AS BIGINT) AS n_suppliers
+        |FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+        |WHERE b.rk = 1 AND p.p_brand = 'Brand#4'
+        |ORDER BY p.p_partkey""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TPC-H Q11 SHAPE — "important stock": per-(nation, part) value with
+    // a HAVING cut against a global scalar. The canonical Q11 threshold
+    // (fraction × global sum) is replaced by the scale-invariant
+    // 3× the mean group value — same plan shape (aggregate → one-row
+    // broadcast scalar → filter), but the result stays non-degenerate at
+    // every SF. Values aggregate in the exact decimal domain; the
+    // threshold compare is double ops on bit-identical operands in a
+    // fixed order. Scale: ONE (nationkey, partkey) shuffle with map-side
+    // partials (supplier dimension broadcasts into the scan side), the
+    // global total is a second fold OVER THE AGGREGATE (O(groups), not a
+    // second fact pass), and the cut broadcasts one row back.
+    Op(
+      "q75_important_stock",
+      (s, d) => {
+        val v = T.lineitem(s, d)
+          .join(broadcast(T.supplier(s, d).select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("l_partkey"))
+          .agg(sum(Num.dec2(col("l_extendedprice"))).as("val"))
+        val tot = v.agg(sum("val").as("t"), count(lit(1)).as("g"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("val").cast(DoubleType) >
+            lit(3.0) * (col("t").cast(DoubleType) / col("g")))
+          .select(col("s_nationkey").cast(LongType).as("nationkey"),
+            col("l_partkey"), col("val").cast(DoubleType).as("value"))
+          .orderBy(col("value").desc, col("nationkey"), col("l_partkey"))
+      },
+      Some("""WITH v AS (
+        |  SELECT s_nationkey, l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT SUM(val) AS t, COUNT(*) AS g FROM v)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey, l_partkey,
+        |  CAST(val AS DOUBLE) AS value
+        |FROM v, tot
+        |WHERE CAST(val AS DOUBLE) > 3.0 * (CAST(t AS DOUBLE) / g)
+        |ORDER BY value DESC, nationkey, l_partkey""".stripMargin)),
   )
 }

@@ -385,5 +385,49 @@ object SourceOps {
       Some("""SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // COMPRESSED TEXT SOURCE — w11's delimited round-trip through GZIP
+    // files, the wire format most raw web-crawl corpora actually arrive
+    // in. The scale lesson this op pins: gzip is NOT splittable, so read
+    // parallelism is exactly the FILE count (one task per .gz whatever
+    // maxPartitionBytes says) — the staging writes 4 files and the gate
+    // proves the reader saw exactly 4 (distinct input_file_name()), i.e.
+    // a 100 TB .gz corpus must arrive pre-sharded into enough files to
+    // feed the cluster, or be transcoded to a splittable codec on
+    // ingest. Content parity rides the commutative per-lang xor hash
+    // (file order / task placement independent).
+    Op(
+      "w14_compressed_text",
+      (s, d) => {
+        val dir = graft.streaming.Streaming.stagedDir("w14gz", d) { dir =>
+          T.documents(s, d)
+            .select(concat_ws("",
+              col("doc_id").cast(StringType), col("lang"), col("text"))
+              .as("value"))
+            .repartition(4)
+            .write.mode("overwrite").option("compression", "gzip").text(dir)
+        }
+        val parsed = s.read.text(dir)
+          .select(split(col("value"), "").as("f"),
+            input_file_name().as("src"))
+          .select(col("f").getItem(1).as("lang"),
+            col("f").getItem(2).as("text"), col("src"))
+        val nFiles = parsed.agg(countDistinct("src").as("n_files"))
+        parsed.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast(LongType)).as("n_chars"),
+            expr("bit_xor(cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint))")
+              .as("content_xor"))
+          .crossJoin(broadcast(nFiles))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            col("content_xor"), col("n_files"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+        |    AS content_xor,
+        |  CAST(4 AS BIGINT) AS n_files
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }
