@@ -445,4 +445,71 @@ class PlanSuite extends AnyFunSuite {
       s"as-of alignment grew extra shuffles:\n${hashExchanges.mkString("\n")}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q70: nation-set predicates push into BOTH dimension scans") {
+    val p = plan("q70_nation_traffic")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("In(s_nationkey")), pushed.mkString("\n"))
+    assert(pushed.exists(_.contains("In(c_nationkey")), pushed.mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q71: shipdate window reaches the lineitem scan; single partial agg") {
+    val p = plan("q71_promo_revenue")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("l_shipdate") &&
+      l.contains("GreaterThanOrEqual")), pushed.mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q72: disjunctive residual keeps the partkey equi-join (no NL join)") {
+    val p = plan("q72_disjunctive_join")
+    assert(p.contains("HashJoin"), "equi-join lost")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "disjunction degraded to nested loop")
+  }
+
+  test("q73/q74: argmax/argmin never window or sort the full aggregate") {
+    for (q <- Seq("q73_top_supplier", "q74_min_cost_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a rank window")
+    }
+  }
+
+  test("q75: the global cut is a one-row broadcast over the aggregate") {
+    val p = plan("q75_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "scalar threshold no longer broadcast")
+    // supplier dimension broadcasts into the fact side
+    assert(p.linesIterator.count(_.contains("Scan parquet")) >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("s16: the query code set broadcasts; corpus side never exchanges " +
+    "before scoring") {
+    val p = plan("s16_int8_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set no longer broadcast")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian appeared")
+  }
+
+  // exchanges appear twice in a formatted plan (tree line + detail
+  // header) — count only the numbered detail headers
+  private def nExchanges(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+
+  test("t31: the hapax census is shuffle-free until the O(10)-row rollup") {
+    val p = plan("t31_lexical_diversity")
+    // one partial->final agg exchange + the presentation sort only
+    assert(nExchanges(p) <= 2, s"array-domain census grew shuffles:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("mm10: shot census stays in the scan projection (no explode shuffle)") {
+    val p = plan("mm10_shot_boundaries")
+    assert(!p.contains("Generate"), "per-frame explode appeared")
+    assert(nExchanges(p) <= 1, // the presentation sort's range exchange
+      s"mm10 grew shuffles:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
