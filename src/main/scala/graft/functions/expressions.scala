@@ -319,6 +319,9 @@ object F {
   def nearestCentroids(v: Column, flatCentroids: Column, dim: Int, nprobe: Int): Column =
     call_function("nearest_centroids", v, flatCentroids,
       org.apache.spark.sql.functions.lit(dim), org.apache.spark.sql.functions.lit(nprobe))
+  /** k smallest structs (lexicographic), ascending — partial-mergeable heap. */
+  def topkStructs(c: Column, k: Int): Column =
+    call_function("topk_structs", c, org.apache.spark.sql.functions.lit(k))
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -346,6 +349,23 @@ object F {
       new ExpressionInfo(classOf[NearestCentroids].getName, "nearest_centroids"),
       (es: Seq[Expression]) => NearestCentroids(es(0), es(1),
         es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])),
+    // topk_structs(v, k): the k SMALLEST values of v (struct ordering =
+    // lexicographic) as an ascending array — Spark's partial-mergeable
+    // bounded-heap aggregate (CollectTopK), surfaced so per-key top-k
+    // retrieval is an O(k) heap per partition merged map-side instead of
+    // a rank window that SORTS every candidate row per key. For a
+    // "largest first" top-k, negate the score field in the struct.
+    (FunctionIdentifier("topk_structs"),
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions." +
+        "aggregate.CollectTopK", "topk_structs"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graftshims.GraftSqlShims.collectTopK(
+          es(0), es(1).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"topk_structs k must be a literal int, got $other")
+          })),
   )
 }
 

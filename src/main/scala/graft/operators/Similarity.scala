@@ -347,17 +347,27 @@ object Similarity {
     Op(
       "s01_topk_bruteforce",
       (s, d) => {
+        // per-query top-5 via the partial-mergeable bounded-heap aggregate
+        // (topk_structs / CollectTopK): each partition keeps an O(k) heap
+        // per query and heaps merge map-side — the rank-window form this
+        // replaced SORTED every candidate row per query, which is the
+        // difference between O(n) and O(n log n) per query over a 100 TB
+        // corpus. Ascending on (-cos, vec_id) == (cos DESC, vec_id ASC);
+        // double negation is a sign-bit flip, so the emitted cos is
+        // bit-identical to the window form and the oracle.
         val e = T.embeddings(s, d)
         val q = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
         e.select(col("vec_id"), col("embedding"))
           .crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "cos")
+          .groupBy("q_id")
+          .agg(F.topkStructs(
+            struct((-col("cos")).as("nc"), col("vec_id")), 5).as("tk"))
+          .select(col("q_id"), posexplode(col("tk")))
+          .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rk"),
+            col("col.vec_id").as("vec_id"), (-col("col.nc")).as("cos"))
           .orderBy("q_id", "rk")
       },
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 16),
@@ -1158,16 +1168,20 @@ object Similarity {
           .as("q"))
       val qs = codes.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("q").as("qv"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("iscore").desc, col("vec_id"))
+      // bounded-heap top-5 per query (see s01): integer scores negate
+      // losslessly, so ascending (-iscore, vec_id) is exactly
+      // (iscore DESC, vec_id ASC) — no per-query candidate sort anywhere
       codes.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("iscore", expr(
           "aggregate(zip_with(qv, q, (a, b) -> a * b), " +
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .filter(col("rk") <= 5)
-        .select("q_id", "rk", "vec_id", "iscore")
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("iscore")).as("ns"), col("vec_id")), 5).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk"),
+          col("col.vec_id").as("vec_id"), (-col("col.ns")).as("iscore"))
         .orderBy("q_id", "rk")
     }, Some("""WITH v AS (
       |  SELECT vec_id,

@@ -21,4 +21,14 @@ object GraftSqlShims {
   def hasStrategy(spark: SparkSession, strategy: AnyRef): Boolean =
     spark.asInstanceOf[ClassicSparkSession].sessionState.planner
       .extraPlanningStrategies.exists(_ eq strategy)
+
+  /** Spark's partial-mergeable bounded-heap top-k aggregate (CollectTopK
+    * is package-private at the Scala level though public bytecode; the
+    * in-package GraftTopK object provides the constructor). Collects the
+    * k SMALLEST child values; eval returns them as an ascending array.
+    */
+  def collectTopK(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      k: Int): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+      .smallestK(child, k)
 }

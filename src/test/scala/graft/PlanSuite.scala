@@ -493,6 +493,15 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "unbounded cartesian appeared")
   }
 
+  test("s01/s16: per-query top-k is a bounded-heap aggregate, not a window") {
+    for (q <- Seq("s01_topk_bruteforce", "s16_int8_search")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a rank-window sort")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q lost the collect_top_k aggregate path")
+    }
+  }
+
   // exchanges appear twice in a formatted plan (tree line + detail
   // header) — count only the numbered detail headers
   private def nExchanges(p: String): Int =

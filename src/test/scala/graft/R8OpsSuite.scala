@@ -159,6 +159,34 @@ class R8OpsSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("topk_structs equals the rank window bit-for-bit, ties included") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // small score domain forces heavy ties so the (score, id) tie-break
+    // is actually exercised; duplicate (g, score, id) triples occur too
+    val df = (1 to 4000)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(25).toLong,
+        rnd.nextInt(400).toLong))
+      .toDF("g", "score", "id").repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(functions.F.topkStructs(
+        struct((-col("score")).as("ns"), col("id")), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1L).as("rk"),
+        (-col("col.ns")).as("score"), col("col.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWin = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("g", "rk", "score", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(viaAgg == viaWin)
+  }
+
   test("mm10: shot census is internally consistent per document") {
     val rows = SparkEntry.queries("mm10_shot_boundaries")(spark, sf).collect()
     assert(rows.length == T.documents(spark, sf).count())
