@@ -352,7 +352,8 @@ object Multimodal {
         .select(col("doc_id"), col("text"))
         .withColumn("e", expr(
           """transform(
-            |  sequence(CAST(0 AS BIGINT), CAST((length(text) - 1) div 100 AS BIGINT)),
+            |  sequence(CAST(0 AS BIGINT),
+            |    CAST((greatest(length(text), 1) - 1) div 100 AS BIGINT)),
             |  f -> aggregate(
             |    sequence(f * 100 + 1, least(CAST(length(text) AS BIGINT), (f + 1) * 100)),
             |    CAST(0 AS BIGINT),
@@ -373,7 +374,11 @@ object Multimodal {
         .orderBy("doc_id")
     }, Some("""WITH en AS (
       |  SELECT doc_id,
-      |    list_transform(generate_series(0, (length(text) - 1) // 100),
+      |    -- greatest(n,1) (both engines): empty text otherwise splits the
+      |    -- engines — Spark's div truncates (0-1) div 100 to 0 (1 frame)
+      |    -- while DuckDB's // floors to -1 (0 frames). Guarded, an empty
+      |    -- doc is one zero-energy frame / one shot in both.
+      |    list_transform(generate_series(0, (greatest(length(text), 1) - 1) // 100),
       |      f -> list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(
       |          generate_series(f * 100 + 1,

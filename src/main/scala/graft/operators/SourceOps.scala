@@ -400,6 +400,24 @@ object SourceOps {
       "w14_compressed_text",
       (s, d) => {
         val dir = graft.streaming.Streaming.stagedDir("w14gz", d) { dir =>
+          // fail LOUDLY at staging time (r7 advice) rather than confusingly
+          // at the gate: the round-trip assumes >= 4 docs (so no repartition
+          // output file is empty and n_files = 4 holds) and that text never
+          // embeds the \u0001 delimiter or a newline (.text() is
+          // line-framed). A fixture change breaking either surfaces here
+          // with the staging assumption named, not as a baffling hash miss.
+          val chk = T.documents(s, d).agg(
+            count(lit(1)).as("n"),
+            sum(when(col("text").contains("\u0001")
+              || col("text").contains("\n")
+              || col("text").contains("\r"), 1L).otherwise(0L)).as("bad"))
+            .head()
+          require(chk.getLong(0) >= 4,
+            s"w14 staging: fixture has ${chk.getLong(0)} docs; the 4-file " +
+              "gzip granularity gate needs >= 4")
+          require(chk.getLong(1) == 0,
+            s"w14 staging: ${chk.getLong(1)} docs embed the delimiter or " +
+              "a newline; the line-framed round-trip would corrupt them")
           T.documents(s, d)
             .select(concat_ws("",
               col("doc_id").cast(StringType), col("lang"), col("text"))
