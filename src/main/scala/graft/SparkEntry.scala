@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Relational2.ops ++
     operators.Relational3.ops ++
     operators.Relational4.ops ++
+    operators.Relational5.ops ++
     operators.AsOf.ops ++
     operators.TextAnalysis.ops ++
     operators.Dedup.ops ++

@@ -514,6 +514,45 @@ class PlanSuite extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q76: part-name filter pushes to the dimension scan; no cartesian") {
+    val p = plan("q76_product_profit")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("StringContains(p_name")), pushed.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q77: top-20 takes the TakeOrdered path; quarter window pushes to orders") {
+    val p = plan("q77_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 regressed to a full sort")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("l_returnflag")), pushed.mkString("\n"))
+    assert(pushed.exists(_.contains("o_orderdate")), pushed.mkString("\n"))
+  }
+
+  test("q78: shipdate window pushes to lineitem; lateness stays a join residual") {
+    val p = plan("q78_late_shipments")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("l_shipdate")), pushed.mkString("\n"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "two-sided lateness predicate degraded the equi-join")
+  }
+
+  test("q79: exclusion set is a broadcast ANTI join; size set pushes to part") {
+    val p = plan("q79_supplier_part_types")
+    assert(p.contains("LeftAnti"), "NOT-IN shape lost the anti join")
+    assert(!p.contains("SortMergeJoin"), "anti join degraded to SMJ")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("In(p_size")), pushed.mkString("\n"))
+  }
+
+  test("q80: the chain stays LEFT SEMI end-to-end (no denormalizing join)") {
+    val p = plan("q80_excess_stock_suppliers")
+    assert(p.contains("LeftSemi"), "semijoin chain lost")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("mm10: shot census stays in the scan projection (no explode shuffle)") {
     val p = plan("mm10_shot_boundaries")
     assert(!p.contains("Generate"), "per-frame explode appeared")
