@@ -746,6 +746,66 @@ object MLOps {
         .toDF("clazz", "dim", "weight", "n_fitted", "cum_loss")
         .orderBy("clazz", "dim")
     }, Some(mcParityOracle)),
+    // ------------------------------------------------------------------
+    // HOEFFDING TREE TRAJECTORY PARITY (8th and last learner; closes the
+    // r7 verdict's "finish the set"). The VFDT trajectory decomposes into
+    // (a) exact IEEE arithmetic — per-leaf Welford observers (add/sub/
+    // mul/div), candidate thresholds lo + ((hi-lo)*t)/9 from mean±2sd
+    // (sqrt is IEEE-exact), class counts, majority votes, 0/1 loss — all
+    // bit-replayable cross-engine, and (b) the split DECISION, whose
+    // info-gains run through exp/ln (Gaussian CDF + entropy) that the two
+    // engines round differently in the last ulp. The gate therefore pins
+    // a fixture where every decision margin dwarfs float noise (target =
+    // sign of attr 0, so attr 0's gain is ~0.52 vs attr 1's ~0.01 and
+    // vs eps = 0.153 — a 1-ulp exp/ln wobble cannot flip attr, threshold
+    // slot, or the split-now verdict), then hash-compares ONLY class-(a)
+    // values: the split attr/threshold, both children's raw Welford
+    // state, counts, and cumulative loss. Sequence: vec_id < 155 on one
+    // sorted partition through the Trainer ring (31 diverted points never
+    // fill the 256 ring, so fitted = the 125 cnt%10<8 points); grace=64
+    // puts the one split exactly at fitted step 64 and leaves each child
+    // < 64 points — no second boundary, so the replay needs exactly one
+    // decision. The oracle replays root then children as two recursive
+    // CTEs and recomputes the decision inline; if its decision differed,
+    // the children CTE goes empty and the gate fails loudly.
+    Op("ml24_ht_value_parity", (s, d) => {
+      val base = T.embeddings(s, d).filter(col("vec_id") < 155)
+        .select(col("vec_id").as("id"),
+          expr("transform(slice(embedding, 1, 2), x -> CAST(x AS DOUBLE))")
+            .as("features"),
+          when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0)
+            .as("target"))
+      val keyed = base.rdd
+        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+      val one = new org.apache.spark.Partitioner {
+        def numPartitions: Int = 1
+        def getPartition(key: Any): Int = 0
+      }
+      val rdd = keyed.repartitionAndSortWithinPartitions(one).map(_._2)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(24, "HT", Map("delta" -> 0.05, "tau" -> 0.05,
+          "grace" -> 64.0, "classes" -> 2.0), Nil, "Synchronous", rounds = 1),
+        rdd)
+      val root = fitted.model.asInstanceOf[graft.ml.HTModel].root
+      require(!root.isLeaf && root.left.isLeaf && root.right.isLeaf,
+        s"ml24 expects exactly one root split; tree has ${root.countNodes} nodes")
+      import s.implicits._
+      (for {
+        (node, leaf) <- Seq((0, root.left), (1, root.right))
+        attr <- 0 until 2; clazz <- 0 until 2
+      } yield {
+        val o = attr * 2 + clazz
+        (node.toLong, attr.toLong, clazz.toLong,
+          leaf.obsN(o), leaf.obsMean(o), leaf.obsM2(o),
+          leaf.seen, leaf.classCounts(0), leaf.classCounts(1),
+          root.splitAttr.toLong, root.splitVal,
+          fitted.model.n, fitted.model.cumLoss)
+      })
+        .toDF("node", "attr", "clazz", "obs_n", "obs_mean", "obs_m2",
+          "leaf_seen", "leaf_c0", "leaf_c1", "split_attr", "split_val",
+          "n_fitted", "cum_loss")
+        .orderBy("node", "attr", "clazz")
+    }, Some(htParityOracle)),
   )
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
@@ -1302,6 +1362,185 @@ object MLOps {
        |  CAST(nf AS BIGINT) AS n_fitted
        |FROM sol, (VALUES (0), (1), (2), (3)) t(i)
        |ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ml24 oracle: full VFDT trajectory replay. Two recursive CTEs (root to
+  // the grace boundary, then both children over the remainder) carry the
+  // Welford observer state verbatim; the single split decision is
+  // recomputed inline between them from the boundary state. Generated
+  // programmatically like g11's unrolled iterations — the expressions
+  // mirror HoeffdingTree.scala's evaluation order op for op.
+
+  /** A&S 7.1.26 erf-based normal CDF, exactly as La.normCdf evaluates it
+    * (the lone transcendental is exp; decision margins absorb engine ulps).
+    */
+  private def normCdfSql(x: String, mu: String, sd: String): String = {
+    val z = s"(($x - $mu) / ($sd * sqrt(2.0)))"
+    val za = s"abs($z)"
+    val tt = s"(1.0 / (1.0 + 0.3275911 * $za))"
+    val poly = s"((((1.061405429 * $tt - 1.453152027) * $tt + 1.421413741)" +
+      s" * $tt - 0.284496736) * $tt + 0.254829592)"
+    val yv = s"(1.0 - $poly * $tt * exp(-($za * $za)))"
+    val erf = s"((CASE WHEN $z < 0 THEN -1.0 ELSE 1.0 END) * $yv)"
+    s"(CASE WHEN $sd <= 0.0 THEN (CASE WHEN $x >= $mu THEN 1.0 ELSE 0.0 END)" +
+      s" ELSE 0.5 * (1.0 + $erf) END)"
+  }
+
+  /** Binary entropy accumulated class-ascending, exactly as
+    * HoeffdingTreeLearner.entropy folds it (skip zero counts). */
+  private def entSql(c0: String, c1: String): String = {
+    val tot = s"($c0 + $c1)"
+    s"(0.0 - (CASE WHEN $c0 > 0 THEN (($c0 / $tot) * ln($c0 / $tot)) / ln(2.0)" +
+      s" ELSE 0.0 END) - (CASE WHEN $c1 > 0 THEN (($c1 / $tot) * ln($c1 / $tot))" +
+      s" / ln(2.0) ELSE 0.0 END))"
+  }
+
+  private def htParityOracle: String = {
+    // per-(attr, class) Welford triple: d = x - mean; mean += d/n'; m2 +=
+    // d * (x - mean'). `guard` is the update condition (class match, and
+    // for children, the routing side).
+    def welford(pfx: String, a: Int, c: Int, guard: String): Seq[String] = {
+      val n = s"u.${pfx}n$a$c"; val mu = s"u.${pfx}mu$a$c"
+      val m2 = s"u.${pfx}m2$a$c"; val x = s"u.x$a"
+      val newMu = s"($mu + ($x - $mu) / CAST($n + 1 AS DOUBLE))"
+      Seq(
+        s"$n + (CASE WHEN $guard THEN 1 ELSE 0 END)",
+        s"CASE WHEN $guard THEN $newMu ELSE $mu END",
+        s"CASE WHEN $guard THEN $m2 + ($x - $mu) * ($x - $newMu) ELSE $m2 END")
+    }
+    def zeroTriples(pfx: String): String =
+      (for (a <- 0 until 2; c <- 0 until 2) yield
+        s"CAST(0 AS BIGINT) AS ${pfx}n$a$c, CAST(0 AS DOUBLE) AS ${pfx}mu$a$c," +
+          s" CAST(0 AS DOUBLE) AS ${pfx}m2$a$c").mkString(", ")
+    // 0/1 loss with the PRE-update majority (ties -> class 0) and seen
+    def lossTerm(seen: String, c0: String, c1: String): String =
+      s"CASE WHEN $seen > 0 AND (CASE WHEN $c1 > $c0 THEN 1 ELSE 0 END) = u.y" +
+        s" THEN 0.0 ELSE 1.0 END"
+
+    val rootUpd = (for (a <- 0 until 2; c <- 0 until 2)
+      yield welford("", a, c, s"u.y = $c")).flatten.mkString(",\n|    ")
+    def kidUpd(p: String, side: String): String =
+      (for (a <- 0 until 2; c <- 0 until 2)
+        yield welford(p, a, c, s"$side AND u.y = $c"))
+        .flatten.mkString(",\n|    ")
+    val lUpd = kidUpd("l", "u.goleft")
+    val rUpd = kidUpd("r", "NOT u.goleft")
+    val base = entSql("CAST(f.c0 AS DOUBLE)", "CAST(f.c1 AS DOUBLE)")
+    val gainNl = "(g.l0 + g.l1)"; val gainNr = "(g.r0 + g.r1)"
+    val gainTot = s"($gainNl + $gainNr)"
+    val gainExpr = s"g.base - ($gainNl / $gainTot) * ${entSql("g.l0", "g.l1")}" +
+      s" - ($gainNr / $gainTot) * ${entSql("g.r0", "g.r1")}"
+    val outRows = (for ((node, p) <- Seq(0 -> "l", 1 -> "r");
+        a <- 0 until 2; c <- 0 until 2) yield
+      s"""SELECT CAST($node AS BIGINT) AS node, CAST($a AS BIGINT) AS attr,
+         |  CAST($c AS BIGINT) AS clazz, ${p}n$a$c AS obs_n,
+         |  ${p}mu$a$c AS obs_mean, ${p}m2$a$c AS obs_m2,
+         |  ${p}seen AS leaf_seen, ${p}c0 AS leaf_c0, ${p}c1 AS leaf_c1,
+         |  CAST(a1 AS BIGINT) AS split_attr, thr1 AS split_val,
+         |  CAST(i AS BIGINT) AS n_fitted, loss AS cum_loss FROM kfin"""
+        .stripMargin).mkString("\n|UNION ALL\n|")
+
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x0,
+       |    CAST(embedding[2] AS DOUBLE) AS x1,
+       |    CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS y,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnt
+       |  FROM embeddings WHERE vec_id < 155),
+       |pts AS (SELECT x0, x1, y, ROW_NUMBER() OVER (ORDER BY cnt) AS i
+       |        FROM raw WHERE cnt % 10 < 8),
+       |root AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS seen,
+       |    CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+       |    CAST(0 AS DOUBLE) AS loss, ${zeroTriples("")}
+       |  UNION ALL
+       |  SELECT u.i + 1, u.seen + 1,
+       |    u.c0 + (CASE WHEN u.y = 0 THEN 1 ELSE 0 END),
+       |    u.c1 + (CASE WHEN u.y = 1 THEN 1 ELSE 0 END),
+       |    u.loss + ${lossTerm("u.seen", "u.c0", "u.c1")},
+       |    $rootUpd
+       |  FROM (SELECT s.*, p.x0, p.x1, p.y
+       |        FROM root s JOIN pts p ON p.i = s.i + 1 WHERE s.i < 64) u),
+       |rootf AS (SELECT * FROM root WHERE i = 64),
+       |astats AS (
+       |  SELECT 0 AS a, n00 AS na, mu00 AS mua, m200 AS m2a,
+       |         n01 AS nb, mu01 AS mub, m201 AS m2b FROM rootf
+       |  UNION ALL
+       |  SELECT 1, n10, mu10, m210, n11, mu11, m211 FROM rootf),
+       |ab AS (
+       |  SELECT a, na, mua, nb, mub,
+       |    CASE WHEN na > 1 THEN sqrt(m2a / CAST(na - 1 AS DOUBLE))
+       |         ELSE 0.0 END AS sda,
+       |    CASE WHEN nb > 1 THEN sqrt(m2b / CAST(nb - 1 AS DOUBLE))
+       |         ELSE 0.0 END AS sdb
+       |  FROM astats),
+       |ab2 AS (
+       |  SELECT *, least(mua - 2.0 * sda, mub - 2.0 * sdb) AS lo,
+       |    greatest(mua + 2.0 * sda, mub + 2.0 * sdb) AS hi
+       |  FROM ab),
+       |cand AS (
+       |  SELECT b.*, t.t,
+       |    b.lo + ((b.hi - b.lo) * CAST(t.t AS DOUBLE)) / 9.0 AS thr
+       |  FROM ab2 b CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS t) t),
+       |scored AS (
+       |  SELECT a, t, thr,
+       |    CAST(na AS DOUBLE) * ${normCdfSql("thr", "mua", "sda")} AS pl0,
+       |    CAST(nb AS DOUBLE) * ${normCdfSql("thr", "mub", "sdb")} AS pl1,
+       |    CAST(na AS DOUBLE) * (1.0 - ${normCdfSql("thr", "mua", "sda")}) AS pr0,
+       |    CAST(nb AS DOUBLE) * (1.0 - ${normCdfSql("thr", "mub", "sdb")}) AS pr1
+       |  FROM cand),
+       |gains AS (
+       |  SELECT g.a, g.t, g.thr,
+       |    CASE WHEN $gainNl > 0 AND $gainNr > 0 THEN $gainExpr
+       |         ELSE -1.0 END AS gain
+       |  FROM (SELECT s.a, s.t, s.thr, s.pl0 AS l0, s.pl1 AS l1,
+       |          s.pr0 AS r0, s.pr1 AS r1, $base AS base
+       |        FROM scored s, rootf f) g),
+       |attr_best AS (
+       |  SELECT a,
+       |    CASE WHEN gain > 0 THEN gain ELSE 0.0 END AS g,
+       |    CASE WHEN gain > 0 THEN thr ELSE 0.0 END AS thr
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+       |          ORDER BY gain DESC, t ASC) AS rk FROM gains)
+       |  WHERE rk = 1),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY g DESC, a ASC) AS rk
+       |           FROM attr_best),
+       |decv AS (
+       |  SELECT r1.a AS a1, r1.thr AS thr1
+       |  FROM (SELECT * FROM ranked WHERE rk = 1) r1,
+       |       (SELECT * FROM ranked WHERE rk = 2) r2, rootf f
+       |  WHERE r1.g > 0
+       |    AND (r1.g - r2.g >
+       |           sqrt(ln(1.0 / 0.05) / (2.0 * CAST(f.seen AS DOUBLE)))
+       |         OR sqrt(ln(1.0 / 0.05) / (2.0 * CAST(f.seen AS DOUBLE)))
+       |            < 0.05)),
+       |kids AS (
+       |  SELECT f.i, CAST(d.a1 AS BIGINT) AS a1, d.thr1 AS thr1, f.loss,
+       |    CAST(0 AS BIGINT) AS lseen, CAST(0 AS BIGINT) AS lc0,
+       |    CAST(0 AS BIGINT) AS lc1, ${zeroTriples("l")},
+       |    CAST(0 AS BIGINT) AS rseen, CAST(0 AS BIGINT) AS rc0,
+       |    CAST(0 AS BIGINT) AS rc1, ${zeroTriples("r")}
+       |  FROM decv d, rootf f
+       |  UNION ALL
+       |  SELECT u.i + 1, u.a1, u.thr1,
+       |    u.loss + (CASE WHEN u.goleft
+       |      THEN ${lossTerm("u.lseen", "u.lc0", "u.lc1")}
+       |      ELSE ${lossTerm("u.rseen", "u.rc0", "u.rc1")} END),
+       |    u.lseen + (CASE WHEN u.goleft THEN 1 ELSE 0 END),
+       |    u.lc0 + (CASE WHEN u.goleft AND u.y = 0 THEN 1 ELSE 0 END),
+       |    u.lc1 + (CASE WHEN u.goleft AND u.y = 1 THEN 1 ELSE 0 END),
+       |    $lUpd,
+       |    u.rseen + (CASE WHEN NOT u.goleft THEN 1 ELSE 0 END),
+       |    u.rc0 + (CASE WHEN NOT u.goleft AND u.y = 0 THEN 1 ELSE 0 END),
+       |    u.rc1 + (CASE WHEN NOT u.goleft AND u.y = 1 THEN 1 ELSE 0 END),
+       |    $rUpd
+       |  FROM (SELECT s.*, p.x0, p.x1, p.y,
+       |          (CASE WHEN s.a1 = 0 THEN p.x0 ELSE p.x1 END) <= s.thr1
+       |            AS goleft
+       |        FROM kids s JOIN pts p ON p.i = s.i + 1) u),
+       |kfin AS (SELECT * FROM kids ORDER BY i DESC LIMIT 1)
+       |$outRows
+       |ORDER BY node, attr, clazz""".stripMargin
   }
 }
 
