@@ -806,6 +806,52 @@ object MLOps {
           "n_fitted", "cum_loss")
         .orderBy("node", "attr", "clazz")
     }, Some(htParityOracle)),
+    // ------------------------------------------------------------------
+    // MLP TRAJECTORY PARITY (completes the value-level set begun in r7:
+    // all 8 learners now trajectory-gated). Regression mode (classes=1)
+    // keeps the update chain free of softmax/log — the lone
+    // transcendental is tanh, whose engines differ by ~1 ulp per call.
+    // Over a SHORT replay (32 steps, 2 hidden units, lr=0.05, bounded
+    // targets so the map stays contractive rather than chaotic) that
+    // noise accumulates to ~1e-12 absolute, which the same 6-decimal
+    // quantization ml17 uses absorbs with 5 orders of headroom. What the
+    // gate pins value-level: the seeded LCG init (s*6364136223846793005
+    // + 1442695040888963407 wrapping int64, draw = (s>>>11)/2^53 - 0.5,
+    // x0.2 — replayed in HUGEINT mod 2^64), the exact forward order
+    // (bias-seeded ascending dot, tanh, linear output), squared-error
+    // loss, and the full backprop update order (dH from PRE-update w2,
+    // then w2 -= lr*dOut*h, then g = dH*(1-h^2) into w1). Sequence:
+    // vec_id < 40 through the Trainer ring (8 diverted, no evictions) =
+    // 32 fitted points; target = x0, so errors stay O(0.4).
+    Op("ml25_nn_value_parity", (s, d) => {
+      val base = T.embeddings(s, d).filter(col("vec_id") < 40)
+        .select(col("vec_id").as("id"),
+          expr("transform(slice(embedding, 1, 2), x -> CAST(x AS DOUBLE))")
+            .as("features"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("target"))
+      val keyed = base.rdd
+        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+      val one = new org.apache.spark.Partitioner {
+        def numPartitions: Int = 1
+        def getPartition(key: Any): Int = 0
+      }
+      val rdd = keyed.repartitionAndSortWithinPartitions(one).map(_._2)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(25, "NN", Map("hidden" -> 2.0, "classes" -> 1.0,
+          "seed" -> 42.0, "lr" -> 0.05), Nil, "Synchronous", rounds = 1),
+        rdd)
+      val m = fitted.model.asInstanceOf[graft.ml.MlpModel]
+      import s.implicits._
+      ((m.w1.toSeq.zipWithIndex.map { case (w, i) => (1L, i.toLong, w) } ++
+          m.w2.toSeq.zipWithIndex.map { case (w, i) => (2L, i.toLong, w) })
+        .map { case (l, i, w) =>
+          (l, i, w, fitted.model.n, fitted.model.cumLoss)
+        })
+        .toDF("layer", "idx", "w_raw", "n_fitted", "loss_raw")
+        .select(col("layer"), col("idx"), round(col("w_raw"), 6).as("weight"),
+          col("n_fitted"), round(col("loss_raw"), 6).as("cum_loss"))
+        .orderBy("layer", "idx")
+    }, Some(nnParityOracle)),
   )
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
@@ -1541,6 +1587,75 @@ object MLOps {
        |kfin AS (SELECT * FROM kids ORDER BY i DESC LIMIT 1)
        |$outRows
        |ORDER BY node, attr, clazz""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ml25 oracle: MLP trajectory replay. CTE 1 replays the 9 seeded LCG
+  // draws in HUGEINT mod 2^64 (the unsigned representation makes s>>>11 a
+  // plain integer division); CTE 2 steps the 9-weight state through the
+  // exact forward/backprop order of MLP.fit via lateral column aliases.
+  private def nnParityOracle: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    // DuckDB has no tanh(); the overflow-stable identity 1 - 2/(e^2x + 1)
+    // (saturates to +-1 at both infinities, no inf/inf) differs from
+    // Math.tanh by a few ulps per call — inside the 6-decimal quantization
+    // budget by ~5 orders of magnitude over the 32-step replay.
+    def tanhSql(x: String): String =
+      s"(1.0 - 2.0 / (exp(2.0 * $x) + 1.0))"
+    // weight init slots in PRNG draw order: w1[0..5] then w2[0..2]
+    def rndv(k: Int): String = s"(SELECT v FROM rnd WHERE k = $k)"
+    val initW = Seq("w100" -> 1, "w101" -> 2, "b10" -> 3, "w110" -> 4,
+      "w111" -> 5, "b11" -> 6, "v0" -> 7, "v1" -> 8, "b2" -> 9)
+      .map { case (n, k) => s"${rndv(k)} AS $n" }.mkString(", ")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x0,
+       |    CAST(embedding[2] AS DOUBLE) AS x1,
+       |    CAST(embedding[1] AS DOUBLE) AS y,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnt
+       |  FROM embeddings WHERE vec_id < 40),
+       |pts AS (SELECT x0, x1, y, ROW_NUMBER() OVER (ORDER BY cnt) AS i
+       |        FROM raw WHERE cnt % 10 < 8),
+       |rnd AS (
+       |  SELECT 0 AS k, CAST(42 AS HUGEINT) AS u, CAST(0 AS DOUBLE) AS v
+       |  UNION ALL
+       |  SELECT k + 1, nu,
+       |    (CAST(nu // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5) * 0.2
+       |  FROM (SELECT k, (u * CAST(6364136223846793005 AS HUGEINT)
+       |          + CAST(1442695040888963407 AS HUGEINT)) % $two64 AS nu
+       |        FROM rnd WHERE k < 9)),
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, $initW, CAST(0 AS DOUBLE) AS loss
+       |  UNION ALL
+       |  SELECT u.i + 1,
+       |    u.w100 - (0.05 * u.g0) * u.x0,
+       |    u.w101 - (0.05 * u.g0) * u.x1,
+       |    u.b10 - 0.05 * u.g0,
+       |    u.w110 - (0.05 * u.g1) * u.x0,
+       |    u.w111 - (0.05 * u.g1) * u.x1,
+       |    u.b11 - 0.05 * u.g1,
+       |    u.v0 - (0.05 * u.dout) * u.h0,
+       |    u.v1 - (0.05 * u.dout) * u.h1,
+       |    u.b2 - 0.05 * u.dout,
+       |    u.loss + u.e * u.e
+       |  FROM (
+       |    SELECT s.*, p.x0, p.x1, p.y,
+       |      ${tanhSql("((s.b10 + s.w100 * p.x0) + s.w101 * p.x1)")} AS h0,
+       |      ${tanhSql("((s.b11 + s.w110 * p.x0) + s.w111 * p.x1)")} AS h1,
+       |      ((s.b2 + s.v0 * h0) + s.v1 * h1) - p.y AS e,
+       |      2.0 * e AS dout,
+       |      dout * s.v0 AS dh0, dout * s.v1 AS dh1,
+       |      dh0 * (1.0 - h0 * h0) AS g0, dh1 * (1.0 - h1 * h1) AS g1
+       |    FROM step s JOIN pts p ON p.i = s.i + 1) u),
+       |fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
+       |SELECT CAST(t.layer AS BIGINT) AS layer, CAST(t.idx AS BIGINT) AS idx,
+       |  ROUND(CASE t.layer * 10 + t.idx
+       |    WHEN 10 THEN w100 WHEN 11 THEN w101 WHEN 12 THEN b10
+       |    WHEN 13 THEN w110 WHEN 14 THEN w111 WHEN 15 THEN b11
+       |    WHEN 20 THEN v0 WHEN 21 THEN v1 ELSE b2 END, 6) AS weight,
+       |  CAST(i AS BIGINT) AS n_fitted, ROUND(loss, 6) AS cum_loss
+       |FROM fin, (VALUES (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (1, 5),
+       |  (2, 0), (2, 1), (2, 2)) t(layer, idx)
+       |ORDER BY layer, idx""".stripMargin
   }
 }
 
