@@ -1403,64 +1403,62 @@ object Dedup {
         |FROM th LEFT JOIN sc ON sc.j >= th.thr
         |GROUP BY th.thr ORDER BY th.thr""".stripMargin)),
     // ------------------------------------------------------------------
-    // EXACT DUPLICATE-SPAN COVERAGE (Lee et al., "Deduplicating Training
-    // Data Makes Language Models Better" — ExactSubstr): the suffix-array
-    // substring dedup, approximated at stride granularity so it
-    // distributes. Every 40-char window at stride 10 is content-hashed;
-    // a span is "duplicated" when the same hash occurs in ≥2 DISTINCT
-    // documents; each doc reports its sampled-span duplication fraction —
-    // the signal ExactSubstr thresholds to cut boilerplate and cross-doc
-    // copied passages that whole-doc MinHash (d03) cannot see.
-    // (Reference scope extension, like all of d01–d22.)
+    // EXACT MAXIMAL DUPLICATE-SPAN COVERAGE (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better" — ExactSubstr), the r8
+    // upgrade of r7's stride-10 approximation to suffix-array-grade
+    // semantics: every 40-char window (STRIDE 1) is content-hashed; a
+    // window is duplicated when its hash occurs in ≥2 DISTINCT documents;
+    // per doc, overlapping/adjacent duplicated windows COALESCE into
+    // maximal spans (gaps-and-islands, the q57 interval machinery) — so a
+    // character is counted iff it sits inside some cross-doc duplicated
+    // substring of length ≥ 40, exactly ExactSubstr's coverage, not a
+    // stride-quantized sample of it. A maximal duplicated substring of
+    // length m ≥ 40 is precisely a run of m-39 consecutive duplicated
+    // windows, so island boundaries (gap > 40) recover the true maximal
+    // spans; R8OpsSuite proves span maximality on planted overlaps.
     //
-    // Scale shape: the stride-k explode inflates the scan 4× (k/stride)
-    // into (doc_id, hash) pairs; both the ≥2-distinct-docs aggregate and
-    // the join back are partial-agg/equi-join on the uniformly-distributed
-    // hash — no skew, no all-pairs. At 100 TB the stride anchors would be
-    // content-defined (t04's winnowing fingerprints, d21's CDC cut
-    // points) so shifted copies still align; fixed stride here keeps the
-    // oracle expressible. All outputs are exact integer ratios.
+    // Scale shape: the stride-1 explode is the 40x gram inflation
+    // ExactSubstr inherently pays (its suffix array is the same linear
+    // blowup); the ≥2-docs aggregate and the semi-join back ride the
+    // uniformly-distributed hash — no skew, no all-pairs; the island
+    // windows partition BY DOC (bounded by document length, never a
+    // corpus-wide sort). All outputs are exact integers + one division.
     Op(
       "d23_duplicate_spans",
-      (s, d) => {
-        val grams = T.documents(s, d)
-          .filter(col("n_chars") >= 40)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(1),
-              col("n_chars").cast(IntegerType) - 39, lit(10))).as("pos"))
-          .select(col("doc_id"), md5(expr("substring(text, pos, 40)")).as("g"))
-        val dup = grams.groupBy("g")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("g"), lit(1).as("isdup"))
-        grams.join(dup, Seq("g"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("isdup").isNotNull, 1L).otherwise(0L))
-              .as("dup_spans"))
-          .select(col("doc_id"), col("n_spans"), col("dup_spans"),
-            (col("dup_spans").cast(DoubleType) / col("n_spans"))
-              .as("dup_frac"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH spans AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(1, CAST(n_chars AS INT) - 39, 10)) AS pos
-        |  FROM documents WHERE n_chars >= 40),
-        |grams AS (
-        |  SELECT s.doc_id, md5(substr(d.text, s.pos, 40)) AS g
-        |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id),
-        |dup AS (
-        |  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
-        |per_doc AS (
-        |  SELECT gr.doc_id, COUNT(*) AS n_spans,
-        |    COUNT(*) FILTER (dup.g IS NOT NULL) AS dup_spans
-        |  FROM grams gr LEFT JOIN dup ON gr.g = dup.g
-        |  GROUP BY 1)
-        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
-        |  CAST(dup_spans AS BIGINT) AS dup_spans,
-        |  CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac
-        |FROM per_doc ORDER BY doc_id""".stripMargin)),
+      (s, d) => maximalDupSpans(T.documents(s, d)),
+      Some("""WITH g AS (
+        |  SELECT doc_id, n_chars, pos, md5(substr(text, pos, 40)) AS h
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      CAST(n_chars AS INT) - 39)) AS pos)
+        |  WHERE n_chars >= 40),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER
+        |      (PARTITION BY doc_id ORDER BY pos) > 40
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM brk),
+        |sp AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    SUM(e - s + 40) AS covered, MAX(e - s + 40) AS max_span
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(per.covered, 0) AS BIGINT) AS covered_chars,
+        |  CAST(COALESCE(per.max_span, 0) AS BIGINT) AS max_span,
+        |  CAST(COALESCE(per.covered, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
+        |    AS covered_frac
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |WHERE d.n_chars >= 40 ORDER BY d.doc_id""".stripMargin)),
     // ------------------------------------------------------------------
     // PROTOTYPICALITY PRUNING (the centroid-distance half of SemDeDup /
     // D4, Abbas et al.: cluster the embedding space, then prune per
@@ -1617,5 +1615,47 @@ object Dedup {
        |  CAST(fp_units + fn_units AS DOUBLE) / 1e12 AS total_err,
        |  ROW_NUMBER() OVER (ORDER BY fp_units + fn_units, b) AS rnk
        |FROM agg ORDER BY rnk""".stripMargin
+  }
+
+  /** d23's engine: exact maximal cross-doc duplicate-span coverage over any
+    * (doc_id, text, n_chars) frame. Stride-1 40-char window hashes, the
+    * ≥2-distinct-docs cut, then per-doc gaps-and-islands coalescing
+    * (break when the position gap exceeds the window length) — islands ARE
+    * the maximal duplicated substrings of length ≥ 40. Factored out so
+    * R8OpsSuite can prove maximality on planted-overlap fixtures.
+    */
+  private[graft] def maximalDupSpans(docs: DataFrame): DataFrame = {
+    val eligible = docs.filter(col("n_chars") >= 40)
+    val grams = eligible
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), col("n_chars").cast(IntegerType) - 39))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr("substring(text, pos, 40)")).as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(dup, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("b",
+        when(col("pos") - lag(col("pos"), 1).over(w) > 40, 1L).otherwise(0L))
+      .withColumn("island", sum(col("b")).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 40).as("covered"),
+        max(col("e") - col("s") + 40).as("max_span"))
+    eligible.select(col("doc_id"), col("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered"), lit(0L)).cast(LongType).as("covered_chars"),
+        coalesce(col("max_span"), lit(0L)).cast(LongType).as("max_span"),
+        (coalesce(col("covered"), lit(0L)).cast(DoubleType) /
+          col("n_chars").cast(DoubleType)).as("covered_frac"))
+      .orderBy("doc_id")
   }
 }

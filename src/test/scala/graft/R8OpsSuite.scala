@@ -203,4 +203,34 @@ class R8OpsSuite extends AnyFunSuite {
       assert(bs <= maxSum, s"boundary_sum $bs exceeds $maxSum")
     }
   }
+
+  test("d23: spans are exactly maximal on planted cross-doc overlaps") {
+    import spark.implicits._
+    // shared blocks use alphabets disjoint from every filler, so the ONLY
+    // cross-doc 40-grams are those inside the planted blocks
+    val s1 = "01" * 30 // 60 chars, shared
+    val s2 = "89" * 23 take 45 // 45 chars, shared
+    val f = (a: String, n: Int) =>
+      Iterator.continually(a).flatten.take(n).mkString
+    val doc1 = f("abcdef", 50) + s1 + f("abcdef", 50) + s2 + f("abcdef", 10)
+    val doc2 = s1 + f("ghijkl", 60) + s2
+    val doc3 = f("mnopqr", 100)
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = operators.Dedup.maximalDupSpans(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("covered_chars"), r.getAs[Long]("max_span"),
+        r.getAs[Double]("covered_frac")))
+      .toSeq
+    // doc1: s1 at 51..110 (span 60), s2 at 161..205 (span 45), gap > 40
+    // doc2: s1 at 1..60, s2 at 121..165; doc3: nothing duplicated.
+    // Coverage is the EXACT union of the planted blocks — one char more
+    // or less (sub-maximal or over-merged spans) fails the compare.
+    assert(got == Seq(
+      (1L, 2L, 105L, 60L, 105.0 / doc1.length),
+      (2L, 2L, 105L, 60L, 105.0 / doc2.length),
+      (3L, 0L, 0L, 0L, 0.0)), got.mkString("\n"))
+  }
 }
