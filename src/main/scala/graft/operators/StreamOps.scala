@@ -2053,6 +2053,102 @@ object StreamOps {
       |    AS max_abs_z
       |FROM v JOIN mm ON v.event_type = mm.event_type
       |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
+    // ------------------------------------------------------------------
+    // QUIESCENCE REPORTS ON REGISTERED transformWithState TIMERS — the
+    // r8 gate for the one Tws path st31 left suite-only: the statistics
+    // operator's timer lifecycle (register on every record batch, slide
+    // by delete+re-register, FIRE via watermark progress into
+    // handleExpiredTimer, which emits the report and clears state —
+    // the reference's StatisticsOperator.scala:91,135-142 timer API) on
+    // the RocksDB store. Fixture: per-pipeline stats records derived
+    // from orders arrive in two TIME-SPLIT batches (split at 1998-01-01,
+    // so no record falls behind the watermark and the late-data guard
+    // never bites), then two watermark-pusher sentinels (pipeline 99)
+    // arrive 30s+ past every data timestamp — the second pusher batch
+    // executes with the watermark beyond every pipeline's lastTs+timeout,
+    // so all four quiescence timers fire ON EVENT TIME during a real
+    // batch (no reliance on a no-data batch). Every report field —
+    // makespan, sums, count, and the newest-by-event-time score (score is
+    // a pure function of the timestamp, so watermark-order ties cannot
+    // make it nondeterministic) — is recomputed by the oracle from
+    // orders. Scale: O(pipelines) state, O(1) timers per key, reports
+    // are O(pipelines) rows.
+    Op("st39_tws_timer_quiescence", (s, d) => {
+      import s.implicits._
+      val splitMs = 883612800000L // 1998-01-01 UTC
+      val dir = Streaming.stagedDir("twsstats", d) { dir =>
+        val evts = T.orders(s, d).select(
+          (col("o_custkey") % 4).cast(IntegerType).as("pipelineId"),
+          (col("o_orderkey") % 7).as("modelsShipped"),
+          (col("o_orderkey") % 1000).as("bytesShipped"),
+          lit(1L).as("blocks"),
+          (col("o_orderkey") % 13).as("fitted"),
+          ((unix_millis(col("o_orderdate").cast(TimestampType)) % 1000000L)
+            .cast(DoubleType) / 1000000.0).as("score"),
+          unix_millis(col("o_orderdate").cast(TimestampType)).as("eventTimeMs"))
+        val sentinel = (ts: Long) =>
+          Seq((99, 0L, 0L, 0L, 0L, 0.0, ts))
+            .toDF("pipelineId", "modelsShipped", "bytesShipped", "blocks",
+              "fitted", "score", "eventTimeMs")
+        val t0 = System.currentTimeMillis()
+        val back = (ms: Long) => java.nio.file.attribute.FileTime.fromMillis(ms)
+        def stamp(age: Long): Unit =
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+            if (java.nio.file.Files.getLastModifiedTime(p).toMillis > t0 - age - 1)
+              java.nio.file.Files.setLastModifiedTime(p, back(t0 - age)))
+        evts.filter(col("eventTimeMs") < splitMs)
+          .coalesce(1).write.mode("append").parquet(dir)
+        stamp(240000)
+        evts.filter(col("eventTimeMs") >= splitMs)
+          .coalesce(1).write.mode("append").parquet(dir)
+        stamp(180000)
+        sentinel(1100000000000L).coalesce(1).write.mode("append").parquet(dir)
+        stamp(120000)
+        sentinel(1100000100000L).coalesce(1).write.mode("append").parquet(dir)
+        stamp(60000)
+      }
+      // the provider conf is read at query start (the st31 pattern):
+      // isolate RocksDB in a child session
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = Streaming.withStreamShuffle(s2) {
+        val name = uniq("st39")
+        val src = s2.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[StatEvent]].schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir).as[StatEvent](
+            org.apache.spark.sql.Encoders.product[StatEvent])
+        val q0 = graft.streaming.TwsStatsOperator.run(src, timeoutMs = 30000L)
+          .writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q0.processAllAvailable(); q0.stop(); q0
+      }
+      s2.table(q.name)
+        .filter(col("kind") === "job_statistics" && col("pipelineId") < 4)
+        .select(col("pipelineId").as("pipeline_id"),
+          col("value").as("score"),
+          regexp_extract(col("info"), "makespan=(\\d+)", 1)
+            .cast(LongType).as("makespan"),
+          regexp_extract(col("info"), "models=(\\d+)", 1)
+            .cast(LongType).as("models_shipped"),
+          regexp_extract(col("info"), "bytes=(\\d+)", 1)
+            .cast(LongType).as("bytes_shipped"),
+          regexp_extract(col("info"), "blocks=(\\d+)", 1)
+            .cast(LongType).as("blocks"),
+          regexp_extract(col("info"), "fitted=(\\d+)", 1)
+            .cast(LongType).as("fitted"))
+        .orderBy("pipeline_id")
+    }, Some("""SELECT CAST(o_custkey % 4 AS INTEGER) AS pipeline_id,
+      |  CAST(epoch_ms(MAX(o_orderdate)) % 1000000 AS DOUBLE) / 1000000.0
+      |    AS score,
+      |  CAST(epoch_ms(MAX(o_orderdate)) - epoch_ms(MIN(o_orderdate))
+      |    AS BIGINT) AS makespan,
+      |  CAST(SUM(o_orderkey % 7) AS BIGINT) AS models_shipped,
+      |  CAST(SUM(o_orderkey % 1000) AS BIGINT) AS bytes_shipped,
+      |  COUNT(*) AS blocks,
+      |  CAST(SUM(o_orderkey % 13) AS BIGINT) AS fitted
+      |FROM orders GROUP BY 1 ORDER BY pipeline_id""".stripMargin)),
   )
 
   /** The two-file parity-split documents staging shared by st36/st37 (one
