@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool for the r8 10x scale probe (SCALE.md): synthesize an
+  * sf1-equivalent fixture from sf0.1 by key-offset replication so the
+  * iterative family (d09/d11/d19, g01/g02/g03) can be MEASURED past the
+  * driver's largest shipped fixture instead of argued about.
+  *
+  * - lineitem: 10 replicas with disjoint order/part/supplier key spaces —
+  *   the co-purchase graph becomes 10x nodes and 10x edges (TPC-H scaling
+  *   grows parts with SF; disjoint replicas measure pure volume cost).
+  * - documents: 10 replicas with per-replica vowel permutations, so
+  *   replicas share almost no shingles and the dedup workload keeps the
+  *   original within-replica candidate structure at 10x volume instead of
+  *   degenerating into a 45x everything-matches-everything blowup.
+  * - remaining tables: copied verbatim (the probed ops do not read them,
+  *   but T.* loaders must resolve).
+  *
+  * Usage: runMain graft.tools.ScaleSynth [srcDir outDir reps]
+  */
+object ScaleSynth {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = T.lineitem(spark, src)
+    val (okOff, pkOff, skOff) = (150000L, 20000L, 1000L)
+    li.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select(
+        (col("l_orderkey") + col("rep") * okOff).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * pkOff).as("l_partkey"),
+        (col("l_suppkey") + col("rep") * skOff).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // 10 vowel permutations: replica 0 is the original corpus; the others
+    // rewrite most shingles while preserving lengths and doc structure
+    val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeuoi", "eouia", "iuaoe", "oieua", "uioea")
+    val docs = T.documents(spark, src)
+    val docOff = 5000L
+    perms.zipWithIndex.map { case (p, i) =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
+        (if (i == 0) col("text") else translate(col("text"), "aeiou", p))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // untouched tables: verbatim copies so every T.* loader resolves
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"SYNTH done: $out at ${reps}x of $src")
+    spark.stop()
+  }
+}
