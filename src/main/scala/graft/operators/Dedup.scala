@@ -629,44 +629,10 @@ object Dedup {
     // directly. Spark only ever joins within bands (scale path).
     Op(
       "d07_simhash_pairs",
-      (s, d) => {
-        // cached: the banded self-join evaluates both sides, and without the
-        // cache each side recomputes the full simhash scan (d02/d03 cache
-        // their shingle tables for the same reason)
-        val sh = T.documents(s, d)
-          .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
-          .cache()
-        val bands = sh.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
-            .as("bb"))
-          .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
-        bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH sh AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-        |    FROM (
-        |      SELECT doc_id, unnest(generate_series(0, 31)) AS b, h FROM (
-        |        SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM (
-        |          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)))
-        |    GROUP BY doc_id, b)
-        |  GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      (s, d) => simhashPairs3(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $sqlSimhash32Cte,
+        |$sqlSimhashPairs3Cte
+        |SELECT doc_a, doc_b, hamming FROM sp
         |ORDER BY doc_a, doc_b""".stripMargin)),
     // ------------------------------------------------------------------
     Op(
@@ -1577,6 +1543,73 @@ object Dedup {
       |SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS n_dup_pairs
       |FROM pairs GROUP BY 1, 2 HAVING SUM(np) > 0
       |ORDER BY source_a, source_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ENSEMBLE NEAR-DUP CONSENSUS — what production curation actually
+    // ships: no single signal is trusted alone; a pair is a near-dup when
+    // at least 2 of 3 INDEPENDENT signal families agree. Signals: (1)
+    // MinHash-banded candidates with exact Jaccard >= 0.3 (the d03/d22
+    // scoring pass, structurally shared), (2) word-simhash banded pairs
+    // at hamming <= 3 (d07's generator, lossless banding), (3) stripe-
+    // energy perceptual hash at hamming <= 7 (mm07's generator, lossless
+    // 8x8 banding). Each signal keeps its own blocking, so the merge is
+    // three SMALL pair sets full-outer-joined on the pair key — never a
+    // corpus-wide operation; at 100 TB the consensus adds one
+    // O(candidate-pairs) join stage on top of signals the pipeline
+    // already computes. The vote booleans and count are exact integers.
+    Op("d27_ensemble_consensus", (s, d) => {
+      val jac = scoredCandidatePairs(s, d).filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("vj"))
+      val sim = simhashPairs3(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("vs"))
+      val ph = Multimodal.phashNeardupPairs(
+          Multimodal.phashBands(Multimodal.phashOf(T.documents(s, d))))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("vp"))
+      jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+        .join(ph, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("vj"), lit(0L)).as("v_jaccard"),
+          coalesce(col("vs"), lit(0L)).as("v_simhash"),
+          coalesce(col("vp"), lit(0L)).as("v_phash"))
+        .withColumn("votes",
+          col("v_jaccard") + col("v_simhash") + col("v_phash"))
+        .filter(col("votes") >= 2)
+        .select("doc_a", "doc_b", "votes", "v_jaccard", "v_simhash", "v_phash")
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""WITH $sqlCappedCtes,
+      |$sqlCandCtes,
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT iv.doc_a, iv.doc_b
+      |       FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
+      |       JOIN sz sb ON sb.doc_id = iv.doc_b
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3),
+      |$sqlSimhash32Cte,
+      |$sqlSimhashPairs3Cte,
+      |${Multimodal.sqlPhashCtes},
+      |pp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+      |merged AS (
+      |  SELECT COALESCE(j.doc_a, s.doc_a, p.doc_a) AS doc_a,
+      |    COALESCE(j.doc_b, s.doc_b, p.doc_b) AS doc_b,
+      |    CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS vj,
+      |    CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS vs,
+      |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS vp
+      |  FROM jp j
+      |  FULL JOIN sp s ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+      |  FULL JOIN pp p ON COALESCE(j.doc_a, s.doc_a) = p.doc_a
+      |              AND COALESCE(j.doc_b, s.doc_b) = p.doc_b)
+      |SELECT doc_a, doc_b,
+      |  CAST(vj + vs + vp AS BIGINT) AS votes,
+      |  CAST(vj AS BIGINT) AS v_jaccard,
+      |  CAST(vs AS BIGINT) AS v_simhash,
+      |  CAST(vp AS BIGINT) AS v_phash
+      |FROM merged WHERE vj + vs + vp >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 
   /** (b, r, log2 b, log2 r) banding candidates with b*r = 128. */
@@ -1616,6 +1649,57 @@ object Dedup {
        |  ROW_NUMBER() OVER (ORDER BY fp_units + fn_units, b) AS rnk
        |FROM agg ORDER BY rnk""".stripMargin
   }
+
+  /** d07/d27's shared simhash near-dup pair generator: 32-bit word simhash,
+    * 4x8-bit banding, hamming verify <= 3 — LOSSLESS at that threshold
+    * (pigeonhole: 3 flips across 4 bands leave one band intact), so the
+    * banded candidate set provably equals the all-pairs cut the oracle
+    * computes. Cached: the banded self-join evaluates both sides, and
+    * without the cache each side recomputes the full simhash scan.
+    */
+  private def simhashPairs3(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
+      .cache()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Oracle mirror of the 32-bit word simhash (CTE `sh32`). */
+  private def sqlSimhash32Cte: String =
+    """sh32 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      |    FROM (
+      |      SELECT doc_id, unnest(generate_series(0, 31)) AS b, h FROM (
+      |        SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM (
+      |          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)))
+      |    GROUP BY doc_id, b)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Oracle mirror of [[simhashPairs3]] (CTE `sp` over `sh32`): all-pairs
+    * hamming <= 3 — equal to the banded set by the pigeonhole argument.
+    */
+  private def sqlSimhashPairs3Cte: String =
+    """sp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |  FROM sh32 a JOIN sh32 b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
 
   /** d23's engine: exact maximal cross-doc duplicate-span coverage over any
     * (doc_id, text, n_chars) frame. Stride-1 40-char window hashes, the

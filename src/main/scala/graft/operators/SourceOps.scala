@@ -447,5 +447,49 @@ object SourceOps {
         |    AS content_xor,
         |  CAST(4 AS BIGINT) AS n_files
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // SCHEMA EVOLUTION — how a 100 TB corpus actually accretes: years of
+    // files written under different schema versions living in ONE table.
+    // v1 files (even doc_ids, "the 2019 crawl") carry (doc_id, lang,
+    // text); v2 files (odd doc_ids) append quality_score and tok_count.
+    // The read declares mergeSchema=true — Spark unions the footers into
+    // one schema and nulls the missing columns on v1 rows — and the
+    // rollup pins BOTH consumption policies: count/sum over the nullable
+    // column (nulls skipped: n_scored counts only v2 rows) and COALESCE
+    // backfill from the payload (n_tokens recomputes tok_count for v1
+    // rows — the "derive what old files never wrote" migration pattern).
+    // Scale: footer merge is metadata-only; the per-row cost is the same
+    // scan either way. The oracle reconstructs both policies from the
+    // version rule (doc_id parity), so a row routed to the wrong schema
+    // version or a null that leaks into a sum flips the hash.
+    Op(
+      "w15_schema_evolution",
+      (s, d) => {
+        val dir = graft.streaming.Streaming.stagedDir("w15evo", d) { dir =>
+          T.documents(s, d).filter(col("doc_id") % 2 === 0)
+            .select("doc_id", "lang", "text")
+            .coalesce(1).write.mode("append").parquet(dir)
+          T.documents(s, d).filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), col("text"),
+              (col("doc_id") % 100).as("quality_score"),
+              size(split(col("text"), " ")).cast(LongType).as("tok_count"))
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("quality_score")).as("n_scored"),
+            sum(col("quality_score")).as("score_sum"),
+            sum(coalesce(col("tok_count"),
+              size(split(col("text"), " ")).cast(LongType))).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scored,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 END) AS BIGINT)
+        |    AS score_sum,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -1387,6 +1387,66 @@ object TextAnalysis {
         |  CAST(SUM(hapax) AS BIGINT) AS sum_hapax,
         |  CAST(SUM(n_dis) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS ttr
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ZIPF SLOPE — the log-log least-squares fit of frequency vs rank over
+    // the top-100 terms, the corpus-health diagnostic complementing t29's
+    // Heaps law (a natural corpus fits slope ~ -1; boilerplate floods or
+    // template spam bend it). Exactness scheme: ranks and frequencies are
+    // exact integers; the top-100 cut is deterministic ((freq DESC, term)
+    // — the bounded-heap aggregate again, never a corpus-wide term sort);
+    // ln() differs across engines by ulps and the 100-point moment sums
+    // are summation-order dependent, so slope/intercept are quantized at
+    // 6 decimals (~7 orders above the drift), while n_terms and the
+    // top-100 occupancy stay exact longs. Scale: the term count is one
+    // shuffle with map-side partials; everything after is O(100).
+    Op("t33_zipf_slope", (s, d) => {
+      val cnt = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("t").agg(count(lit(1)).as("n"))
+      val top = cnt
+        .agg(graft.functions.F.topkStructs(
+          struct((-col("n")).as("nn"), col("t")), 100).as("tk"))
+        .select(posexplode(col("tk")))
+        .select((col("pos") + 1).cast(DoubleType).as("rk"),
+          (-col("col.nn")).as("n"))
+      top
+        .select(log(col("rk")).as("x"),
+          log(col("n").cast(DoubleType)).as("y"), col("n"))
+        .agg(count(lit(1)).cast(DoubleType).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum("n").as("occ"))
+        .select(
+          round((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sx2") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sx2") - col("sx") * col("sx"))) * col("sx")) /
+            col("k"), 6).as("intercept"),
+          col("k").cast(LongType).as("n_terms"),
+          col("occ").cast(LongType).as("top100_occurrences"))
+    }, Some("""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT t, COUNT(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk, n FROM cnt)
+      |  WHERE rk <= 100),
+      |pts AS (
+      |  SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y, n
+      |  FROM top),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(n) AS occ
+      |  FROM pts)
+      |SELECT
+      |  ROUND((k * sxy - sx * sy) / (k * sx2 - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((k * sxy - sx * sy) / (k * sx2 - sx * sx)) * sx) / k, 6)
+      |    AS intercept,
+      |  CAST(k AS BIGINT) AS n_terms,
+      |  CAST(occ AS BIGINT) AS top100_occurrences
+      |FROM s""".stripMargin)),
   )
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared

@@ -553,6 +553,26 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("t33: top-100 cut is a bounded-heap aggregate, not a term-table sort") {
+    val p = plan("t33_zipf_slope")
+    assert(!p.contains("Window"), "zipf rank regressed to a window sort")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "lost the collect_top_k aggregate path")
+  }
+
+  test("d27: consensus merge never degrades to a cartesian product") {
+    val p = plan("d27_ensemble_consensus")
+    assert(!p.contains("CartesianProduct"), "signal merge went quadratic")
+  }
+
+  test("w15: merged-schema read resolves the evolved column at the scan") {
+    // the staged dir mixes v1/v2 schema versions; the footer merge must
+    // surface quality_score in the scan's ReadSchema, not via a cast
+    val p = plan("w15_schema_evolution")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(rs.contains("quality_score"), s"evolved column missing:\n$rs")
+  }
+
   test("mm10: shot census stays in the scan projection (no explode shuffle)") {
     val p = plan("mm10_shot_boundaries")
     assert(!p.contains("Generate"), "per-frame explode appeared")
