@@ -1561,8 +1561,13 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vj"))
       val sim = simhashPairs3(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vs"))
-      val ph = Multimodal.phashNeardupPairs(
-          Multimodal.phashBands(Multimodal.phashOf(T.documents(s, d))))
+      // cache the 8-byte-per-doc phash table BEFORE banding, exactly as
+      // mm07 does: un-materialized, the banded self-join inlines the
+      // O(n_chars) stripe-energy expression into every phash reference on
+      // both sides (projection collapse), a ~1000x recompute blowup the
+      // r8 bench caught at 594 s — cached, the join reads 16 B/doc
+      val phBase = Multimodal.phashOf(T.documents(s, d)).cache()
+      val ph = Multimodal.phashNeardupPairs(Multimodal.phashBands(phBase))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vp"))
       jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
         .join(ph, Seq("doc_a", "doc_b"), "full_outer")

@@ -852,6 +852,45 @@ object MLOps {
           col("n_fitted"), round(col("loss_raw"), 6).as("cum_loss"))
         .orderBy("layer", "idx")
     }, Some(nnParityOracle)),
+    // ------------------------------------------------------------------
+    // DISTRIBUTED-PROTOCOL TRAJECTORY PARITY — the r8 step beyond per-
+    // learner gates (ml17-ml25 pin single sequences): replay an ENTIRE
+    // 2-worker x 2-round Synchronous fit cross-engine, merges included.
+    // Why this is bit-exact with no quantization anywhere: each worker's
+    // round is a PA chain (ml19's replayable hinge/tau/axpy sequence) on
+    // its own vec_id%2 partition; the count-weighted merge of exactly two
+    // replicas is IEEE-commutative (out starts 0.0, so 0+fa*wa+fb*wb is
+    // independent of which task finished first); and round 2 re-runs both
+    // chains seeded from the merged global. The oracle is four chained
+    // recursive CTEs with two one-row merge CTEs between them — the
+    // Trainer's collect->reassemble->merge path (ModelWire chunking
+    // included) must reproduce every double or the hash fails. Raw
+    // unrounded weights; n/cumLoss accumulate across rounds exactly as
+    // Trainer.fit's totalFitted/totalCumLoss do.
+    Op("ml26_sync_protocol_parity", (s, d) => {
+      val base = T.embeddings(s, d).filter(col("vec_id") < 320)
+        .select(col("vec_id").as("id"),
+          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+            .as("features"),
+          when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+      val keyed = base.rdd
+        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+      val byMod = new org.apache.spark.Partitioner {
+        def numPartitions: Int = 2
+        def getPartition(key: Any): Int = (key.asInstanceOf[Long] % 2L).toInt
+      }
+      val rdd = keyed.repartitionAndSortWithinPartitions(byMod).map(_._2)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(26, "PA", Map("C" -> 1.0), Nil, "Synchronous",
+          rounds = 2), rdd)
+      val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
+      import s.implicits._
+      ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
+          ((4L, m.b)) :+ ((5L, fitted.model.cumLoss)))
+        .map { case (i, v) => (i, v, fitted.model.n) })
+        .toDF("dim", "weight", "n_fitted")
+        .orderBy("dim")
+    }, Some(syncProtocolOracle)),
   )
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
@@ -1440,6 +1479,95 @@ object MLOps {
     s"(0.0 - (CASE WHEN $c0 > 0 THEN (($c0 / $tot) * ln($c0 / $tot)) / ln(2.0)" +
       s" ELSE 0.0 END) - (CASE WHEN $c1 > 0 THEN (($c1 / $tot) * ln($c1 / $tot))" +
       s" / ln(2.0) ELSE 0.0 END))"
+  }
+
+  /** One PA-II trajectory chain CTE (named `name`, consuming `pts`, seeded
+    * by `seedSql` — six aliased columns w0..w3, b) — ml19's replay step,
+    * parameterized so ml26 can chain four of them across rounds/workers.
+    */
+  private def paChain(name: String, pts: String, seedSql: String): String = {
+    val dims = 0 until 4
+    val margin = dims.map(j => s"s.w$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + " + s.b"
+    val hinge =
+      s"greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - p.y * ($margin))"
+    val nsq = dims.map(j => s"p.x$j * p.x$j")
+      .foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+    s"""$name AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, $seedSql, CAST(0 AS DOUBLE) AS cum
+       |  UNION ALL
+       |  SELECT t.i,
+       |    ${dims.map(j =>
+            s"CASE WHEN t.l > 0 THEN t.w$j + t.a * t.x$j ELSE t.w$j END")
+           .mkString(",\n|    ")},
+       |    CASE WHEN t.l > 0 THEN t.b + t.a ELSE t.b END,
+       |    t.cum + t.l
+       |  FROM (
+       |    SELECT u.*,
+       |      CASE WHEN u.l > 0
+       |        THEN (u.l / (u.nsq + CAST(1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |          * u.y
+       |        ELSE CAST(0 AS DOUBLE) END AS a
+       |    FROM (
+       |      SELECT s.i + 1 AS i,
+       |        ${dims.map(j => s"s.w$j").mkString(", ")}, s.b, s.cum,
+       |        ${dims.map(j => s"p.x$j").mkString(", ")}, p.y,
+       |        $hinge AS l,
+       |        $nsq AS nsq
+       |      FROM $name s JOIN $pts p ON p.i = s.i + 1) u) t)"""
+      .stripMargin
+  }
+
+  private def syncProtocolOracle: String = {
+    val dims = 0 until 4
+    val zeroSeed = (dims.map(j => s"CAST(0 AS DOUBLE) AS w$j") :+
+      "CAST(0 AS DOUBLE) AS b").mkString(", ")
+    val g1Seed = (dims.map(j => s"(SELECT w$j FROM g1) AS w$j") :+
+      "(SELECT b FROM g1) AS b").mkString(", ")
+    // count-weighted 2-replica merge: fa = n_a/total, out = fa*wa + fb*wb
+    // (out starts 0.0, so the sum order is commutative-safe bitwise)
+    def mergeCte(name: String, fa: String, fb: String): String = {
+      val f0 = s"(CAST(a.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+      val f1 = s"(CAST(b.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+      s"""$name AS (
+         |  SELECT
+         |    ${dims.map(j => s"($f0 * a.w$j) + ($f1 * b.w$j) AS w$j")
+              .mkString(",\n|    ")},
+         |    (a.b * $f0) + (b.b * $f1) AS b,
+         |    a.cum + b.cum AS cumv, a.i + b.i AS nv
+         |  FROM $fa a, $fb b)""".stripMargin
+    }
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT vec_id,
+       |    ${dims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
+            .mkString(", ")},
+       |    CASE WHEN label % 2 = 1 THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(-1 AS DOUBLE) END AS y,
+       |    vec_id % 2 AS part,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id % 2 ORDER BY vec_id) - 1
+       |      AS cnt
+       |  FROM embeddings WHERE vec_id < 320),
+       |pts0 AS (SELECT x0, x1, x2, x3, y, ROW_NUMBER() OVER (ORDER BY cnt)
+       |         AS i FROM raw WHERE part = 0 AND cnt % 10 < 8),
+       |pts1 AS (SELECT x0, x1, x2, x3, y, ROW_NUMBER() OVER (ORDER BY cnt)
+       |         AS i FROM raw WHERE part = 1 AND cnt % 10 < 8),
+       |${paChain("c0r1", "pts0", zeroSeed)},
+       |${paChain("c1r1", "pts1", zeroSeed)},
+       |f01 AS (SELECT * FROM c0r1 ORDER BY i DESC LIMIT 1),
+       |f11 AS (SELECT * FROM c1r1 ORDER BY i DESC LIMIT 1),
+       |${mergeCte("g1", "f01", "f11")},
+       |${paChain("c0r2", "pts0", g1Seed)},
+       |${paChain("c1r2", "pts1", g1Seed)},
+       |f02 AS (SELECT * FROM c0r2 ORDER BY i DESC LIMIT 1),
+       |f12 AS (SELECT * FROM c1r2 ORDER BY i DESC LIMIT 1),
+       |${mergeCte("g2", "f02", "f12")}
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN g2.w0 WHEN 1 THEN g2.w1 WHEN 2 THEN g2.w2
+       |       WHEN 3 THEN g2.w3 WHEN 4 THEN g2.b
+       |       ELSE g1.cumv + g2.cumv END AS weight,
+       |  g1.nv + g2.nv AS n_fitted
+       |FROM g1, g2, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
   }
 
   private def htParityOracle: String = {
