@@ -204,6 +204,54 @@ class R8OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("d27: votes are internally consistent and majority-gated") {
+    val rows = SparkEntry.queries("d27_ensemble_consensus")(spark, sf).collect()
+    assert(rows.nonEmpty, "consensus empty at sf0.001")
+    rows.foreach { r =>
+      val (vj, vs, vp) = (r.getAs[Long]("v_jaccard"),
+        r.getAs[Long]("v_simhash"), r.getAs[Long]("v_phash"))
+      val votes = r.getAs[Long]("votes")
+      assert(Seq(vj, vs, vp).forall(v => v == 0L || v == 1L))
+      assert(votes == vj + vs + vp && votes >= 2L && votes <= 3L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("w15: evolved-column aggregates respect the version split") {
+    val rows = SparkEntry.queries("w15_schema_evolution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val sc = r.getAs[Long]("n_scored")
+      assert(sc <= n, "scored more rows than exist")
+      assert(sc > 0, "v2 rows missing from the merged read")
+      // v1 backfill: token totals must cover every doc, not just v2's
+      assert(r.getAs[Long]("n_tokens") >= n, "backfill lost v1 rows")
+    }
+  }
+
+  test("t33: slope is negative (Zipf) and the cut matches the vocabulary") {
+    val r = SparkEntry.queries("t33_zipf_slope")(spark, sf).collect().head
+    // the heap takes min(100, |vocab|) terms — sf0.001's corpus has a
+    // vocabulary smaller than the cut, so derive the expectation
+    val vocab = T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count()
+    assert(r.getAs[Long]("n_terms") == math.min(100L, vocab))
+    assert(r.getAs[Double]("slope") < 0.0, "frequency must fall with rank")
+    assert(r.getAs[Long]("top100_occurrences") > 0L)
+  }
+
+  test("ml26: protocol parity output carries accumulated round totals") {
+    val rows = SparkEntry.queries("ml26_sync_protocol_parity")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    val n = rows.head.getAs[Long]("n_fitted")
+    // 320 ids -> 160/partition -> 128 fitted per partition-round x 2 x 2
+    assert(n == 512L, s"n_fitted $n != 2 workers x 2 rounds x 128")
+    val cum = rows.find(_.getAs[Long]("dim") == 5L).get.getAs[Double]("weight")
+    assert(cum > 0.0 && !cum.isNaN)
+  }
+
   test("d23: spans are exactly maximal on planted cross-doc overlaps") {
     import spark.implicits._
     // shared blocks use alphabets disjoint from every filler, so the ONLY
