@@ -396,7 +396,11 @@ object Relational {
     // through an explicit 8-way salt (small side replicated per salt, big
     // side salted by a deterministic hash) must produce exactly the plain
     // join's aggregate. At 100 TB this is the manual fallback when AQE's
-    // skew-join splitting isn't available (e.g. bucketed inputs).
+    // skew-join splitting isn't available (e.g. bucketed inputs). The
+    // salted join carries NO broadcast hint — the pattern exists for the
+    // shuffle-join regime (if the small side could broadcast, salting
+    // would be pointless); the planner still size-picks broadcast at
+    // test SF, shuffling on (suppkey, salt) at scale.
     Op(
       "q21_salted_skew_join",
       (s, d) => {
@@ -405,7 +409,7 @@ object Relational {
           .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
         val su = T.supplier(s, d)
           .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
-        li.join(broadcast(su),
+        li.join(su,
             col("l_suppkey") === col("s_suppkey") && li("salt") === su("salt"))
           .groupBy(col("s_name"))
           .agg(

@@ -884,7 +884,7 @@ object Relational2 {
           .withColumn("__bloom", lit(bitset))
           .withColumn("bloom_pass",
             expr(test(0)) && expr(test(1)) && expr(test(2)))
-          .join(broadcast(sel.withColumn("in_sel", lit(true))),
+          .join(sel.withColumn("in_sel", lit(true)),
             col("l_partkey") === col("p_partkey"), "left")
           .agg(
             count(lit(1)).as("n_rows"),

@@ -204,8 +204,11 @@ object Relational3 {
     // suppliers, per order year — the deepest join in the surface
     // (lineitem x orders x customer x nation x region x supplier x
     // nation x part: 7 joins) and the join-reorder/broadcast stress
-    // test. All five dimension joins broadcast (customer at sf-scale
-    // shuffles; at 100 TB it would bucket on the key like orders); the
+    // test. Only the CONSTANT dimensions (nation 25 rows, region 5) carry
+    // broadcast hints; supplier and part scale with SF so they stay
+    // unhinted — the planner size-picks broadcast at test SF and a
+    // shuffle join at 100 TB (customer at sf-scale shuffles; at 100 TB it
+    // would bucket on the key like orders); the
     // fact table is scanned ONCE with the part filter semi-joined in,
     // and the share is one IEEE division of two decimal-exact volume
     // sums, so it hash-matches bit-for-bit.
@@ -224,11 +227,11 @@ object Relational3 {
           .join(broadcast(T.region(s, d)),
             col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name") === "ASIA")
-          .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(T.nation(s, d).select(
             col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
             col("s_nationkey") === col("sn_key"))
-          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(T.part(s, d), col("l_partkey") === col("p_partkey"))
           .filter(col("p_type") === "ECONOMY")
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
@@ -327,8 +330,9 @@ object Relational3 {
     // supplier). At 100 TB that is ONE shuffle on the order key (the
     // aggregate and the join-back share it; lineitem bucketed on
     // l_orderkey makes both exchange-free) instead of three correlated
-    // passes over lineitem; supplier/nation broadcast at the end. Counts
-    // are per late LINE, Q21's own multiplicity.
+    // passes over lineitem; the constant nation dimension is hinted at
+    // the end while supplier (SF-scaling) stays unhinted for the planner
+    // to size-pick. Counts are per late LINE, Q21's own multiplicity.
     Op(
       "q66_waiting_suppliers",
       (s, d) => {
@@ -349,7 +353,7 @@ object Relational3 {
             Seq("l_orderkey"))
           .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
         waits
-          .join(broadcast(T.supplier(s, d)),
+          .join(T.supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(T.nation(s, d)),
             col("s_nationkey") === col("n_nationkey"))

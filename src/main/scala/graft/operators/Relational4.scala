@@ -29,11 +29,12 @@ object Relational4 {
     // stresses the DOUBLE dimension attach: the supplier side resolves
     // through one nation alias, the customer side through another, and the
     // pair predicate is a residual over both. Scale plan: lineitem⋈orders
-    // is the one fact-fact shuffle (orderkey); supplier+nation collapse to
-    // a broadcast (supplier is 10k/SF rows — a true dimension), customer
-    // resolves via a size-based join AQE picks (big at 100 TB → shuffle on
-    // custkey, never forced broadcast). The nation-set membership prunes
-    // the supplier broadcast BEFORE shipping it. Year extraction is a
+    // is the one fact-fact shuffle (orderkey); supplier+nation join
+    // UNHINTED (supplier scales with SF — the planner broadcasts it at
+    // test SF, shuffles at 100 TB), customer likewise resolves via a
+    // size-based join AQE picks (big at 100 TB → shuffle on custkey,
+    // never forced broadcast). The nation-set membership prunes the
+    // supplier side BEFORE any shipping. Year extraction is a
     // codegen'd expression; sums are decimal-exact (order-independent).
     Op(
       "q70_nation_traffic",
@@ -56,7 +57,7 @@ object Relational4 {
           .filter(col("l_shipdate").cast(DateType)
             .between("1997-01-01", "1998-12-31"))
           .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
           .filter((col("sn").isin(left: _*) && col("cn").isin(right: _*)) ||
             (col("sn").isin(right: _*) && col("cn").isin(left: _*)))
@@ -165,7 +166,8 @@ object Relational4 {
     // map-side partials; the global max is ONE broadcast row (never a
     // window over the whole view — the q5-style rank-all plan would sort
     // 10M suppliers for one cut); the winner set (1 row + ties) then
-    // broadcast-joins the supplier dimension.
+    // joins the supplier dimension UNHINTED — supplier scales with SF, so
+    // the planner broadcasts whichever side is small (the winner set).
     Op(
       "q73_top_supplier",
       (s, d) => {
@@ -178,7 +180,7 @@ object Relational4 {
         val mx = rev.agg(max(col("total_rev_dec")).as("mx"))
         rev.crossJoin(broadcast(mx))
           .filter(col("total_rev_dec") === col("mx"))
-          .join(broadcast(T.supplier(s, d)),
+          .join(T.supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             col("total_rev_dec").cast(DoubleType).as("total_rev"))
@@ -206,9 +208,10 @@ object Relational4 {
     // one row each. Unit price is ONE IEEE division per (part,supp) —
     // bit-identical in both engines; min over doubles is
     // order-independent. Scale: two keyed aggregates riding the SAME
-    // (l_partkey[, l_suppkey]) shuffle, brand dimension broadcast at the
-    // end (at 100 TB the brand filter would drive a DPP/semi-join into
-    // the fact scan instead of post-filtering the aggregate).
+    // (l_partkey[, l_suppkey]) shuffle, brand-filtered part joined at the
+    // end UNHINTED (part scales with SF — the planner size-picks; at
+    // 100 TB the brand filter would drive a DPP/semi-join into the fact
+    // scan instead of post-filtering the aggregate).
     Op(
       "q74_min_cost_supplier",
       (s, d) => {
@@ -222,8 +225,8 @@ object Relational4 {
           .agg(min(struct(col("up"), col("l_suppkey"))).as("b"),
             count(lit(1)).as("n_suppliers"))
         best
-          .join(broadcast(T.part(s, d).filter(col("p_brand") === "Brand#4")
-            .select("p_partkey", "p_brand")),
+          .join(T.part(s, d).filter(col("p_brand") === "Brand#4")
+            .select("p_partkey", "p_brand"),
             col("l_partkey") === col("p_partkey"))
           .select(col("p_partkey"), col("p_brand"),
             col("b.l_suppkey").as("best_suppkey"),
@@ -255,14 +258,15 @@ object Relational4 {
     // every SF. Values aggregate in the exact decimal domain; the
     // threshold compare is double ops on bit-identical operands in a
     // fixed order. Scale: ONE (nationkey, partkey) shuffle with map-side
-    // partials (supplier dimension broadcasts into the scan side), the
+    // partials (supplier joins unhinted — it scales with SF, so the
+    // planner broadcasts it at test SF and shuffles at 100 TB), the
     // global total is a second fold OVER THE AGGREGATE (O(groups), not a
     // second fact pass), and the cut broadcasts one row back.
     Op(
       "q75_important_stock",
       (s, d) => {
         val v = T.lineitem(s, d)
-          .join(broadcast(T.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          .join(T.supplier(s, d).select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey"), col("l_partkey"))
           .agg(sum(Num.dec2(col("l_extendedprice"))).as("val"))

@@ -35,9 +35,11 @@ object Relational5 {
     // — quantities are integral 1..50 — stay far under precision caps in
     // both engines), so the sums are order-independent and the gate is
     // bit-exact. Scale plan: lineitem⋈orders is the one fact-fact shuffle
-    // (orderkey); the name-filtered part table and the supplier+nation
-    // dimensions broadcast (at 100 TB part would exceed broadcast — AQE
-    // size-picks; the name filter is pushed to the part scan either way).
+    // (orderkey); part and supplier are SF-scaling tables so they carry NO
+    // broadcast hint — the planner size-picks (broadcast at test SF,
+    // shuffle join at 100 TB where part is 200M rows/SF); only the 25-row
+    // nation dimension is hinted. The name filter pushes to the part scan
+    // either way.
     Op(
       "q76_product_profit",
       (s, d) => {
@@ -48,11 +50,11 @@ object Relational5 {
           costPu * qd
         T.lineitem(s, d)
           .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(T.part(s, d)
+          .join(T.part(s, d)
             .filter(col("p_name").contains("gear"))
-            .select("p_partkey", "p_retailprice")),
+            .select("p_partkey", "p_retailprice"),
             col("l_partkey") === col("p_partkey"))
-          .join(broadcast(T.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          .join(T.supplier(s, d).select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(T.nation(s, d)),
             col("s_nationkey") === col("n_nationkey"))
@@ -82,9 +84,12 @@ object Relational5 {
     // on custkey, the global top-20 is a TakeOrderedAndProject (per-
     // partition O(k) heaps + one O(p*k) driver merge — never a full sort
     // of the customer aggregate), and only the 20 winners join the
-    // customer/nation dimensions. Ordering ties break on custkey so the
-    // cut is deterministic in both engines; the compare happens on the
-    // exact decimal revenue, the output casts to double.
+    // customer/nation dimensions. The BROADCAST side is the bounded 20-row
+    // top-k result, never customer (the largest SF-scaling dimension —
+    // hinting it would ship an ever-growing table to every executor to
+    // meet a 20-row probe). Ordering ties break on custkey so the cut is
+    // deterministic in both engines; the compare happens on the exact
+    // decimal revenue, the output casts to double.
     Op(
       "q77_returned_items",
       (s, d) => {
@@ -97,11 +102,11 @@ object Relational5 {
           .groupBy(col("o_custkey"))
           .agg(sum(Num.dec2(col("l_extendedprice")) * disc(col("l_discount")))
             .as("rev_dec"), count(lit(1)).as("n_items"))
-        rev
-          .orderBy(col("rev_dec").desc, col("o_custkey"))
-          .limit(20)
-          .join(broadcast(T.customer(s, d)
-            .select("c_custkey", "c_name", "c_nationkey")),
+        broadcast(rev
+            .orderBy(col("rev_dec").desc, col("o_custkey"))
+            .limit(20))
+          .join(T.customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(T.nation(s, d)
             .select(col("n_nationkey"), col("n_name"))),
@@ -166,7 +171,9 @@ object Relational5 {
     // the excluded "complaint" suppliers are those with negative account
     // balance. The judged shape survives intact: a distinct over the fact
     // table, an ANTI-join against a subquery-derived exclusion set
-    // (broadcast — it is a filtered dimension), a negated dimension
+    // (unhinted — supplier scales with SF, so the planner size-picks the
+    // broadcast anti at test SF and falls back to a shuffle at 100 TB), a
+    // negated dimension
     // filter (<> brand, <> type, size IN set), and COUNT(DISTINCT) per
     // group. Scale plan: the distinct and the count-distinct ride the
     // SAME partkey-led shuffle; the anti-join adds no exchange (broadcast
@@ -177,8 +184,8 @@ object Relational5 {
         val sizes = Seq(1, 9, 17, 25, 33, 41, 49)
         val ps = T.lineitem(s, d)
           .select(col("l_partkey"), col("l_suppkey")).distinct()
-          .join(broadcast(T.supplier(s, d)
-            .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          .join(T.supplier(s, d)
+            .filter(col("s_acctbal") < 0).select("s_suppkey"),
             col("l_suppkey") === col("s_suppkey"), "left_anti")
         ps.join(T.part(s, d)
             .filter(col("p_brand") =!= "Brand#5" &&
@@ -215,7 +222,8 @@ object Relational5 {
     // supplier keys → semijoin into supplier, never a denormalizing join
     // that would duplicate supplier rows. Scale plan: one
     // (partkey, suppkey) shuffle with conditional map-side partials; the
-    // name-filtered part set broadcasts into a LEFT SEMI; the final
+    // name-filtered part set rides a LEFT SEMI (unhinted — part scales
+    // with SF, so the planner size-picks broadcast vs shuffle); the final
     // supplier semijoin is O(suppliers) against a distinct key set.
     Op(
       "q80_excess_stock_suppliers",
@@ -230,8 +238,8 @@ object Relational5 {
           .filter(col("qty98") * 10 > col("qty_total") * 8 &&
             col("qty_total") >= 50)
         val excess = agg
-          .join(broadcast(T.part(s, d)
-            .filter(col("p_name").contains("bolt")).select("p_partkey")),
+          .join(T.part(s, d)
+            .filter(col("p_name").contains("bolt")).select("p_partkey"),
             col("l_partkey") === col("p_partkey"), "left_semi")
           .select(col("l_suppkey")).distinct()
         T.supplier(s, d)

@@ -565,6 +565,61 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "signal merge went quadratic")
   }
 
+  test("TPC-H tier: broadcast hints only wrap BOUNDED sides") {
+    // The r8 verdict's one wrong-at-100x plan class: an explicit broadcast
+    // hint on an SF-scaling table (customer/supplier/part or an aggregate
+    // over them) is honored regardless of size, shipping an ever-growing
+    // build side to every executor. A hint is legitimate only when its
+    // subtree is provably bounded: a constant dimension (nation 25 rows /
+    // region 5 rows), a GlobalLimit (q77's 20-row top-k), or an ungrouped
+    // one-row aggregate (q73's max, q75's total). Everything else must
+    // stay unhinted so the planner size-picks (broadcast at test SF,
+    // shuffle at 100 TB).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, ResolvedHint}
+    val tier = Seq(
+      "q21_salted_skew_join", "q53_bloom_semijoin", "q64_market_share",
+      "q66_waiting_suppliers", "q70_nation_traffic", "q73_top_supplier",
+      "q74_min_cost_supplier", "q75_important_stock", "q76_product_profit",
+      "q77_returned_items", "q78_late_shipments", "q79_supplier_part_types",
+      "q80_excess_stock_suppliers")
+    for (q <- tier) {
+      val analyzed = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed
+      val hints = analyzed.collect { case h: ResolvedHint => h }
+      hints.foreach { h =>
+        val boundedShape = h.child.collectFirst {
+          case _: GlobalLimit => ()
+          case a: Aggregate if a.groupingExpressions.isEmpty => ()
+        }.isDefined
+        val leaves = h.child.collectLeaves()
+        val constDims = leaves.nonEmpty && leaves.forall { l =>
+          val s = l.toString
+          s.contains("nation") || s.contains("region")
+        }
+        assert(boundedShape || constDims,
+          s"$q hints an SF-scaling side:\n${h.child.treeString}")
+      }
+    }
+  }
+
+  test("q77: the 20-row top-k side is the broadcast build side, not customer") {
+    // flip-check for the r8 verdict finding: the hint must wrap the
+    // GlobalLimit subtree; customer columns must never sit under a hint
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, ResolvedHint}
+    val analyzed =
+      SparkEntry.queries("q77_returned_items")(spark, sf).queryExecution.analyzed
+    val hints = analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.exists(_.child.collectFirst { case _: GlobalLimit => () }.isDefined),
+      "q77 lost the broadcast hint on the 20-row top-k probe")
+    hints.foreach { h =>
+      assert(!h.child.output.exists(_.name.startsWith("c_")),
+        "q77 regained a broadcast hint on the customer dimension")
+    }
+    // and the physical join must still broadcast (build side = the 20 rows)
+    val p = plan("q77_returned_items")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "20-row probe degraded to SMJ")
+  }
+
   test("w15: merged-schema read resolves the evolved column at the scan") {
     // the staged dir mixes v1/v2 schema versions; the footer merge must
     // surface quality_score in the scan's ReadSchema, not via a cast
