@@ -132,7 +132,24 @@ object Bench {
       cleanupSession()
       name -> vs.toSeq
     }
-    val results = samples.map { case (k, vs) => k -> vs.min }
+    // When the base samples agree (spread <= 2.5x) the min is the
+    // operator's cost — the classic both-plausible GC-noise case. When the
+    // auto resample FIRED, the bare min could crown an outlier-fast mode
+    // (e.g. an occasional warm-cache path) rather than the typical cost:
+    // report the MEDIAN of the plausible samples (those within 2.5x of the
+    // fastest) instead, so contention rescue discards slow spikes but can
+    // no longer silently favor lucky draws (r8 advisor note).
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = samples.map { case (k, vs) =>
+      val baseN = if (regressionWatch.contains(k)) 3 else 2
+      val v = if (vs.size <= baseN) vs.min
+        else median(vs.filter(_ <= vs.min * 2.5))
+      k -> v
+    }
 
     // ingest+train rows/s: stream the events table through feature
     // extraction into a 1-round distributed PA fit (BASELINE.md metric).

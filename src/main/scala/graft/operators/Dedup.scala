@@ -1561,12 +1561,14 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vj"))
       val sim = simhashPairs3(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vs"))
-      // cache the 8-byte-per-doc phash table BEFORE banding, exactly as
-      // mm07 does: un-materialized, the banded self-join inlines the
+      // materialize the 8-byte-per-doc phash table BEFORE banding, exactly
+      // as mm07 does: un-materialized, the banded self-join inlines the
       // O(n_chars) stripe-energy expression into every phash reference on
       // both sides (projection collapse), a ~1000x recompute blowup the
-      // r8 bench caught at 594 s — cached, the join reads 16 B/doc
-      val phBase = Multimodal.phashOf(T.documents(s, d)).cache()
+      // r8 bench caught at 594 s — materialized, the join reads 16 B/doc.
+      // localCheckpoint (not cache) so the blocks release via the
+      // ContextCleaner instead of pinning heap across repeated invocations
+      val phBase = Multimodal.phashOf(T.documents(s, d)).localCheckpoint()
       val ph = Multimodal.phashNeardupPairs(Multimodal.phashBands(phBase))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vp"))
       jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
@@ -1659,13 +1661,17 @@ object Dedup {
     * 4x8-bit banding, hamming verify <= 3 — LOSSLESS at that threshold
     * (pigeonhole: 3 flips across 4 bands leave one band intact), so the
     * banded candidate set provably equals the all-pairs cut the oracle
-    * computes. Cached: the banded self-join evaluates both sides, and
-    * without the cache each side recomputes the full simhash scan.
+    * computes. Materialized via localCheckpoint (not cache): the banded
+    * self-join evaluates both sides, and without materialization each side
+    * recomputes the full simhash scan; localCheckpoint blocks are released
+    * by the ContextCleaner when the plan is GC'd, so repeated invocations
+    * in a long-lived session do not accumulate pinned cache entries
+    * (r8 advisor note).
     */
   private def simhashPairs3(s: SparkSession, d: String): DataFrame = {
     val sh = T.documents(s, d)
       .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
-      .cache()
+      .localCheckpoint()
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

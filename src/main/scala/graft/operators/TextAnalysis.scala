@@ -1388,6 +1388,53 @@ object TextAnalysis {
         |  CAST(SUM(n_dis) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS ttr
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
     // ------------------------------------------------------------------
+    // STOPWORD-RATIO PROFILE — the function-word density histogram quality
+    // filters cut on (natural prose has a stable stopword share; keyword
+    // stuffing and template boilerplate sit at the extremes — the
+    // C4/Gopher-style heuristic next to t03/t21/t31). Everything stays in
+    // the INTEGER domain: the per-doc stopword count is an array-domain
+    // membership filter over the token list (fixed 8-word function set),
+    // the decile is integer arithmetic ((10*n_stop) DIV n_tok, capped),
+    // and the only double is one divide of two exact integer sums per
+    // O(10)-row group. Scale shape: pure per-row codegen'd expressions
+    // (no explode — the membership count folds inside the projection),
+    // map-side partial agg, nothing but the O(10)-row final exchange.
+    Op(
+      "t32_stopword_profile",
+      (s, d) => {
+        T.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .select(
+            expr("cast(size(t) as bigint)").as("n_tok"),
+            expr("cast(size(filter(t, x -> x IN " +
+              "('the','a','of','and','to','in','is','it'))) as bigint)")
+              .as("n_stop"))
+          .select(expr("least((10 * n_stop) DIV n_tok, 9)").as("stop_decile"),
+            col("n_tok"), col("n_stop"))
+          .groupBy("stop_decile")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+            sum("n_stop").as("sum_stop"))
+          .withColumn("stop_ratio",
+            col("sum_stop").cast(DoubleType) / col("sum_tok").cast(DoubleType))
+          .orderBy("stop_decile")
+      },
+      Some("""WITH d AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents),
+        |m AS (
+        |  SELECT CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(t, x -> x IN
+        |      ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop
+        |  FROM d),
+        |b AS (
+        |  SELECT LEAST((10 * n_stop) // n_tok, 9) AS stop_decile,
+        |    n_tok, n_stop
+        |  FROM m)
+        |SELECT stop_decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(SUM(n_stop) AS BIGINT) AS sum_stop,
+        |  CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS stop_ratio
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ------------------------------------------------------------------
     // ZIPF SLOPE — the log-log least-squares fit of frequency vs rank over
     // the top-100 terms, the corpus-health diagnostic complementing t29's
     // Heaps law (a natural corpus fits slope ~ -1; boilerplate floods or
