@@ -316,6 +316,9 @@ object F {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotFD(a: Column, b: Column): Column = call_function("dot_fd", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+  /** Rabin–Karp rolling hash of every k-char window, one O(n) pass. */
+  def rollingHashes(s: Column, k: Int): Column =
+    call_function("rolling_hashes", s, org.apache.spark.sql.functions.lit(k))
   def nearestCentroids(v: Column, flatCentroids: Column, dim: Int, nprobe: Int): Column =
     call_function("nearest_centroids", v, flatCentroids,
       org.apache.spark.sql.functions.lit(dim), org.apache.spark.sql.functions.lit(nprobe))
@@ -335,7 +338,9 @@ object F {
       (es: Seq[Expression]) => SimHash32(es.head)),
     (FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
-      (es: Seq[Expression]) => RollingHashes(es.head, 8)),
+      // optional second arg = window length k (foldable int), default 8
+      (es: Seq[Expression]) => RollingHashes(es.head,
+        if (es.sizeIs > 1) es(1).eval().asInstanceOf[Number].intValue else 8)),
     (FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
       (es: Seq[Expression]) => Md5Prefix32(es.head)),

@@ -1718,13 +1718,33 @@ object Dedup {
     * (break when the position gap exceeds the window length) — islands ARE
     * the maximal duplicated substrings of length ≥ 40. Factored out so
     * R8OpsSuite can prove maximality on planted-overlap fixtures.
+    *
+    * Two-phase exactness scheme (r8 verdict task 3): CANDIDATE generation
+    * rides 8-byte Rabin–Karp rolling hashes (the codegen'd
+    * `rolling_hashes` expression, one O(n_chars) pass per doc), so the
+    * corpus-scale gram shuffle carries longs instead of 32-hex-char md5
+    * strings — ~4x less exchange volume. The rolling-hash space is ~2^30,
+    * so collisions can ADD false candidate positions (never drop true
+    * ones: equal strings always share the hash); an md5 CONFIRM pass over
+    * the candidates alone — O(duplicated chars), not O(n_chars) — restores
+    * exactness before island coalescing. Output and oracle are unchanged.
     */
   private[graft] def maximalDupSpans(docs: DataFrame): DataFrame = {
     val eligible = docs.filter(col("n_chars") >= 40)
-    val grams = eligible
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), col("n_chars").cast(IntegerType) - 39))
-          .as("pos"))
+    val rh = eligible
+      .select(col("doc_id"),
+        posexplode(graft.functions.F.rollingHashes(col("text"), 40)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("rh"))
+    val dupRh = rh.groupBy("rh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("rh")
+    val cand = rh.join(dupRh, Seq("rh"), "left_semi").select("doc_id", "pos")
+    // confirm: rejoin the text (pipelined into the md5 projection — text
+    // never rides a shuffle past this stage), hash the exact window, and
+    // re-apply the >=2-distinct-docs cut on the full 128-bit digest
+    val grams = cand
+      .join(eligible.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         md5(expr("substring(text, pos, 40)")).as("g"))
     val dup = grams.groupBy("g")
