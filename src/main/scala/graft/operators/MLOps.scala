@@ -867,31 +867,74 @@ object MLOps {
     // included) must reproduce every double or the hash fails. Raw
     // unrounded weights; n/cumLoss accumulate across rounds exactly as
     // Trainer.fit's totalFitted/totalCumLoss do.
-    Op("ml26_sync_protocol_parity", (s, d) => {
-      val base = T.embeddings(s, d).filter(col("vec_id") < 320)
-        .select(col("vec_id").as("id"),
-          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
-            .as("features"),
-          when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
-      val keyed = base.rdd
-        .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
-      val byMod = new org.apache.spark.Partitioner {
-        def numPartitions: Int = 2
-        def getPartition(key: Any): Int = (key.asInstanceOf[Long] % 2L).toInt
-      }
-      val rdd = keyed.repartitionAndSortWithinPartitions(byMod).map(_._2)
-      val fitted = Trainer.fit(s,
-        PipelineSpec(26, "PA", Map("C" -> 1.0), Nil, "Synchronous",
-          rounds = 2), rdd)
-      val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
-      import s.implicits._
-      ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
-          ((4L, m.b)) :+ ((5L, fitted.model.cumLoss)))
-        .map { case (i, v) => (i, v, fitted.model.n) })
-        .toDF("dim", "weight", "n_fitted")
-        .orderBy("dim")
-    }, Some(syncProtocolOracle)),
+    Op("ml26_sync_protocol_parity", (s, d) =>
+      twoWorkerProtocolFit(s, d, 26, "Synchronous", Map.empty, rounds = 2),
+      Some(syncProtocolOracle)),
+    // ------------------------------------------------------------------
+    // SSP STALE-READ TRAJECTORY PARITY (r8 verdict task 4) — ml26 pinned
+    // the Synchronous protocol; ml27 replays SSP(1)'s bounded-stale READ
+    // machinery itself: 2 workers x 3 rounds where worker 1 (pid 1, lag =
+    // pid mod (s+1) = 1) is the FORCED-STALE worker — each round it seeds
+    // from the global one round behind the frontier, including the round-2
+    // edge where "one round behind" is the PRE-TRAINING None and the
+    // worker re-seeds from zero. The oracle chains SIX PA trajectories
+    // (2 workers x 3 rounds) whose seeds follow exactly that window:
+    // round 1 (0,0), round 2 (g1, ZERO), round 3 (g2, g1) — any drift in
+    // the Trainer's recent-globals deque, the lag clamp, or the admission
+    // fold breaks the raw-double hash. Both replicas stay within s of the
+    // frontier (seeding clamps lag <= s), so admission keeps both — the
+    // admission CUT (dropping an over-stale replica) can only trigger on
+    // out-of-band replicas and is suite-gated instead (PipelineSparkSuite).
+    Op("ml27_ssp_protocol_parity", (s, d) =>
+      twoWorkerProtocolFit(s, d, 27, "SSP", Map("staleness" -> 1.0),
+        rounds = 3),
+      Some(sspProtocolOracle)),
+    // ------------------------------------------------------------------
+    // EASGD ELASTIC-FOLD TRAJECTORY PARITY — the center absorbs a fraction
+    // alpha of the replica average instead of being replaced by it (Zhang
+    // et al., NIPS 2015): round 1 has no center, so g1 is the plain
+    // count-weighted average; round 2's fold is w = (1-alpha)*g1 +
+    // alpha*avg2 elementwise, replayed with the same literal expression
+    // shape. alpha = 0.5 makes (1-alpha) binary-exact, so the gate is
+    // bit-level on raw doubles — any reordering of the elastic fold or a
+    // center/average swap breaks the hash.
+    Op("ml28_easgd_protocol_parity", (s, d) =>
+      twoWorkerProtocolFit(s, d, 28, "EASGD", Map("alpha" -> 0.5),
+        rounds = 2),
+      Some(easgdProtocolOracle)),
   )
+
+  /** Shared engine side of ml26/ml27/ml28: a 2-partition (vec_id % 2)
+    * deterministic PA fit through the full Trainer machinery (ring split,
+    * ModelWire chunking, protocol aggregate), emitting the raw unrounded
+    * final global — w per dim, b as dim 4, cumulative loss as dim 5.
+    */
+  private def twoWorkerProtocolFit(s: SparkSession, d: String, id: Int,
+      protocol: String, protocolHp: Map[String, Double],
+      rounds: Int): DataFrame = {
+    val base = T.embeddings(s, d).filter(col("vec_id") < 320)
+      .select(col("vec_id").as("id"),
+        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+          .as("features"),
+        when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+    val keyed = base.rdd
+      .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+    val byMod = new org.apache.spark.Partitioner {
+      def numPartitions: Int = 2
+      def getPartition(key: Any): Int = (key.asInstanceOf[Long] % 2L).toInt
+    }
+    val rdd = keyed.repartitionAndSortWithinPartitions(byMod).map(_._2)
+    val fitted = Trainer.fit(s,
+      PipelineSpec(id, "PA", Map("C" -> 1.0), Nil, protocol,
+        protocolHp = protocolHp, rounds = rounds), rdd)
+    val m = fitted.model.asInstanceOf[graft.ml.LinearModel]
+    import s.implicits._
+    ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
+        ((4L, m.b)) :+ ((5L, fitted.model.cumLoss)))
+      .map { case (i, v) => (i, v, fitted.model.n) })
+      .toDF("dim", "weight", "n_fitted")
+      .orderBy("dim")
+  }
 
   /** Engine side of ml19/ml20: pin the stream to ONE vec_id-sorted
     * partition (SingleLearner shape), fit one round through Trainer (ring
@@ -1518,28 +1561,44 @@ object MLOps {
       .stripMargin
   }
 
-  private def syncProtocolOracle: String = {
-    val dims = 0 until 4
-    val zeroSeed = (dims.map(j => s"CAST(0 AS DOUBLE) AS w$j") :+
+  // def, not val: referenced during the `ops` val's own initialization
+  private def protoDims = 0 until 4
+
+  /** Zero-model seed (round-1 workers, and SSP's None-window re-seed). */
+  private def protoZeroSeed: String =
+    (protoDims.map(j => s"CAST(0 AS DOUBLE) AS w$j") :+
       "CAST(0 AS DOUBLE) AS b").mkString(", ")
-    val g1Seed = (dims.map(j => s"(SELECT w$j FROM g1) AS w$j") :+
-      "(SELECT b FROM g1) AS b").mkString(", ")
-    // count-weighted 2-replica merge: fa = n_a/total, out = fa*wa + fb*wb
-    // (out starts 0.0, so the sum order is commutative-safe bitwise)
-    def mergeCte(name: String, fa: String, fb: String): String = {
-      val f0 = s"(CAST(a.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
-      val f1 = s"(CAST(b.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
-      s"""$name AS (
-         |  SELECT
-         |    ${dims.map(j => s"($f0 * a.w$j) + ($f1 * b.w$j) AS w$j")
-              .mkString(",\n|    ")},
-         |    (a.b * $f0) + (b.b * $f1) AS b,
-         |    a.cum + b.cum AS cumv, a.i + b.i AS nv
-         |  FROM $fa a, $fb b)""".stripMargin
-    }
-    s"""WITH RECURSIVE raw AS (
+
+  /** Seed a chain from a previously-merged one-row global CTE. */
+  private def protoSeedFrom(g: String): String =
+    (protoDims.map(j => s"(SELECT w$j FROM $g) AS w$j") :+
+      s"(SELECT b FROM $g) AS b").mkString(", ")
+
+  /** Count-weighted 2-replica merge: fa = n_a/total, out = fa*wa + fb*wb
+    * (out starts 0.0, so the sum order is commutative-safe bitwise) —
+    * PAClassifier.merge's weightedAvg shape verbatim.
+    */
+  private def protoMergeCte(name: String, fa: String, fb: String): String = {
+    val f0 = s"(CAST(a.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+    val f1 = s"(CAST(b.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+    s"""$name AS (
+       |  SELECT
+       |    ${protoDims.map(j => s"($f0 * a.w$j) + ($f1 * b.w$j) AS w$j")
+            .mkString(",\n|    ")},
+       |    (a.b * $f0) + (b.b * $f1) AS b,
+       |    a.cum + b.cum AS cumv, a.i + b.i AS nv
+       |  FROM $fa a, $fb b)""".stripMargin
+  }
+
+  /** The ml26/ml27/ml28 fixture: vec_id < 320 split by vec_id % 2 into two
+    * worker point sequences (ring points cnt%10>=8 are diverted and — at
+    * 32 < testCap per partition — never evicted, so training is the
+    * cnt%10<8 subsequence in vec_id order).
+    */
+  private def twoWorkerPtsCtes: String = {
+    s"""raw AS (
        |  SELECT vec_id,
-       |    ${dims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
+       |    ${protoDims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
             .mkString(", ")},
        |    CASE WHEN label % 2 = 1 THEN CAST(1 AS DOUBLE)
        |         ELSE CAST(-1 AS DOUBLE) END AS y,
@@ -1550,23 +1609,101 @@ object MLOps {
        |pts0 AS (SELECT x0, x1, x2, x3, y, ROW_NUMBER() OVER (ORDER BY cnt)
        |         AS i FROM raw WHERE part = 0 AND cnt % 10 < 8),
        |pts1 AS (SELECT x0, x1, x2, x3, y, ROW_NUMBER() OVER (ORDER BY cnt)
-       |         AS i FROM raw WHERE part = 1 AND cnt % 10 < 8),
-       |${paChain("c0r1", "pts0", zeroSeed)},
-       |${paChain("c1r1", "pts1", zeroSeed)},
-       |f01 AS (SELECT * FROM c0r1 ORDER BY i DESC LIMIT 1),
-       |f11 AS (SELECT * FROM c1r1 ORDER BY i DESC LIMIT 1),
-       |${mergeCte("g1", "f01", "f11")},
-       |${paChain("c0r2", "pts0", g1Seed)},
-       |${paChain("c1r2", "pts1", g1Seed)},
-       |f02 AS (SELECT * FROM c0r2 ORDER BY i DESC LIMIT 1),
-       |f12 AS (SELECT * FROM c1r2 ORDER BY i DESC LIMIT 1),
-       |${mergeCte("g2", "f02", "f12")}
+       |         AS i FROM raw WHERE part = 1 AND cnt % 10 < 8)"""
+      .stripMargin
+  }
+
+  /** Final-row extractor for a chain CTE. */
+  private def protoFin(name: String, chain: String): String =
+    s"$name AS (SELECT * FROM $chain ORDER BY i DESC LIMIT 1)"
+
+  private def syncProtocolOracle: String = {
+    s"""WITH RECURSIVE $twoWorkerPtsCtes,
+       |${paChain("c0r1", "pts0", protoZeroSeed)},
+       |${paChain("c1r1", "pts1", protoZeroSeed)},
+       |${protoFin("f01", "c0r1")},
+       |${protoFin("f11", "c1r1")},
+       |${protoMergeCte("g1", "f01", "f11")},
+       |${paChain("c0r2", "pts0", protoSeedFrom("g1"))},
+       |${paChain("c1r2", "pts1", protoSeedFrom("g1"))},
+       |${protoFin("f02", "c0r2")},
+       |${protoFin("f12", "c1r2")},
+       |${protoMergeCte("g2", "f02", "f12")}
        |SELECT CAST(v.dim AS BIGINT) AS dim,
        |  CASE v.dim WHEN 0 THEN g2.w0 WHEN 1 THEN g2.w1 WHEN 2 THEN g2.w2
        |       WHEN 3 THEN g2.w3 WHEN 4 THEN g2.b
        |       ELSE g1.cumv + g2.cumv END AS weight,
        |  g1.nv + g2.nv AS n_fitted
        |FROM g1, g2, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** ml27: six chained PA trajectories following SSP(1)'s stale-read
+    * window — worker 0 reads the frontier global each round, worker 1
+    * (lag 1) reads one round behind: round 1 (zero, zero), round 2
+    * (g1, ZERO — one round behind the frontier is the pre-training None),
+    * round 3 (g2, g1). Both replicas are within the staleness bound, so
+    * every merge admits both (the Trainer's seeding clamps lag <= s).
+    */
+  private def sspProtocolOracle: String = {
+    s"""WITH RECURSIVE $twoWorkerPtsCtes,
+       |${paChain("c0r1", "pts0", protoZeroSeed)},
+       |${paChain("c1r1", "pts1", protoZeroSeed)},
+       |${protoFin("f01", "c0r1")},
+       |${protoFin("f11", "c1r1")},
+       |${protoMergeCte("g1", "f01", "f11")},
+       |${paChain("c0r2", "pts0", protoSeedFrom("g1"))},
+       |${paChain("c1r2", "pts1", protoZeroSeed)},
+       |${protoFin("f02", "c0r2")},
+       |${protoFin("f12", "c1r2")},
+       |${protoMergeCte("g2", "f02", "f12")},
+       |${paChain("c0r3", "pts0", protoSeedFrom("g2"))},
+       |${paChain("c1r3", "pts1", protoSeedFrom("g1"))},
+       |${protoFin("f03", "c0r3")},
+       |${protoFin("f13", "c1r3")},
+       |${protoMergeCte("g3", "f03", "f13")}
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN g3.w0 WHEN 1 THEN g3.w1 WHEN 2 THEN g3.w2
+       |       WHEN 3 THEN g3.w3 WHEN 4 THEN g3.b
+       |       ELSE g1.cumv + g2.cumv + g3.cumv END AS weight,
+       |  g1.nv + g2.nv + g3.nv AS n_fitted
+       |FROM g1, g2, g3, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** ml28: EASGD(0.5) — round 1 merges to the plain count-weighted average
+    * (no center yet); round 2 computes the replica average a2 and the
+    * elastic fold w = (1-alpha)*g1 + alpha*a2, replayed with the literal
+    * Scala expression shape ((1 - alpha) * w(i) + alpha * a.w(i)).
+    */
+  private def easgdProtocolOracle: String = {
+    val oneMinusA = "(CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+    val a = "CAST(0.5 AS DOUBLE)"
+    s"""WITH RECURSIVE $twoWorkerPtsCtes,
+       |${paChain("c0r1", "pts0", protoZeroSeed)},
+       |${paChain("c1r1", "pts1", protoZeroSeed)},
+       |${protoFin("f01", "c0r1")},
+       |${protoFin("f11", "c1r1")},
+       |${protoMergeCte("g1", "f01", "f11")},
+       |${paChain("c0r2", "pts0", protoSeedFrom("g1"))},
+       |${paChain("c1r2", "pts1", protoSeedFrom("g1"))},
+       |${protoFin("f02", "c0r2")},
+       |${protoFin("f12", "c1r2")},
+       |${protoMergeCte("a2", "f02", "f12")},
+       |e2 AS (
+       |  SELECT
+       |    ${protoDims.map(j =>
+            s"($oneMinusA * g1.w$j) + ($a * a2.w$j) AS w$j")
+           .mkString(",\n|    ")},
+       |    ($oneMinusA * g1.b) + ($a * a2.b) AS b,
+       |    a2.cumv AS cumv, a2.nv AS nv
+       |  FROM g1, a2)
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN e2.w0 WHEN 1 THEN e2.w1 WHEN 2 THEN e2.w2
+       |       WHEN 3 THEN e2.w3 WHEN 4 THEN e2.b
+       |       ELSE g1.cumv + e2.cumv END AS weight,
+       |  g1.nv + e2.nv AS n_fitted
+       |FROM g1, e2, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
        |ORDER BY dim""".stripMargin
   }
 
