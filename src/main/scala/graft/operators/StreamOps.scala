@@ -2149,7 +2149,105 @@ object StreamOps {
       |  COUNT(*) AS blocks,
       |  CAST(SUM(o_orderkey % 13) AS BIGINT) AS fitted
       |FROM orders GROUP BY 1 ORDER BY pipeline_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // CRASH-MID-TRIGGER RECOVERY (exactly-once across a kill) — st24
+    // proves resume after a CLEAN stop; st40 proves the harder contract:
+    // a query killed BETWEEN commits (offsets WAL written for batch N,
+    // sink metadata and commit log not yet — the crash point simulated by
+    // deleting `commits/N` and the sink's `_spark_metadata/N` after a
+    // clean run, leaving batch N's data files behind as orphan crash
+    // debris) must, on restart, RE-EXECUTE batch N from the WAL against
+    // the pre-N state-store version and emit exactly the missing results.
+    // The fixture makes batch N carry 100% of the output (35-day
+    // watermark > data span, so every real window closes only when the
+    // +120d sentinel arrives) — maximal dupe/gap sensitivity: a skipped
+    // re-execution loses ALL rows, a non-idempotent sink doubles them,
+    // and a metadata-unaware read would see the orphan files. Run twice —
+    // HDFS-backed and RocksDB state stores — and gate both against the
+    // one batch oracle. `recovered_commit` pins that the deleted WAL/sink
+    // entries were re-written; `reexecuted` pins that new output files
+    // appeared (the orphans alone would not change the count).
+    Op("st40_crash_recovery", (s, d) => {
+      val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
+      crashRecoveryRun(s, dir, schema, "hdfs")
+        .unionByName(crashRecoveryRun(s, dir, schema, "rocksdb"))
+        .select(col("provider"), col("event_type"), col("day_us"), col("n"),
+          col("sum_value"), col("recovered_commit"), col("reexecuted"))
+        .orderBy("provider", "event_type", "day_us")
+    }, Some(s"""WITH agg AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+      |    COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT p.provider, a.event_type, a.day_us, a.n, a.sum_value,
+      |  true AS recovered_commit, true AS reexecuted
+      |FROM agg a, (VALUES ('hdfs'), ('rocksdb')) p(provider)
+      |ORDER BY provider, event_type, day_us""".stripMargin)),
   )
+
+  /** st40's engine, shared with StreamingSuite: run the windowed-aggregate
+    * file-sink query to completion, simulate a crash between the WAL write
+    * and the sink commit of the LAST batch (delete `commits/N` + sink
+    * `_spark_metadata/N`, keep the orphan data files), restart against the
+    * same checkpoint, and return the metadata-aware read of the sink with
+    * the recovery booleans attached.
+    */
+  private[graft] def crashRecoveryRun(s: org.apache.spark.sql.SparkSession,
+      dir: String, schema: org.apache.spark.sql.types.StructType,
+      provider: String): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s2 = s.newSession()
+    if (provider == "rocksdb")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = Streaming.scratchDir(s"graft_crash_${provider}_")
+    def runToQuiescence(): Unit = Streaming.withStreamShuffle(s2) {
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "35 days")
+        .groupBy(col("event_type"), window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), sum(Num.dec2(col("value"))).as("sv"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("day_us"), col("n"), col("sv"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    def nDataFiles(): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/data"))
+        .iterator().asScala
+        .count(f => f.getFileName.toString.startsWith("part-")).toLong
+    runToQuiescence()
+    val commits = java.nio.file.Paths.get(s"$out/_ckpt/commits")
+    val last = java.nio.file.Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).max
+    val sinkMeta =
+      java.nio.file.Paths.get(s"$out/data/_spark_metadata/$last")
+    val filesBefore = nDataFiles()
+    // delete the entries AND their ChecksumFileSystem .crc shadows — a real
+    // crash would have written neither, and a leftover .crc blocks the
+    // re-commit's rename on the local fs
+    def rm(p: java.nio.file.Path): Unit = {
+      java.nio.file.Files.delete(p)
+      java.nio.file.Files.deleteIfExists(
+        p.resolveSibling(s".${p.getFileName}.crc"))
+    }
+    rm(commits.resolve(last.toString))
+    rm(sinkMeta)
+    runToQuiescence()
+    val recovered =
+      java.nio.file.Files.exists(commits.resolve(last.toString)) &&
+        java.nio.file.Files.exists(sinkMeta)
+    val reexecuted = nDataFiles() > filesBefore
+    s.read.parquet(s"$out/data")
+      .withColumn("provider", lit(provider))
+      .withColumn("sum_value", col("sv").cast(DoubleType))
+      .withColumn("recovered_commit", lit(recovered))
+      .withColumn("reexecuted", lit(reexecuted))
+  }
 
   /** The two-file parity-split documents staging shared by st36/st37 (one
     * trigger per half under maxFilesPerTrigger=1). */

@@ -513,6 +513,45 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  test("crash between WAL write and sink commit recovers exactly-once " +
+    "(both state-store providers)") {
+    // drives the same crashRecoveryRun the driver-gated st40 uses: clean
+    // run, delete commits/N + sink _spark_metadata/N (orphan data files
+    // left behind), restart, and require (a) the WAL/sink entries are
+    // re-written, (b) new output files appeared (batch N re-executed),
+    // (c) the metadata-aware sink read equals the batch aggregate — no
+    // dupes from the orphans, no gaps from a skipped re-execution.
+    import org.apache.spark.sql.functions._
+    val spark = TestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    val (dir, schema, _) = Streaming.stageEventsCached(spark, sf, 2)
+    val expected = T.events(spark, sf)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(Num.dec2(col("value"))).cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for (provider <- Seq("hdfs", "rocksdb")) {
+      val got = graft.operators.StreamOps
+        .crashRecoveryRun(spark, dir, schema, provider)
+        .collect()
+      assert(got.nonEmpty, s"$provider: empty recovery output")
+      got.foreach { r =>
+        assert(r.getAs[Boolean]("recovered_commit"),
+          s"$provider: deleted WAL/sink entries not re-written")
+        assert(r.getAs[Boolean]("reexecuted"),
+          s"$provider: no new output files — batch was not re-executed")
+      }
+      val agg = got.map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("day_us")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+      assert(agg == expected,
+        s"$provider: post-crash sink != batch aggregate " +
+          s"(${agg.size} vs ${expected.size} groups)")
+    }
+  }
+
   test("st26 cusumFold survives one dominant key and matches a naive fold") {
     import graft.operators.{CusumState, StreamOps}
     def bd(i: Int) = new java.math.BigDecimal(s"${50 + (i % 23)}.0${i % 10}")
