@@ -987,11 +987,16 @@ object StreamOps {
       val li = T.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val schema = li.schema
-      val dir = Streaming.stagedDir("edgemaint", d) { dir =>
-        li.filter(col("pk") % 2 === 0)
-          .coalesce(1).write.mode("append").parquet(dir)
-        li.filter(col("pk") % 2 === 1)
-          .coalesce(1).write.mode("append").parquet(dir)
+      // trigger-count override for the SCALE.md delta-vs-ledger probe:
+      // same total volume split into more (smaller) deltas — per-trigger
+      // cost must track the delta, not the growing ledger
+      val nf = sys.env.getOrElse("SPARK_GRAFT_EDGEMAINT_FILES", "2").toInt
+      val dir = Streaming.stagedDir(
+        if (nf == 2) "edgemaint" else s"edgemaint$nf", d) { dir =>
+        (0 until nf).foreach { k =>
+          li.filter(col("pk") % nf === k)
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
       }
       val out = Streaming.scratchDir("graft_edgeinc_")
       Streaming.withStreamShuffle(s) {

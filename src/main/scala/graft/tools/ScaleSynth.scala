@@ -60,9 +60,25 @@ object ScaleSynth {
     }.reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // events: 10 replicas with disjoint event_id/user_id key spaces and
+    // IDENTICAL timestamps — the streaming probe (SCALE.md r9) wants the
+    // same trigger/watermark sequence with 10x the rows per trigger, and
+    // disjoint users keep the per-user join structure (each replica joins
+    // only within itself, so output and state scale linearly in volume).
+    val evRaw = spark.read.parquet(s"$src/events.parquet")
+    val eidOff = evRaw.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val uidOff = evRaw.agg(max(col("user_id"))).head().getLong(0) + 1L
+    evRaw.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select(
+        (col("event_id") + col("rep") * eidOff).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * uidOff).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     // untouched tables: verbatim copies so every T.* loader resolves
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "events", "embeddings").foreach { t =>
+      "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
