@@ -902,6 +902,28 @@ object MLOps {
       twoWorkerProtocolFit(s, d, 28, "EASGD", Map("alpha" -> 0.5),
         rounds = 2),
       Some(easgdProtocolOracle)),
+    // ------------------------------------------------------------------
+    // GM DRIFT-GATE TRAJECTORY PARITY — the geometric-monitoring family is
+    // the reference's specialty (communication-skipping PS, EDBT 2018
+    // lineage): a replica whose l2 parameter drift from the previous
+    // global stays inside the threshold NEVER SHIPS, and the hub folds
+    // the shipped replicas against the RUNNING global (count-weighted by
+    // its accumulated n). The oracle replays the whole decision: round 1
+    // (no previous global) ships both and merges like Synchronous; round
+    // 2 recomputes each worker's drift sqrt(sum((w-g1)^2)) with the exact
+    // ascending-param summation order and applies the SAME > 1.0 cut, so
+    // whichever of the four ship patterns the data produces at a given SF
+    // (at sf0.01 exactly one worker skips: drifts 1.34 vs 0.93), the
+    // merge — base-inclusion, count weights from running totals, the
+    // totalFitted fold of a partial ship — must match bit-for-bit. FGM is
+    // the same DriftGated fold at a different threshold, covered by this
+    // representative; Asynchronous at 2 workers is trajectory-identical
+    // to ml27's SSP(1) stale-read window and is pinned by the
+    // AsyncEqualsUnboundedSSP suite gate instead.
+    Op("ml29_gm_protocol_parity", (s, d) =>
+      twoWorkerProtocolFit(s, d, 29, "GM", Map("threshold" -> 1.0),
+        rounds = 2),
+      Some(gmProtocolOracle)),
   )
 
   /** Shared engine side of ml26/ml27/ml28: a 2-partition (vec_id % 2)
@@ -1704,6 +1726,81 @@ object MLOps {
        |       ELSE g1.cumv + e2.cumv END AS weight,
        |  g1.nv + e2.nv AS n_fitted
        |FROM g1, e2, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** ml29: GM(1.0) drift-gated fold. Round 1 = Synchronous merge (no
+    * previous global, everyone ships). Round 2 replays DriftGated end to
+    * end: per-worker l2 drift over params (w0..w3 then b, ascending
+    * left-associated sum seeded 0.0), the > threshold ship cut, and the
+    * aggregate for every ship pattern — both ship → count-weighted replica
+    * average; one ships → merge(base=[running global] ++ [replica]) with
+    * weights (g.nv, replica.i); none ship → global advances by zero with
+    * zeroed per-round counters. Totals accumulate exactly as Trainer.fit's
+    * totalFitted/totalCumLoss do (a partial ship folds the running totals
+    * back in — merged.n = g.nv + replica.i).
+    */
+  private def gmProtocolOracle: String = {
+    val thr = "CAST(1.0 AS DOUBLE)"
+    def drift(r: String): String = {
+      val terms = protoDims.map(j =>
+        s"($r.w$j - g.w$j) * ($r.w$j - g.w$j)") :+
+        s"($r.b - g.b) * ($r.b - g.b)"
+      "sqrt(" +
+        terms.foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + ")"
+    }
+    def bothW(j: String): String = {
+      val f0 = "(CAST(a.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+      val f1 = "(CAST(b.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+      if (j == "b") s"((a.b * $f0) + (b.b * $f1))"
+      else s"(($f0 * a.w$j) + ($f1 * b.w$j))"
+    }
+    def oneW(r: String, j: String): String = {
+      val fg = s"(CAST(g.nv AS DOUBLE) / CAST(g.nv + $r.i AS DOUBLE))"
+      val fr = s"(CAST($r.i AS DOUBLE) / CAST(g.nv + $r.i AS DOUBLE))"
+      if (j == "b") s"((g.b * $fg) + ($r.b * $fr))"
+      else s"(($fg * g.w$j) + ($fr * $r.w$j))"
+    }
+    def pick(j: String): String =
+      s"""CASE WHEN s.s0 = 1 AND s.s1 = 1 THEN ${bothW(j)}
+         |         WHEN s.s0 = 1 THEN ${oneW("a", j)}
+         |         WHEN s.s1 = 1 THEN ${oneW("b", j)}
+         |         ELSE g.${if (j == "b") "b" else s"w$j"} END"""
+        .stripMargin
+    s"""WITH RECURSIVE $twoWorkerPtsCtes,
+       |${paChain("c0r1", "pts0", protoZeroSeed)},
+       |${paChain("c1r1", "pts1", protoZeroSeed)},
+       |${protoFin("f01", "c0r1")},
+       |${protoFin("f11", "c1r1")},
+       |${protoMergeCte("g1", "f01", "f11")},
+       |${paChain("c0r2", "pts0", protoSeedFrom("g1"))},
+       |${paChain("c1r2", "pts1", protoSeedFrom("g1"))},
+       |${protoFin("f02", "c0r2")},
+       |${protoFin("f12", "c1r2")},
+       |sh AS (
+       |  SELECT CASE WHEN ${drift("a")} > $thr THEN 1 ELSE 0 END AS s0,
+       |         CASE WHEN ${drift("b")} > $thr THEN 1 ELSE 0 END AS s1
+       |  FROM f02 a, f12 b, g1 g),
+       |g2 AS (
+       |  SELECT
+       |    ${protoDims.map(j => s"${pick(j.toString)} AS w$j")
+            .mkString(",\n|    ")},
+       |    ${pick("b")} AS b,
+       |    CASE WHEN s.s0 = 1 AND s.s1 = 1 THEN a.cum + b.cum
+       |         WHEN s.s0 = 1 THEN g.cumv + a.cum
+       |         WHEN s.s1 = 1 THEN g.cumv + b.cum
+       |         ELSE CAST(0 AS DOUBLE) END AS cumv,
+       |    CASE WHEN s.s0 = 1 AND s.s1 = 1 THEN a.i + b.i
+       |         WHEN s.s0 = 1 THEN g.nv + a.i
+       |         WHEN s.s1 = 1 THEN g.nv + b.i
+       |         ELSE 0 END AS nv
+       |  FROM f02 a, f12 b, g1 g, sh s)
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN g2.w0 WHEN 1 THEN g2.w1 WHEN 2 THEN g2.w2
+       |       WHEN 3 THEN g2.w3 WHEN 4 THEN g2.b
+       |       ELSE g1.cumv + g2.cumv END AS weight,
+       |  g1.nv + g2.nv AS n_fitted
+       |FROM g1, g2, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
        |ORDER BY dim""".stripMargin
   }
 
