@@ -1494,6 +1494,102 @@ object TextAnalysis {
       |  CAST(k AS BIGINT) AS n_terms,
       |  CAST(occ AS BIGINT) AS top100_occurrences
       |FROM s""".stripMargin)),
+    // ------------------------------------------------------------------
+    // BM25 RETRIEVAL — the classic probabilistic ranking function
+    // (Robertson-Sparck Jones k1=1.2, b=0.75, Lucene-style idf
+    // ln(1 + (N-df+0.5)/(df+0.5))) over a broadcast query set: the
+    // retrieval primitive curation stacks use for benchmark-similarity
+    // ranking and targeted decontamination (complementing t09's tf-idf
+    // and d11's exact-overlap cut). Exactness scheme: tf/df/dl/N are
+    // exact integers; avgdl is one divide; each term's score is ONE
+    // literal double expression shared verbatim with the oracle, then
+    // ROUNDed at 6 dp into DECIMAL(18,6) — the t26 pattern: the lone
+    // transcendental (ln) differs across engines by ulps ~1e-16, seven
+    // orders below the quantum — so the per-(query,doc) SUM is exact
+    // decimal addition, order-independent, and the top-10 cut
+    // deterministic (ties break on doc_id). Scale shape: the postings
+    // shuffle carries ONLY the ~6 broadcast query terms (semi-filtered
+    // before any join); df/dl are t09's keyed aggregates; the per-query
+    // top-10 is a WindowGroupLimit (bounded heaps, never a full sort of
+    // the scored set).
+    Op(
+      "t34_bm25_retrieval",
+      (s, d) => {
+        import s.implicits._
+        val qterms = Seq(
+          ("q1", "spark"), ("q1", "join"),
+          ("q2", "window"), ("q2", "sort"), ("q2", "merge"),
+          ("q3", "stream"), ("q3", "batch")).toDF("query", "term")
+        val docs = T.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val dlT = docs.select(col("doc_id"),
+          expr("cast(size(filter(split(text, ' '), x -> x <> '')) as bigint)")
+            .as("dl"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val st = dlT.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+        val sc = tf
+          .join(broadcast(qterms), "term")
+          .join(broadcast(dfT
+            .join(broadcast(qterms.select("term").distinct()), "term")), "term")
+          .join(dlT, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("s6", expr(
+            "CAST(ROUND(" +
+              "ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5)" +
+              " / (CAST(df AS DOUBLE) + 0.5))" +
+              " * (CAST(tf AS DOUBLE) * 2.2)" +
+              " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *" +
+              " (CAST(dl AS DOUBLE)" +
+              " / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))))" +
+              ", 6) AS DECIMAL(18,6))"))
+        val agg = sc.groupBy("query", "doc_id")
+          .agg(sum(col("s6")).as("score_dec"))
+        val w = Window.partitionBy("query")
+          .orderBy(col("score_dec").desc, col("doc_id"))
+        agg.withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 10)
+          .select(col("query"), col("rk"), col("doc_id"),
+            col("score_dec").cast(DoubleType).as("score"))
+          .orderBy("query", "rk")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |dlt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS nd, SUM(dl) AS sdl FROM dlt),
+        |q(query, term) AS (VALUES
+        |  ('q1','spark'), ('q1','join'),
+        |  ('q2','window'), ('q2','sort'), ('q2','merge'),
+        |  ('q3','stream'), ('q3','batch')),
+        |sc AS (
+        |  SELECT q.query, tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(st.nd - dft.df AS DOUBLE) + 0.5)
+        |        / (CAST(dft.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dlt.dl AS DOUBLE)
+        |         / (CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE)))))
+        |      , 6) AS DECIMAL(18,6)) AS s6
+        |  FROM tf JOIN q ON q.term = tf.term
+        |  JOIN dft ON dft.term = tf.term
+        |  JOIN dlt ON dlt.doc_id = tf.doc_id, st),
+        |agg AS (SELECT query, doc_id, SUM(s6) AS sd FROM sc GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query, doc_id, sd,
+        |    ROW_NUMBER() OVER (PARTITION BY query ORDER BY sd DESC, doc_id)
+        |      AS rk
+        |  FROM agg)
+        |SELECT query, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(sd AS DOUBLE) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY query, rk""".stripMargin)),
   )
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared

@@ -628,6 +628,22 @@ class PlanSuite extends AnyFunSuite {
     assert(rs.contains("quality_score"), s"evolved column missing:\n$rs")
   }
 
+  test("t34: per-query top-10 is group-limited; query terms broadcast") {
+    val p = plan("t34_bm25_retrieval")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-10 lost its group-limit pushdown (full window sort)")
+    assert(p.contains("BroadcastHashJoin"), "query-term probe lost broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d23: candidate generation rides the native rolling hash, md5 only confirms") {
+    val p = plan("d23_duplicate_spans")
+    assert(p.toLowerCase.contains("rolling_hashes") ||
+      p.toLowerCase.contains("rollinghashes"),
+      "d23 lost the 8-byte rolling-hash candidate pass")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("mm10: shot census stays in the scan projection (no explode shuffle)") {
     val p = plan("mm10_shot_boundaries")
     assert(!p.contains("Generate"), "per-frame explode appeared")
