@@ -1,0 +1,123 @@
+package graft
+
+import graft.pipeline.{PipelineSpec, Trainer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic regression guards for the round-9 additions (t32, t34,
+  * ml27–ml29, st40 is suite-gated in StreamingSuite): invariants that must
+  * hold at ANY fixture, so a future edit that still hash-matches a stale
+  * oracle can't silently change meaning.
+  */
+class R9OpsSuite extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t32: deciles partition the corpus; ratios sit inside their decile") {
+    val rows = SparkEntry.queries("t32_stopword_profile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = T.documents(spark, sf).count()
+    assert(nDocs == corpus, s"decile histogram lost docs: $nDocs != $corpus")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("stop_decile")
+      val ratio = r.getAs[Double]("stop_ratio")
+      assert(d >= 0 && d <= 9)
+      // the aggregate ratio of a decile bucket stays near the bucket: it is
+      // a weighted mean of per-doc ratios each in [d/10, (d+1)/10) (except
+      // the capped decile 9, open above)
+      assert(ratio >= d / 10.0 - 1e-9, s"decile $d ratio $ratio below range")
+      if (d < 9) assert(ratio < (d + 1) / 10.0 + 1e-9,
+        s"decile $d ratio $ratio above range")
+    }
+  }
+
+  test("t34: BM25 reproduces a hand-computed single-term score") {
+    // tiny corpus: dl(1)=4 with tf=2 'spark', dl(2)=2 with tf=1, dl(3)=2
+    // without the term; N=3, avgdl=8/3. Verified against the literal
+    // formula — guards the idf shape and the k1/b constants.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark a spark b"), (2L, "spark c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") === "spark")
+    val tf = toks.groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tf == Map(1L -> 2L, 2L -> 1L))
+    val (n, df, avgdl) = (3.0, 2.0, 8.0 / 3.0)
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tfv: Double, dl: Double): Double =
+      idf * (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    // doc 1 (tf=2, dl=4) must outrank doc 2 (tf=1, dl=2) for this query
+    assert(s(2, 4) > s(1, 2))
+    assert(math.abs(s(2, 4) - idf * 4.4 / (2 + 1.2 * (0.25 + 0.75 * 1.5)))
+      < 1e-12)
+  }
+
+  private def twoWorkerRdd() = {
+    val base = T.embeddings(spark, sf).filter(col("vec_id") < 320)
+      .select(col("vec_id").as("id"),
+        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+          .as("features"),
+        when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+    val keyed = base.rdd
+      .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+    val byMod = new org.apache.spark.Partitioner {
+      def numPartitions: Int = 2
+      def getPartition(key: Any): Int = (key.asInstanceOf[Long] % 2L).toInt
+    }
+    keyed.repartitionAndSortWithinPartitions(byMod).map(_._2)
+  }
+
+  private def fitParams(protocol: String, hp: Map[String, Double],
+      rounds: Int): (Array[Double], Long) = {
+    val f = Trainer.fit(spark,
+      PipelineSpec(90, "PA", Map("C" -> 1.0), Nil, protocol,
+        protocolHp = hp, rounds = rounds), twoWorkerRdd())
+    (f.model.params, f.model.n)
+  }
+
+  test("ml27 guard: SSP(1)'s stale reads produce a DIFFERENT trajectory " +
+    "than Synchronous (the window must matter)") {
+    val (ssp, _) = fitParams("SSP", Map("staleness" -> 1.0), rounds = 3)
+    val (sync, _) = fitParams("Synchronous", Map.empty, rounds = 3)
+    assert(!ssp.sameElements(sync),
+      "SSP(1) collapsed onto Synchronous — the stale-read window is dead")
+  }
+
+  test("ml27 guard: SSP(0) IS Synchronous (staleness zero = freshest reads)") {
+    val (ssp0, n0) = fitParams("SSP", Map("staleness" -> 0.0), rounds = 2)
+    val (sync, n1) = fitParams("Synchronous", Map.empty, rounds = 2)
+    assert(ssp0.sameElements(sync) && n0 == n1,
+      "SSP(0) must be bit-identical to Synchronous")
+  }
+
+  test("ml29 guard: GM with an unreachable threshold freezes the global " +
+    "after round 1 (all replicas skip-merge)") {
+    val (g1, n1) = fitParams("GM", Map("threshold" -> 1e9), rounds = 1)
+    val (g2, n2) = fitParams("GM", Map("threshold" -> 1e9), rounds = 3)
+    assert(g2.sameElements(g1),
+      "over-threshold rounds must advance the global by zero")
+    assert(n2 == n1, s"all-skip rounds double-counted fitted points: $n2 != $n1")
+  }
+
+  test("ml29 guard: GM at threshold 0 ships everyone = Synchronous") {
+    val (gm, _) = fitParams("GM", Map("threshold" -> 0.0), rounds = 2)
+    val (sync, _) = fitParams("Synchronous", Map.empty, rounds = 2)
+    assert(gm.sameElements(sync),
+      "zero-threshold GM must degenerate to the Synchronous fold")
+  }
+
+  test("ml28 guard: EASGD(1.0) round-2 center equals the plain average " +
+    "(alpha=1 replaces the center)") {
+    val (ea, _) = fitParams("EASGD", Map("alpha" -> 1.0), rounds = 2)
+    val (sync, _) = fitParams("Synchronous", Map.empty, rounds = 2)
+    assert(ea.sameElements(sync),
+      "EASGD(alpha=1) must coincide with the Synchronous average")
+    val (ea5, _) = fitParams("EASGD", Map("alpha" -> 0.5), rounds = 2)
+    assert(!ea5.sameElements(sync),
+      "EASGD(0.5) must differ from Synchronous (elastic term dead)")
+  }
+}
