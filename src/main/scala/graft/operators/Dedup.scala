@@ -1561,14 +1561,16 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vj"))
       val sim = simhashPairs3(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vs"))
-      // materialize the 8-byte-per-doc phash table BEFORE banding, exactly
-      // as mm07 does: un-materialized, the banded self-join inlines the
+      // cache the 8-byte-per-doc phash table BEFORE banding, exactly as
+      // mm07 does: un-materialized, the banded self-join inlines the
       // O(n_chars) stripe-energy expression into every phash reference on
       // both sides (projection collapse), a ~1000x recompute blowup the
-      // r8 bench caught at 594 s — materialized, the join reads 16 B/doc.
-      // localCheckpoint (not cache) so the blocks release via the
-      // ContextCleaner instead of pinning heap across repeated invocations
-      val phBase = Multimodal.phashOf(T.documents(s, d)).localCheckpoint()
+      // r8 bench caught at 594 s — cached, the join reads 16 B/doc.
+      // Columnar cache, not localCheckpoint: the r9 release experiment
+      // measured the row-based blocks 2x slower (see simhashPairs3 note);
+      // MEMORY_AND_DISK LRU + the harness's between-query clearCache bound
+      // the accumulation the r8 advisor flagged
+      val phBase = Multimodal.phashOf(T.documents(s, d)).cache()
       val ph = Multimodal.phashNeardupPairs(Multimodal.phashBands(phBase))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("vp"))
       jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
@@ -1661,17 +1663,19 @@ object Dedup {
     * 4x8-bit banding, hamming verify <= 3 — LOSSLESS at that threshold
     * (pigeonhole: 3 flips across 4 bands leave one band intact), so the
     * banded candidate set provably equals the all-pairs cut the oracle
-    * computes. Materialized via localCheckpoint (not cache): the banded
-    * self-join evaluates both sides, and without materialization each side
-    * recomputes the full simhash scan; localCheckpoint blocks are released
-    * by the ContextCleaner when the plan is GC'd, so repeated invocations
-    * in a long-lived session do not accumulate pinned cache entries
-    * (r8 advisor note).
+    * computes. Cached: the banded self-join evaluates both sides, and
+    * without the cache each side recomputes the full simhash scan. An r9
+    * localCheckpoint experiment (the r8 advisor's release suggestion)
+    * measured 2x slower end to end — row-based RDD blocks lose the
+    * columnar cache scan — so the columnar cache stays: it is
+    * MEMORY_AND_DISK (LRU-evicted under pressure, never OOM), the bench
+    * harness clears the SQL cache between queries, and long-lived session
+    * owners release it with spark.catalog.clearCache().
     */
   private def simhashPairs3(s: SparkSession, d: String): DataFrame = {
     val sh = T.documents(s, d)
       .select(col("doc_id"), F.simhash32(split(col("text"), " ")).as("simhash"))
-      .localCheckpoint()
+      .cache()
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
