@@ -415,6 +415,163 @@ object Curation {
         |WHERE r.rk <= quota.quota
         |GROUP BY r.lang, r.source
         |ORDER BY r.lang, r.source""".stripMargin)),
+    // ------------------------------------------------------------------
+    // RETRIEVAL-GUIDED CURATION — the round-9 flagship composing the r9
+    // additions as one declarative plan: (1) the t32 stopword-band cut
+    // (keep docs whose integer stopword decile <= 1 — the in-band quality
+    // gate); (2) t34's BM25 against the benchmark query-term profile,
+    // dropping the global top-20 most-benchmark-like docs (targeted
+    // decontamination by RANK, complementing d11's exact-overlap cut —
+    // same decimal-quantized scores, deterministic doc_id tie-break);
+    // (3) d27's 2-of-3 ensemble consensus near-dup removal with the p02
+    // greedy min-id survivor rule (doc b removed iff some consensus pair
+    // (a, b), a < b, has a surviving stage-2 doc a). The report is
+    // per-source exact integers at every stage boundary, so the whole
+    // chain hash-gates. Scale shape: each stage keeps its standalone
+    // shuffle bound — the band cut is scan-cost, BM25's postings shuffle
+    // carries only the 7 broadcast profile terms and the drop set is a
+    // 20-row TakeOrdered broadcast anti-join, and the consensus merge is
+    // d27's O(candidate-pairs) stage over already-blocked signals.
+    Op(
+      "p06_retrieval_curation",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val band = docs
+          .withColumn("t", split(col("text"), " "))
+          .withColumn("n_tok", expr("cast(size(t) as bigint)"))
+          .withColumn("n_stop", expr("cast(size(filter(t, x -> x IN " +
+            "('the','a','of','and','to','in','is','it'))) as bigint)"))
+          .filter(expr("least((10 * n_stop) DIV n_tok, 9)") <= 1)
+          .select("doc_id", "source", "text", "n_tok")
+        val toks = band
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val dlT = band.select(col("doc_id"),
+          expr("cast(size(filter(split(text, ' '), x -> x <> '')) as bigint)")
+            .as("dl"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val st = dlT.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+        import s.implicits._
+        val qt = Seq("spark", "join", "window", "sort", "merge", "stream",
+          "batch").toDF("term")
+        val sc = tf
+          .join(broadcast(qt), "term")
+          .join(broadcast(dfT.join(broadcast(qt), "term")), "term")
+          .join(dlT, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("s6", expr(
+            "CAST(ROUND(" +
+              "ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5)" +
+              " / (CAST(df AS DOUBLE) + 0.5))" +
+              " * (CAST(tf AS DOUBLE) * 2.2)" +
+              " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *" +
+              " (CAST(dl AS DOUBLE)" +
+              " / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))))" +
+              ", 6) AS DECIMAL(18,6))"))
+        val drop20 = sc.groupBy("doc_id").agg(sum(col("s6")).as("sd"))
+          .orderBy(col("sd").desc, col("doc_id")).limit(20)
+          .select("doc_id")
+        val clean = band.join(broadcast(drop20), Seq("doc_id"), "left_anti")
+        val removed = Dedup.consensusPairs(s, d)
+          .select(col("doc_a"), col("doc_b"))
+          .join(clean.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+            "left_semi")
+          .select(col("doc_b").as("doc_id")).distinct()
+        val kept = clean.join(removed, Seq("doc_id"), "left_anti")
+        val src = docs.groupBy("source").agg(count(lit(1)).as("docs_in"))
+        val bnd = band.groupBy("source").agg(count(lit(1)).as("in_band"))
+        val drp = band.join(broadcast(drop20), Seq("doc_id"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("bm25_dropped"))
+        val rmv = clean.join(removed, Seq("doc_id"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("dedup_removed"))
+        val kp = kept.groupBy("source")
+          .agg(count(lit(1)).as("kept"), sum("n_tok").as("tokens_kept"))
+        src.join(bnd, Seq("source"), "left")
+          .join(drp, Seq("source"), "left")
+          .join(rmv, Seq("source"), "left")
+          .join(kp, Seq("source"), "left")
+          .select(col("source"), col("docs_in"),
+            coalesce(col("in_band"), lit(0L)).as("in_band"),
+            coalesce(col("bm25_dropped"), lit(0L)).as("bm25_dropped"),
+            coalesce(col("dedup_removed"), lit(0L)).as("dedup_removed"),
+            coalesce(col("kept"), lit(0L)).as("kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${Dedup.sqlConsensusCtes},
+        |band AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE LEAST((10 * CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT))
+        |    // CAST(len(string_split(text, ' ')) AS BIGINT), 9) <= 1),
+        |btok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM band)
+        |  WHERE term <> ''),
+        |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok GROUP BY 1, 2),
+        |bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+        |bdl AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS dl
+        |  FROM band),
+        |bst AS (SELECT COUNT(*) AS nd, SUM(dl) AS sdl FROM bdl),
+        |q(term) AS (VALUES ('spark'), ('join'), ('window'), ('sort'),
+        |  ('merge'), ('stream'), ('batch')),
+        |bsc AS (
+        |  SELECT btf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(bst.nd - bdf.df AS DOUBLE) + 0.5)
+        |        / (CAST(bdf.df AS DOUBLE) + 0.5))
+        |      * (CAST(btf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(btf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(bdl.dl AS DOUBLE)
+        |         / (CAST(bst.sdl AS DOUBLE) / CAST(bst.nd AS DOUBLE)))))
+        |      , 6) AS DECIMAL(18,6)) AS s6
+        |  FROM btf JOIN q ON q.term = btf.term
+        |  JOIN bdf ON bdf.term = btf.term
+        |  JOIN bdl ON bdl.doc_id = btf.doc_id, bst),
+        |drop20 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, SUM(s6) AS sd FROM bsc GROUP BY 1)
+        |  ORDER BY sd DESC, doc_id LIMIT 20),
+        |clean AS (
+        |  SELECT * FROM band
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop20)),
+        |cons AS (
+        |  SELECT doc_a, doc_b FROM merged WHERE vj + vs + vp >= 2),
+        |removed AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM cons
+        |  WHERE doc_a IN (SELECT doc_id FROM clean)),
+        |kept AS (
+        |  SELECT * FROM clean
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+        |srcs AS (SELECT source, COUNT(*) AS docs_in FROM documents
+        |         GROUP BY 1),
+        |bnd AS (SELECT source, COUNT(*) AS in_band FROM band GROUP BY 1),
+        |drp AS (SELECT b.source, COUNT(*) AS bm25_dropped
+        |        FROM band b JOIN drop20 USING (doc_id) GROUP BY 1),
+        |rmv AS (SELECT c.source, COUNT(*) AS dedup_removed
+        |        FROM clean c JOIN removed USING (doc_id) GROUP BY 1),
+        |kp AS (SELECT source, COUNT(*) AS kept,
+        |         CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        |       FROM kept GROUP BY 1)
+        |SELECT s.source, s.docs_in,
+        |  COALESCE(b.in_band, 0) AS in_band,
+        |  COALESCE(d.bm25_dropped, 0) AS bm25_dropped,
+        |  COALESCE(r.dedup_removed, 0) AS dedup_removed,
+        |  COALESCE(k.kept, 0) AS kept,
+        |  COALESCE(k.tokens_kept, 0) AS tokens_kept
+        |FROM srcs s
+        |LEFT JOIN bnd b ON b.source = s.source
+        |LEFT JOIN drp d ON d.source = s.source
+        |LEFT JOIN rmv r ON r.source = s.source
+        |LEFT JOIN kp k ON k.source = s.source
+        |ORDER BY s.source""".stripMargin)),
   )
 
   /** p04's card SQL — also the gate for st33's incrementally-maintained

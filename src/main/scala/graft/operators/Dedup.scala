@@ -1557,34 +1557,60 @@ object Dedup {
     // O(candidate-pairs) join stage on top of signals the pipeline
     // already computes. The vote booleans and count are exact integers.
     Op("d27_ensemble_consensus", (s, d) => {
-      val jac = scoredCandidatePairs(s, d).filter(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), lit(1L).as("vj"))
-      val sim = simhashPairs3(s, d)
-        .select(col("doc_a"), col("doc_b"), lit(1L).as("vs"))
-      // cache the 8-byte-per-doc phash table BEFORE banding, exactly as
-      // mm07 does: un-materialized, the banded self-join inlines the
-      // O(n_chars) stripe-energy expression into every phash reference on
-      // both sides (projection collapse), a ~1000x recompute blowup the
-      // r8 bench caught at 594 s — cached, the join reads 16 B/doc.
-      // Columnar cache, not localCheckpoint: the r9 release experiment
-      // measured the row-based blocks 2x slower (see simhashPairs3 note);
-      // MEMORY_AND_DISK LRU + the harness's between-query clearCache bound
-      // the accumulation the r8 advisor flagged
-      val phBase = Multimodal.phashOf(T.documents(s, d)).cache()
-      val ph = Multimodal.phashNeardupPairs(Multimodal.phashBands(phBase))
-        .select(col("doc_a"), col("doc_b"), lit(1L).as("vp"))
-      jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
-        .join(ph, Seq("doc_a", "doc_b"), "full_outer")
-        .select(col("doc_a"), col("doc_b"),
-          coalesce(col("vj"), lit(0L)).as("v_jaccard"),
-          coalesce(col("vs"), lit(0L)).as("v_simhash"),
-          coalesce(col("vp"), lit(0L)).as("v_phash"))
-        .withColumn("votes",
-          col("v_jaccard") + col("v_simhash") + col("v_phash"))
-        .filter(col("votes") >= 2)
+      consensusPairs(s, d)
         .select("doc_a", "doc_b", "votes", "v_jaccard", "v_simhash", "v_phash")
         .orderBy("doc_a", "doc_b")
-    }, Some(s"""WITH $sqlCappedCtes,
+    }, Some(s"""WITH $sqlConsensusCtes
+      |SELECT doc_a, doc_b,
+      |  CAST(vj + vs + vp AS BIGINT) AS votes,
+      |  CAST(vj AS BIGINT) AS v_jaccard,
+      |  CAST(vs AS BIGINT) AS v_simhash,
+      |  CAST(vp AS BIGINT) AS v_phash
+      |FROM merged WHERE vj + vs + vp >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin)),
+  )
+
+  /** d27's engine, shared with the p06 flagship: the 2-of-3 ensemble
+    * consensus near-dup pairs (minhash-banded exact Jaccard >= 0.3,
+    * simhash hamming <= 3, phash hamming <= 7 — each with its own lossless
+    * blocking), full-outer-joined on the pair key with vote columns.
+    * Returns (doc_a, doc_b, votes, v_jaccard, v_simhash, v_phash) with
+    * votes >= 2; unordered.
+    */
+  private[operators] def consensusPairs(s: SparkSession, d: String): DataFrame = {
+    val jac = scoredCandidatePairs(s, d).filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("vj"))
+    val sim = simhashPairs3(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("vs"))
+    // cache the 8-byte-per-doc phash table BEFORE banding, exactly as
+    // mm07 does: un-materialized, the banded self-join inlines the
+    // O(n_chars) stripe-energy expression into every phash reference on
+    // both sides (projection collapse), a ~1000x recompute blowup the
+    // r8 bench caught at 594 s — cached, the join reads 16 B/doc.
+    // Columnar cache, not localCheckpoint: the r9 release experiment
+    // measured the row-based blocks 2x slower (see simhashPairs3 note);
+    // MEMORY_AND_DISK LRU + the harness's between-query clearCache bound
+    // the accumulation the r8 advisor flagged
+    val phBase = Multimodal.phashOf(T.documents(s, d)).cache()
+    val ph = Multimodal.phashNeardupPairs(Multimodal.phashBands(phBase))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("vp"))
+    jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+      .join(ph, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("vj"), lit(0L)).as("v_jaccard"),
+        coalesce(col("vs"), lit(0L)).as("v_simhash"),
+        coalesce(col("vp"), lit(0L)).as("v_phash"))
+      .withColumn("votes",
+        col("v_jaccard") + col("v_simhash") + col("v_phash"))
+      .filter(col("votes") >= 2)
+  }
+
+  /** Oracle mirror of [[consensusPairs]] up to the `merged` CTE (columns
+    * doc_a, doc_b, vj, vs, vp; consumers filter vj+vs+vp >= 2). Shared by
+    * d27 and p06.
+    */
+  private[operators] def sqlConsensusCtes: String =
+    s"""$sqlCappedCtes,
       |$sqlCandCtes,
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -1611,15 +1637,8 @@ object Dedup {
       |  FROM jp j
       |  FULL JOIN sp s ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
       |  FULL JOIN pp p ON COALESCE(j.doc_a, s.doc_a) = p.doc_a
-      |              AND COALESCE(j.doc_b, s.doc_b) = p.doc_b)
-      |SELECT doc_a, doc_b,
-      |  CAST(vj + vs + vp AS BIGINT) AS votes,
-      |  CAST(vj AS BIGINT) AS v_jaccard,
-      |  CAST(vs AS BIGINT) AS v_simhash,
-      |  CAST(vp AS BIGINT) AS v_phash
-      |FROM merged WHERE vj + vs + vp >= 2
-      |ORDER BY doc_a, doc_b""".stripMargin)),
-  )
+      |              AND COALESCE(j.doc_b, s.doc_b) = p.doc_b)"""
+      .stripMargin
 
   /** (b, r, log2 b, log2 r) banding candidates with b*r = 128. */
   private lazy val LSH_CANDS: Seq[(Int, Int, Int, Int)] =
