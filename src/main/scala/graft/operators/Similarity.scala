@@ -1230,5 +1230,130 @@ object Similarity {
       |  FROM sc)
       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, iscore
       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION (Cormack, Clarke &
+    // Buettcher, SIGIR 2009): the standard production-retrieval shape —
+    // a dense ranked list (embedding cosine, s01's kernel) and a sparse
+    // ranked list (token-set Jaccard "more-like-this" over the documents
+    // table; doc_id and vec_id are the aligned fixture key) fused by
+    // sum(1/(60+rank)), which needs only RANKS, never score calibration
+    // across the two systems. Exactness scheme: each list's ranking is
+    // already proven deterministic cross-engine (the s01 cosine fold;
+    // Jaccard = one correctly-rounded divide of exact integers); each
+    // rank's RRF contribution is quantized at 9 dp into DECIMAL(18,9)
+    // (the t26 pattern — 1/(60+rk) has only k distinct values), so the
+    // fused score is exact decimal addition and the final ordering
+    // deterministic (ties on cand id). Scale shape: dense = one broadcast
+    // of the seed vectors + per-query bounded heaps (no corpus shuffle);
+    // sparse = broadcast seed token set, one corpus scan, and a shuffle
+    // keyed (q, cand) bounded to docs sharing >=1 seed term; fusion is a
+    // full-outer join of two O(queries x k) lists — driver-free, O(qk).
+    Op("s17_hybrid_rrf", (s, d) => {
+      val k = 10
+      val e = T.embeddings(s, d)
+      val qd = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // dense arm: cosine top-k by (cos DESC, cand) — s01's bounded heap,
+      // same NaN guard (zero-norm corpus vectors score 0/0)
+      val dense = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(qd))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .filter(!isnan(col("cos")))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("cos")).as("nc"), col("vec_id")), k).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk_d"),
+          col("col.vec_id").as("cand"))
+      // sparse arm: distinct-token Jaccard top-k vs the same seeds' texts
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val stoks = toks.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val ssz = sizes.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"), col("sz").as("q_sz"))
+      val inter = toks.join(broadcast(stoks), "term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id").agg(count(lit(1)).as("inter"))
+      val sparse = inter.join(sizes, "doc_id")
+        .join(broadcast(ssz), "q_id")
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (col("q_sz") + col("sz") - col("inter")).cast(DoubleType))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("jac")).as("nj"), col("doc_id")), k).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk_s"),
+          col("col.doc_id").as("cand"))
+      val rrfD = "COALESCE(CAST(ROUND(1.0 / (60.0 + CAST(rk_d AS DOUBLE))" +
+        ", 9) AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))"
+      val rrfS = "COALESCE(CAST(ROUND(1.0 / (60.0 + CAST(rk_s AS DOUBLE))" +
+        ", 9) AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))"
+      val fused = dense.join(sparse, Seq("q_id", "cand"), "full_outer")
+        .withColumn("rrf_dec", expr(s"$rrfD + $rrfS"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("rrf_dec").desc, col("cand"))
+      fused.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("cand"),
+          col("rrf_dec").cast(DoubleType).as("rrf"),
+          col("rk_d"), col("rk_s"))
+        .orderBy("q_id", "rk")
+    }, Some(s"""WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id < 3),
+      |dsc AS (
+      |  SELECT q.q_id, e.vec_id AS cand,
+      |    ${VecSql.cos("q.q_emb", "e.embedding")} AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      |dr AS (
+      |  SELECT q_id, cand,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand)
+      |      AS rk_d
+      |  FROM dsc WHERE NOT isnan(cos)),
+      |dtop AS (SELECT q_id, cand, rk_d FROM dr WHERE rk_d <= 10),
+      |tokraw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, term FROM tokraw WHERE term <> ''),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |stok AS (SELECT doc_id AS q_id, term FROM tok WHERE doc_id < 3),
+      |ssz AS (SELECT doc_id AS q_id, sz AS q_sz FROM sz WHERE doc_id < 3),
+      |itr AS (
+      |  SELECT s.q_id, t.doc_id AS cand, COUNT(*) AS inter
+      |  FROM tok t JOIN stok s USING (term) WHERE t.doc_id <> s.q_id
+      |  GROUP BY 1, 2),
+      |js AS (
+      |  SELECT i.q_id, i.cand,
+      |    CAST(i.inter AS DOUBLE) / CAST(ss.q_sz + z.sz - i.inter AS DOUBLE)
+      |      AS jac
+      |  FROM itr i JOIN sz z ON z.doc_id = i.cand
+      |  JOIN ssz ss ON ss.q_id = i.q_id),
+      |sr AS (
+      |  SELECT q_id, cand,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY jac DESC, cand)
+      |      AS rk_s
+      |  FROM js),
+      |stop2 AS (SELECT q_id, cand, rk_s FROM sr WHERE rk_s <= 10),
+      |f AS (
+      |  SELECT COALESCE(dd.q_id, ss.q_id) AS q_id,
+      |    COALESCE(dd.cand, ss.cand) AS cand, dd.rk_d, ss.rk_s,
+      |    COALESCE(CAST(ROUND(1.0 / (60.0 + CAST(dd.rk_d AS DOUBLE)), 9)
+      |        AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))
+      |    + COALESCE(CAST(ROUND(1.0 / (60.0 + CAST(ss.rk_s AS DOUBLE)), 9)
+      |        AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9))) AS rrf_dec
+      |  FROM dtop dd FULL OUTER JOIN stop2 ss
+      |    ON dd.q_id = ss.q_id AND dd.cand = ss.cand),
+      |r AS (
+      |  SELECT q_id, cand, rk_d, rk_s, rrf_dec,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_dec DESC, cand)
+      |      AS rk
+      |  FROM f)
+      |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand,
+      |  CAST(rrf_dec AS DOUBLE) AS rrf, rk_d, rk_s
+      |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin)),
   )
 }

@@ -2188,6 +2188,57 @@ object StreamOps {
       |  true AS recovered_commit, true AS reexecuted
       |FROM agg a, (VALUES ('hdfs'), ('rocksdb')) p(provider)
       |ORDER BY provider, event_type, day_us""".stripMargin)),
+    // ------------------------------------------------------------------
+    // INCREMENTALLY-MAINTAINED BM25 INDEX (streaming t34): the live
+    // retrieval index a continuously-ingesting corpus keeps current.
+    // Documents arrive over two triggers; each micro-batch appends its
+    // O(batch-tokens) postings partial (doc_id, term, tf) and doc-length
+    // partial (doc_id, dl) — both int64-additive, so trigger boundaries
+    // cannot move a bit — and the read path compacts the partial logs and
+    // runs t34's VERBATIM scoring arithmetic (shared bm25Rank: df/N/avgdl
+    // derive from the compacted index, per-term 6-dp decimal quantization,
+    // deterministic top-10). Gate = t34's identical batch oracle: the
+    // stream-maintained index must reproduce the batch ranking
+    // bit-for-bit. At 100 TB each trigger costs O(batch tokens) — the
+    // postings ledger is never rescanned at ingest, and re-serving a
+    // query after a trigger reads the O(docs-matching-terms) compacted
+    // postings, never the raw corpus.
+    Op("st41_stream_bm25_index", (s, d) => {
+      val docs = T.documents(s, d).select("doc_id", "text")
+      val schema = docs.schema
+      val dir = Streaming.stagedDir("bm25idx", d) { dir =>
+        docs.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        docs.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val out = Streaming.scratchDir("graft_bm25idx_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("doc_id"),
+                explode(split(col("text"), " ")).as("term"))
+              .filter(col("term") =!= "")
+              .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+              .write.mode("append").parquet(s"$out/tf")
+            batch.select(col("doc_id"),
+                expr("cast(size(filter(split(text, ' '), x -> x <> ''))" +
+                  " as bigint)").as("dl"))
+              .write.mode("append").parquet(s"$out/dl")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val tf = s.read.parquet(s"$out/tf")
+        .groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+      val dlT = s.read.parquet(s"$out/dl")
+        .groupBy("doc_id").agg(sum("dl").as("dl"))
+      TextAnalysis.bm25Rank(s, tf, dlT)
+    }, Some(TextAnalysis.bm25Oracle)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate

@@ -1515,11 +1515,6 @@ object TextAnalysis {
     Op(
       "t34_bm25_retrieval",
       (s, d) => {
-        import s.implicits._
-        val qterms = Seq(
-          ("q1", "spark"), ("q1", "join"),
-          ("q2", "window"), ("q2", "sort"), ("q2", "merge"),
-          ("q3", "stream"), ("q3", "batch")).toDF("query", "term")
         val docs = T.documents(s, d)
         val toks = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -1528,34 +1523,59 @@ object TextAnalysis {
           expr("cast(size(filter(split(text, ' '), x -> x <> '')) as bigint)")
             .as("dl"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val st = dlT.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
-        val sc = tf
-          .join(broadcast(qterms), "term")
-          .join(broadcast(dfT
-            .join(broadcast(qterms.select("term").distinct()), "term")), "term")
-          .join(dlT, "doc_id")
-          .crossJoin(broadcast(st))
-          .withColumn("s6", expr(
-            "CAST(ROUND(" +
-              "ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5)" +
-              " / (CAST(df AS DOUBLE) + 0.5))" +
-              " * (CAST(tf AS DOUBLE) * 2.2)" +
-              " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *" +
-              " (CAST(dl AS DOUBLE)" +
-              " / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))))" +
-              ", 6) AS DECIMAL(18,6))"))
-        val agg = sc.groupBy("query", "doc_id")
-          .agg(sum(col("s6")).as("score_dec"))
-        val w = Window.partitionBy("query")
-          .orderBy(col("score_dec").desc, col("doc_id"))
-        agg.withColumn("rk", row_number().over(w).cast(LongType))
-          .filter(col("rk") <= 10)
-          .select(col("query"), col("rk"), col("doc_id"),
-            col("score_dec").cast(DoubleType).as("score"))
-          .orderBy("query", "rk")
+        bm25Rank(s, tf, dlT)
       },
-      Some("""WITH d AS (
+      Some(bm25Oracle)),
+  )
+
+  /** t34's fixed retrieval workload — shared with the incrementally-
+    * maintained index twin (st41). */
+  private[operators] val bm25QueryTerms: Seq[(String, String)] = Seq(
+    ("q1", "spark"), ("q1", "join"),
+    ("q2", "window"), ("q2", "sort"), ("q2", "merge"),
+    ("q3", "stream"), ("q3", "batch"))
+
+  /** t34's scoring arithmetic over the compacted (doc_id, term, tf) and
+    * (doc_id, dl) index aggregates — shared with st41, whose per-trigger
+    * partials compact to exactly these tables. See the t34 registration
+    * for the exactness scheme (per-term 6-dp decimal quantization).
+    */
+  private[operators] def bm25Rank(s: SparkSession, tf: DataFrame,
+      dlT: DataFrame): DataFrame = {
+    import s.implicits._
+    val qterms = bm25QueryTerms.toDF("query", "term")
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = dlT.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+    val sc = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfT
+        .join(broadcast(qterms.select("term").distinct()), "term")), "term")
+      .join(dlT, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("s6", expr(
+        "CAST(ROUND(" +
+          "ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5)" +
+          " / (CAST(df AS DOUBLE) + 0.5))" +
+          " * (CAST(tf AS DOUBLE) * 2.2)" +
+          " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *" +
+          " (CAST(dl AS DOUBLE)" +
+          " / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))))" +
+          ", 6) AS DECIMAL(18,6))"))
+    val agg = sc.groupBy("query", "doc_id")
+      .agg(sum(col("s6")).as("score_dec"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    agg.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 10)
+      .select(col("query"), col("rk"), col("doc_id"),
+        col("score_dec").cast(DoubleType).as("score"))
+      .orderBy("query", "rk")
+  }
+
+  /** t34's DuckDB oracle, verbatim — also st41's gate: the streamed index
+    * must reproduce the batch ranking bit-for-bit. */
+  private[operators] lazy val bm25Oracle: String =
+      """WITH d AS (
         |  SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),
@@ -1589,8 +1609,7 @@ object TextAnalysis {
         |  FROM agg)
         |SELECT query, CAST(rk AS BIGINT) AS rk, doc_id,
         |  CAST(sd AS DOUBLE) AS score
-        |FROM rk WHERE rk <= 10 ORDER BY query, rk""".stripMargin)),
-  )
+        |FROM rk WHERE rk <= 10 ORDER BY query, rk""".stripMargin
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared
     * with the incrementally-maintained streaming twin (st34). */

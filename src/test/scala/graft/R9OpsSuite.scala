@@ -120,4 +120,42 @@ class R9OpsSuite extends AnyFunSuite {
     assert(!ea5.sameElements(sync),
       "EASGD(0.5) must differ from Synchronous (elastic term dead)")
   }
+
+  test("s17: RRF arithmetic is exactly sum(round(1/(60+rank), 9)); ranks " +
+    "contiguous per query; at least one arm present") {
+    val rows = SparkEntry.queries("s17_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def contrib(rk: Any): Double = rk match {
+      case null => 0.0
+      case r: Long =>
+        BigDecimal(1.0 / (60.0 + r))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      val rkD = r.getAs[Any]("rk_d"); val rkS = r.getAs[Any]("rk_s")
+      assert(rkD != null || rkS != null, "candidate from neither arm")
+      val want = contrib(rkD) + contrib(rkS)
+      assert(math.abs(r.getAs[Double]("rrf") - want) < 1e-12,
+        s"rrf mismatch for $r: want $want")
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.sameElements(1L to rks.length),
+        s"query $q fused ranks not contiguous: ${rks.mkString(",")}")
+      // fused scores are non-increasing in rank (ties broken by cand id)
+      val byRk = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("rrf"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b },
+        s"query $q rrf not monotone in rank")
+    }
+  }
+
+  test("st41: the stream-maintained BM25 index reproduces the batch " +
+    "ranking exactly (incremental == batch, within-engine)") {
+    val inc = SparkEntry.queries("st41_stream_bm25_index")(spark, sf)
+      .collect().map(_.toString).sorted
+    val bat = SparkEntry.queries("t34_bm25_retrieval")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(bat),
+      "streamed index ranking diverged from batch t34")
+  }
 }
