@@ -1266,10 +1266,15 @@ object Similarity {
         .select(col("q_id"), posexplode(col("tk")))
         .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk_d"),
           col("col.vec_id").as("cand"))
-      // sparse arm: distinct-token Jaccard top-k vs the same seeds' texts
+      // sparse arm: distinct-token Jaccard top-k vs the same seeds' texts.
+      // The token table feeds four subtrees (postings, sizes, and their
+      // seed-filtered views); cached columnar it tokenizes the corpus ONCE
+      // instead of letting Catalyst duplicate the explode+distinct per
+      // consumer (the d27 materialization rule, PLANS.md) — Bench/Verify's
+      // cleanupSession releases the blocks between queries.
       val toks = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term") =!= "").distinct()
+        .filter(col("term") =!= "").distinct().cache()
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val stoks = toks.filter(col("doc_id") < 3)
         .select(col("doc_id").as("q_id"), col("term"))
