@@ -651,4 +651,29 @@ class PlanSuite extends AnyFunSuite {
       s"mm10 grew shuffles:\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("s17: both arms bounded-heap; seed sides broadcast; token table " +
+    "materialized once (no duplicated corpus tokenize)") {
+    val p = plan("s17_hybrid_rrf")
+    // per-arm top-k rides the collect_top_k aggregate, never a corpus
+    // rank-window (the only Window allowed is the final O(q x k) fusion)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "an arm lost the bounded-heap top-k path")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "seed set no longer broadcast")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian appeared")
+    // the shared (doc_id, term) table must come from the materialized
+    // relation, not four re-derivations of explode+distinct: the corpus
+    // tokenize expression appears EXACTLY once in the plan detail (the
+    // cache-fill), with the two O(q x k) posexplodes as the only other
+    // Generates
+    val nTok = p.linesIterator.count(_.contains("explode(split(text"))
+    assert(nTok == 1,
+      s"corpus tokenize appears $nTok times (token cache lost)")
+    val nGen = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(nGen <= 3,
+      s"unexpected Generate count $nGen (duplicated subtree)")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "token table no longer read from the materialized cache")
+  }
 }
