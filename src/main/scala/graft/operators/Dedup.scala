@@ -229,7 +229,13 @@ object Dedup {
 
   /** Distinct word 5-gram shingles per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    shingleRows(T.documents(s, d))
+
+  /** The per-document shingle transform over any (doc_id, text) frame —
+    * row-local per doc, so a streaming trigger can run it on its batch
+    * alone and the union over triggers equals the batch table (st42). */
+  private[operators] def shingleRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
@@ -278,8 +284,39 @@ object Dedup {
     * sharing is what makes d22's "same pair scores as d03" contract a
     * property of the code rather than two copies kept textually in sync.
     */
-  private def scoredCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sh = cappedShingles(s, d).cache()
+  private def scoredCandidatePairs(s: SparkSession, d: String): DataFrame =
+    scoredCandidatePairsFromShingles(cappedShingles(s, d))
+
+  /** d03's report shaping — shared with st42 (identical output contract). */
+  private[operators] def d03Report(scored: DataFrame): DataFrame =
+    scored
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** d03's DuckDB oracle, verbatim — also st42's gate: the LSH pipeline
+    * over the stream-assembled shingle ledger must reproduce the batch
+    * near-dup report bit-for-bit. */
+  private[operators] lazy val d03Oracle: String =
+    s"""WITH $sqlCappedCtes,
+      |$sqlCandCtes,
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |       GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS DOUBLE) AS jaccard
+      |FROM iv JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The d03/d22 scoring pass over an already-capped shingle frame —
+    * shared with st42, whose stream-assembled shingle ledger must score
+    * identically to the batch table. */
+  private[operators] def scoredCandidatePairsFromShingles(
+      shIn: DataFrame): DataFrame = {
+    val sh = shIn.cache()
     val cand = bandCandidates(minhashBands(sh))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -514,23 +551,8 @@ object Dedup {
     // verification restricted to band-collision candidates.
     Op(
       "d03_minhash_lsh",
-      (s, d) =>
-        scoredCandidatePairs(s, d)
-          .filter(col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $sqlCappedCtes,
-        |$sqlCandCtes,
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-        |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-        |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-        |       GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS DOUBLE) AS jaccard
-        |FROM iv JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+      (s, d) => d03Report(scoredCandidatePairs(s, d)),
+      Some(d03Oracle)),
     // ------------------------------------------------------------------
     Op(
       "d04_simhash",

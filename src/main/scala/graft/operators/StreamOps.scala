@@ -2239,6 +2239,53 @@ object StreamOps {
         .groupBy("doc_id").agg(sum("dl").as("dl"))
       TextAnalysis.bm25Rank(s, tf, dlT)
     }, Some(TextAnalysis.bm25Oracle)),
+    // ------------------------------------------------------------------
+    // STREAM-ASSEMBLED LSH NEAR-DUP (streaming d03): continuous ingest
+    // feeding the near-dup detector. Each trigger runs the EXPENSIVE text
+    // pass — tokenize, 5-gram shingle, per-doc distinct — on its batch
+    // alone (row-local per doc; docs arrive whole) and appends the
+    // (doc_id, shingle) rows to a ledger; the read path then runs the
+    // batch LSH pipeline VERBATIM over the compacted ledger: global
+    // DF-cap, 16-permutation minhash, 4x4 banding, band-collision
+    // candidates, exact-Jaccard verify (shared
+    // scoredCandidatePairsFromShingles). Gate = d03's identical oracle:
+    // trigger boundaries must not move a single candidate or score —
+    // which they can't, since the union of per-trigger shingle sets IS
+    // the batch table and everything downstream is order-free. Fixture
+    // shape carries raw shingle strings for exact-oracle parity; the
+    // 100 TB deployment shape stores the 8-byte shingle hash + per-doc
+    // signature ledger instead (signatures are 16 ints/doc) and fetches
+    // text only in the bounded verify stage — the per-trigger win is the
+    // same either way: raw text is scanned once per document at ingest,
+    // and re-running dedup after new arrivals reads the compacted
+    // ledger, never the corpus.
+    Op("st42_stream_lsh_neardup", (s, d) => {
+      val docs = T.documents(s, d).select("doc_id", "text")
+      val schema = docs.schema
+      val dir = Streaming.stagedDir("lshdedup", d) { dir =>
+        docs.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(dir)
+        docs.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val out = Streaming.scratchDir("graft_lshdedup_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Dedup.shingleRows(batch)
+              .write.mode("append").parquet(s"$out/sh")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val ledger = s.read.parquet(s"$out/sh")
+      Dedup.d03Report(Dedup.scoredCandidatePairsFromShingles(
+        Dedup.capShingleDf(ledger, Dedup.ShingleDfCap)))
+    }, Some(Dedup.d03Oracle)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate

@@ -1526,6 +1526,78 @@ object TextAnalysis {
         bm25Rank(s, tf, dlT)
       },
       Some(bm25Oracle)),
+    // ------------------------------------------------------------------
+    // PMI COLLOCATIONS — pointwise mutual information over the directed
+    // bigram table (Church & Hanks 1990): the collocation/MWE extractor
+    // corpus pipelines use for tokenizer-vocabulary candidates and
+    // boilerplate phrase discovery, complementing t08's raw bigram
+    // frequencies (frequency finds "of the"; PMI finds phrases whose
+    // parts predict each other). Exactness scheme: n_ab/n_a/n_b/n_tot
+    // are exact integers from ONE bigram aggregate (marginals are sums
+    // over it, not separate token passes); pmi is a fixed four-cast
+    // double expression shared verbatim with the oracle, ROUNDed at 6 dp
+    // into DECIMAL(18,6) (the t26 pattern) so the top-25 cut is
+    // deterministic (ties on w1, w2). Min-count 5 applies the standard
+    // sparse-PMI guard. Scale shape: one bigram-count shuffle (map-side
+    // partials) + two vocabulary-keyed marginal joins; the final cut is
+    // a bounded-heap aggregate, never a vocabulary-wide sort.
+    Op("t35_pmi_collocations", (s, d) => {
+      val bgc = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> " +
+            "struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .cache() // feeds both marginals + the total + the probe (d27 rule)
+      val ca = bgc.groupBy("w1").agg(sum("n_ab").as("n_a"))
+      val cb = bgc.groupBy("w2").agg(sum("n_ab").as("n_b"))
+      val tot = bgc.agg(sum("n_ab").as("n_tot"))
+      bgc.filter(col("n_ab") >= 5)
+        .join(ca, "w1").join(cb, "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi6", expr(
+          "CAST(ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE))" +
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)" +
+            " AS DECIMAL(18,6))"))
+        .agg(graft.functions.F.topkStructs(
+          struct((-col("pmi6")).as("np"), col("w1"), col("w2"),
+            col("n_ab"), col("n_a"), col("n_b")), 25).as("tk"))
+        .select(posexplode(col("tk")))
+        .select((col("pos") + 1).cast(LongType).as("rk"),
+          col("col.w1").as("w1"), col("col.w2").as("w2"),
+          col("col.n_ab").as("n_ab"), col("col.n_a").as("n_a"),
+          col("col.n_b").as("n_b"),
+          (-col("col.np")).cast(DoubleType).as("pmi"))
+        .orderBy("rk")
+    }, Some("""WITH t AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bgx AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |bg AS (
+      |  SELECT w1, w2, COUNT(*) AS n_ab FROM bgx
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+      |ca AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bg GROUP BY 1),
+      |cb AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bg GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_tot FROM bg),
+      |sc AS (
+      |  SELECT bg.w1, bg.w2, bg.n_ab, ca.n_a, cb.n_b,
+      |    CAST(ROUND(ln((CAST(bg.n_ab AS DOUBLE) * CAST(tt.n_tot AS DOUBLE))
+      |      / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) AS pmi6
+      |  FROM bg JOIN ca USING (w1) JOIN cb USING (w2), tt
+      |  WHERE bg.n_ab >= 5),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi6 DESC, w1, w2) AS rk
+      |  FROM sc)
+      |SELECT CAST(rk AS BIGINT) AS rk, w1, w2, n_ab, n_a, n_b,
+      |  CAST(pmi6 AS DOUBLE) AS pmi
+      |FROM r WHERE rk <= 25 ORDER BY rk""".stripMargin)),
   )
 
   /** t34's fixed retrieval workload — shared with the incrementally-

@@ -149,6 +149,53 @@ class R9OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("t35: every emitted PMI replays from the row's own counts; " +
+    "min-count respected; ranks contiguous and monotone") {
+    val rows = SparkEntry.queries("t35_pmi_collocations")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nab >= 5, s"min-count guard lost: $r")
+      assert(nab <= na && nab <= nb, s"marginals below joint: $r")
+      val want = BigDecimal(math.log((nab.toDouble * totalBigrams) /
+          (na.toDouble * nb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-12,
+        s"pmi mismatch for $r: want $want")
+    }
+    val rks = rows.map(_.getAs[Long]("rk")).sorted
+    assert(rks.sameElements(1L to rks.length), "ranks not contiguous")
+    val byRk = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("pmi"))
+    assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b },
+      "pmi not monotone in rank")
+  }
+
+  /** Total directed-bigram count of the fixture corpus, recomputed
+    * independently of the operator under test. */
+  private lazy val totalBigrams: Double = {
+    import org.apache.spark.sql.functions.{size => asize}
+    T.documents(spark, sf)
+      .select(split(col("text"), " ").as("t"))
+      .filter(asize(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+        .as("bg"))
+      .filter(col("bg.w1") =!= "" && col("bg.w2") =!= "")
+      .count().toDouble
+  }
+
+  test("st42: the stream-assembled shingle ledger reproduces batch d03 " +
+    "exactly (incremental == batch, within-engine)") {
+    val inc = SparkEntry.queries("st42_stream_lsh_neardup")(spark, sf)
+      .collect().map(_.toString).sorted
+    val bat = SparkEntry.queries("d03_minhash_lsh")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(bat),
+      "streamed LSH near-dup diverged from batch d03")
+  }
+
   test("st41: the stream-maintained BM25 index reproduces the batch " +
     "ranking exactly (incremental == batch, within-engine)") {
     val inc = SparkEntry.queries("st41_stream_bm25_index")(spark, sf)
