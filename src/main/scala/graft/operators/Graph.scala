@@ -227,6 +227,30 @@ object Graph {
     visited
   }
 
+  /** Multi-source BFS: one frontier table keyed (seed, node) advances all
+    * seeds' frontiers in the SAME per-round join — k seeds cost one edge
+    * join per round, not k (the textbook batch-BFS trick that makes
+    * k-source centrality affordable on a shared-nothing engine). Same
+    * localCheckpoint lineage-truncation discipline as [[bfsLayers]].
+    */
+  private[graft] def multiBfsLayers(es: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var visited = seeds.select(col("s"), col("s").as("n"),
+      lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select("s", "n")
+    for (k <- 1 to rounds) {
+      val nxt = es
+        .join(frontier.withColumnRenamed("n", "a"), "a")
+        .select(col("s"), col("b").as("n")).distinct()
+        .join(visited.select("s", "n"), Seq("s", "n"), "left_anti")
+        .withColumn("hop", lit(k))
+        .localCheckpoint()
+      visited = visited.unionByName(nxt).localCheckpoint()
+      frontier = nxt.select("s", "n")
+    }
+    visited
+  }
+
   private[graft] def coPartPrep(es: DataFrame, p: Int): DataFrame = {
     val ej = es.repartition(p, col("a"))
       .join(es.groupBy("a").agg(count(lit(1)).as("deg"))
@@ -910,6 +934,63 @@ object Graph {
         |     * sqrt(CAST(CAST(m AS HUGEINT)*sy2 - CAST(sy AS HUGEINT)*sy AS DOUBLE)))
         |    AS assortativity
         |FROM s""".stripMargin)),
+    // ------------------------------------------------------------------
+    // BOUNDED-RADIUS HARMONIC CENTRALITY — sum of 1/d(s,v) over nodes
+    // within 3 hops, for the 4 smallest part keys: the seed-importance
+    // measure (Boldi & Vigna's harmonic variant of closeness, well-defined
+    // on disconnected graphs) curation stacks use to pick representative
+    // exemplars from a similarity graph. All seeds advance in ONE frontier
+    // table keyed (seed, node) — k seeds cost one edge join per round, not
+    // k BFS runs (multiBfsLayers). Exactness scheme: hop counts are exact;
+    // each level's 1/hop contribution is quantized at 9 dp into
+    // DECIMAL(18,9) (only `rounds` distinct values exist), so the harmonic
+    // sum is exact decimal addition. Scale shape: identical per-round cost
+    // to g04's single-source BFS (frontier equi-join + left_anti against
+    // visited, both keyed (s, n)); the visited set is O(seeds x reach),
+    // bounded by the radius; localCheckpoint truncates iteration lineage.
+    Op("g13_harmonic_centrality", (s, d) => {
+      // persist: 3 frontier rounds + the seed probe would otherwise
+      // re-scan the edge parquet per round (the g04 rule)
+      val es = coPurchaseEdges(s, d).select("a", "b").persist()
+      val seeds = es.select(col("a").as("s")).distinct()
+        .orderBy("s").limit(4)
+      multiBfsLayers(es, broadcast(seeds), 3)
+        .filter(col("hop") > 0)
+        .groupBy("s")
+        .agg(
+          sum(when(col("hop") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("hop") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("hop") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(expr("CAST(ROUND(1.0 / CAST(hop AS DOUBLE), 9)" +
+            " AS DECIMAL(18,9))")).cast(DoubleType).as("harmonic"))
+        .orderBy("s")
+    }, Some("""WITH es AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey <> l2.l_partkey),
+      |sd AS (SELECT DISTINCT a AS s FROM es ORDER BY s LIMIT 4),
+      |l0 AS (SELECT s, s AS n FROM sd),
+      |f1 AS (SELECT DISTINCT l0.s, e.b AS n FROM es e JOIN l0 ON l0.n = e.a
+      |       WHERE e.b <> l0.s),
+      |a1 AS (SELECT s, n FROM l0 UNION SELECT s, n FROM f1),
+      |f2 AS (SELECT DISTINCT f.s, e.b AS n FROM es e JOIN f1 f ON f.n = e.a
+      |       WHERE NOT EXISTS (SELECT 1 FROM a1
+      |                         WHERE a1.s = f.s AND a1.n = e.b)),
+      |a2 AS (SELECT s, n FROM a1 UNION SELECT s, n FROM f2),
+      |f3 AS (SELECT DISTINCT f.s, e.b AS n FROM es e JOIN f2 f ON f.n = e.a
+      |       WHERE NOT EXISTS (SELECT 1 FROM a2
+      |                         WHERE a2.s = f.s AND a2.n = e.b)),
+      |lv AS (SELECT s, 1 AS hop, n FROM f1
+      |  UNION ALL SELECT s, 2, n FROM f2
+      |  UNION ALL SELECT s, 3, n FROM f3)
+      |SELECT s,
+      |  CAST(SUM(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(SUM(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(SUM(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |  CAST(SUM(CAST(ROUND(1.0 / CAST(hop AS DOUBLE), 9)
+      |    AS DECIMAL(18,9))) AS DOUBLE) AS harmonic
+      |FROM lv GROUP BY s ORDER BY s""".stripMargin)),
   )
 
   /** g10's 1/16-thinned weighted directed edge view (both orientations,

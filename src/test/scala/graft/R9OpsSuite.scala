@@ -205,4 +205,21 @@ class R9OpsSuite extends AnyFunSuite {
     assert(inc.sameElements(bat),
       "streamed index ranking diverged from batch t34")
   }
+
+  test("g13: harmonic replays exactly from the level counts; one row per " +
+    "seed; levels disjoint by construction") {
+    val rows = SparkEntry.queries("g13_harmonic_centrality")(spark, sf)
+      .collect()
+    assert(rows.length == 4, s"expected 4 seeds, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("s")).distinct.length == 4)
+    rows.foreach { r =>
+      val (n1, n2, n3) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("n3"))
+      // 1/1, 1/2, 1/3 quantized at 9 dp — the exact decimal replay
+      val want = n1 * 1.0 + n2 * 0.5 + n3 * 0.333333333
+      assert(math.abs(r.getAs[Double]("harmonic") - want) < 1e-9,
+        s"harmonic mismatch for $r: want $want")
+      assert(n1 > 0, s"seed ${r.getAs[Long]("s")} reached nothing at hop 1")
+    }
+  }
 }
