@@ -491,5 +491,54 @@ object SourceOps {
         |    AS score_sum,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    // ------------------------------------------------------------------
+    // DYNAMIC PARTITION PRUNING — the 100 TB partitioned-layout
+    // cornerstone w12's static pruning doesn't cover: the fact table is
+    // laid out partitioned by l_returnflag, and the probe joins it to a
+    // dimension whose filter (cnt == max) is NOT transitively inferable
+    // at plan time — only Spark's DPP can translate the dim-side cut
+    // into a runtime PartitionFilter on the fact scan (PlanSuite pins
+    // the dynamicpruningexpression). On a real warehouse this is the
+    // difference between scanning one partition and scanning the table
+    // whenever the partition predicate arrives through a join (date
+    // dimensions, enum dictionaries). The aggregate itself uses the
+    // decimal-exact money sums, so the gate also proves the pruned scan
+    // loses no rows.
+    Op(
+      "w16_dynamic_partition_pruning",
+      (s, d) => {
+        val dir = graft.streaming.Streaming.stagedDir("w16dpp", d) { dir =>
+          T.lineitem(s, d)
+            .select("l_orderkey", "l_partkey", "l_quantity",
+              "l_extendedprice", "l_returnflag")
+            .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+        }
+        val fact = s.read.parquet(dir)
+        val cnt = T.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("rf"))
+          .agg(count(lit(1)).as("cnt"))
+        // resolve the max count to a LITERAL (one-scalar driver probe, the
+        // g04 seed-pick idiom): DPP's isLikelySelective admits only
+        // literal predicates on the dim, and a literal on cnt is not
+        // transitively inferable onto the join key — exactly the shape
+        // where only dynamic pruning can cut the fact scan
+        val mxV = cnt.agg(max("cnt")).head().getLong(0)
+        val dim = cnt.filter(col("cnt") === mxV).select("rf")
+        fact.join(broadcast(dim), fact("l_returnflag") === col("rf"))
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("rf")
+      },
+      Some(s"""WITH cnt AS (
+        |  SELECT l_returnflag AS rf, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |dim AS (SELECT rf FROM cnt WHERE cnt = (SELECT MAX(cnt) FROM cnt))
+        |SELECT d.rf, COUNT(*) AS n,
+        |  ${sqlDsum("l.l_quantity")} AS sum_qty,
+        |  ${sqlDsum("l.l_extendedprice")} AS sum_price
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.rf
+        |GROUP BY d.rf ORDER BY d.rf""".stripMargin)),
   )
 }

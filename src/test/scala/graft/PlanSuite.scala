@@ -652,6 +652,15 @@ class PlanSuite extends AnyFunSuite {
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("w16: the dim-side cut reaches the fact scan as a DYNAMIC " +
+    "partition filter (DPP fires)") {
+    val p = plan("w16_dynamic_partition_pruning")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("dynamicpruning"),
+      s"DPP lost — fact scan would read every partition at 100 TB:\n$pf")
+  }
+
   test("s17: both arms bounded-heap; seed sides broadcast; token table " +
     "materialized once (no duplicated corpus tokenize)") {
     val p = plan("s17_hybrid_rrf")
