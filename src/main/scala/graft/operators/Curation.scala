@@ -572,6 +572,94 @@ object Curation {
         |LEFT JOIN rmv r ON r.source = s.source
         |LEFT JOIN kp k ON k.source = s.source
         |ORDER BY s.source""".stripMargin)),
+    // ------------------------------------------------------------------
+    // LIVE CURATION — the STREAMING composition capstone: one continuous
+    // ingest pass maintains BOTH retrieval-tier artifacts (st41's BM25
+    // postings/doc-length partials and st42's shingle ledger) in a single
+    // foreachBatch, and the read path composes them the way a live corpus
+    // service answers queries: run the d03 LSH near-dup pipeline over the
+    // ledger, drop each duplicate pair's doc_b (the d01/d12 min-id-wins
+    // convention), rebuild the BM25 statistics over the CLEAN index
+    // (df/N/avgdl shift when duplicates leave — dedup-then-index, the
+    // principled order), and serve t34's ranking arithmetic verbatim.
+    // The oracle is the two standalone oracles COMPOSED: the d03 CTE
+    // chain derives the dup set, and bm25CtesOver ranks the NOT-IN-dup
+    // corpus with the identical scoring text. At 100 TB: ingest touches
+    // raw text once per doc (both artifact extractions are row-local);
+    // re-serving after new arrivals reads two compacted ledgers, never
+    // the corpus; and every stage keeps its standalone op's shuffle
+    // bounds (banding, broadcast query terms, bounded heaps).
+    Op(
+      "p07_live_curation",
+      (s, d) => {
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val schema = docs.schema
+        val dir = graft.streaming.Streaming.stagedDir("livecur", d) { dir =>
+          docs.filter(col("doc_id") % 2 === 0)
+            .coalesce(1).write.mode("append").parquet(dir)
+          docs.filter(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+        val out = graft.streaming.Streaming.scratchDir("graft_livecur_")
+        graft.streaming.Streaming.withStreamShuffle(s) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dir)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                val b = batch.persist()
+                b.select(col("doc_id"),
+                    explode(split(col("text"), " ")).as("term"))
+                  .filter(col("term") =!= "")
+                  .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+                  .write.mode("append").parquet(s"$out/tf")
+                b.select(col("doc_id"),
+                    expr("cast(size(filter(split(text, ' '), x -> x <> ''))" +
+                      " as bigint)").as("dl"))
+                  .write.mode("append").parquet(s"$out/dl")
+                Dedup.shingleRows(b)
+                  .write.mode("append").parquet(s"$out/sh")
+                b.unpersist()
+                ()
+            }
+            .option("checkpointLocation", s"$out/_ckpt")
+            .start()
+          q.processAllAvailable(); q.stop()
+        }
+        // Cache the dup set and the CLEAN index tables (the d27 plan
+        // rule): tf/dl are each consumed twice inside bm25Rank (postings
+        // + df; lengths + corpus stats), and uncached each probe re-plans
+        // the whole d03 pipeline under its anti-join — the plan audit
+        // showed the shingle scan replicated under 4 SortMergeJoin
+        // LeftAnti probes. Cached, d03 runs once and the clean index is
+        // exactly the artifact a live serving system persists.
+        val losers = Dedup.d03Report(Dedup.scoredCandidatePairsFromShingles(
+            Dedup.capShingleDf(s.read.parquet(s"$out/sh"),
+              Dedup.ShingleDfCap)))
+          .select(col("doc_b").as("doc_id")).distinct().cache()
+        val tf = s.read.parquet(s"$out/tf")
+          .groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+          .join(losers, Seq("doc_id"), "left_anti").cache()
+        val dlT = s.read.parquet(s"$out/dl")
+          .groupBy("doc_id").agg(sum("dl").as("dl"))
+          .join(losers, Seq("doc_id"), "left_anti").cache()
+        TextAnalysis.bm25Rank(s, tf, dlT)
+      },
+      Some(s"""WITH ${Dedup.sqlCappedCtes},
+        |${Dedup.sqlCandCtes},
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |       GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT iv.doc_b AS doc_id
+        |        FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
+        |        JOIN sz sb ON sb.doc_id = iv.doc_b
+        |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+        |docs2 AS (SELECT * FROM documents
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        |${TextAnalysis.bm25CtesOver("docs2")}
+        |${TextAnalysis.bm25FinalSelect}""".stripMargin)),
   )
 
   /** p04's card SQL — also the gate for st33's incrementally-maintained

@@ -255,7 +255,7 @@ object Dedup {
   /** Oracle mirror of [[cappedShingles]]: `sh0` = raw shingles, `sh` =
     * DF-capped shingles. Splice as the head of a WITH list.
     */
-  private val sqlCappedCtes =
+  private[operators] val sqlCappedCtes =
     s"""sh0 AS ($sqlShingles),
       |sh AS (SELECT sh0.* FROM sh0 WHERE sh NOT IN (
       |       SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $ShingleDfCap))""".stripMargin
@@ -265,7 +265,7 @@ object Dedup {
     * by d03 (Jaccard verify) and d20 (edit-distance verify) so the two
     * verification stages provably probe the SAME candidate set.
     */
-  private val sqlCandCtes =
+  private[operators] val sqlCandCtes =
     """hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
       |pm AS (SELECT i, 100003 + 7919*i AS a, 12345 + 104729*i AS b
       |       FROM (SELECT unnest(generate_series(0, 15)) AS i)),

@@ -1647,10 +1647,16 @@ object TextAnalysis {
   /** t34's DuckDB oracle, verbatim — also st41's gate: the streamed index
     * must reproduce the batch ranking bit-for-bit. */
   private[operators] lazy val bm25Oracle: String =
-      """WITH d AS (
+    s"WITH ${bm25CtesOver("documents")}\n${bm25FinalSelect}"
+
+  /** The BM25 CTE chain parameterized over the corpus relation name, so a
+    * composed pipeline (p07) can rank a CTE-defined clean corpus with the
+    * IDENTICAL arithmetic. */
+  private[operators] def bm25CtesOver(corpus: String): String =
+      s"""d AS (
         |  SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM $corpus),
         |dlt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
         |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1678,10 +1684,15 @@ object TextAnalysis {
         |  SELECT query, doc_id, sd,
         |    ROW_NUMBER() OVER (PARTITION BY query ORDER BY sd DESC, doc_id)
         |      AS rk
-        |  FROM agg)
-        |SELECT query, CAST(rk AS BIGINT) AS rk, doc_id,
-        |  CAST(sd AS DOUBLE) AS score
-        |FROM rk WHERE rk <= 10 ORDER BY query, rk""".stripMargin
+        |  FROM agg)""".stripMargin
+
+  /** The final projection paired with [[bm25CtesOver]]. Lazy: [[bm25Oracle]]
+    * is forced during object init (the `ops` val precedes this declaration),
+    * and a strict val here would interpolate as null at that point. */
+  private[operators] lazy val bm25FinalSelect: String =
+    """SELECT query, CAST(rk AS BIGINT) AS rk, doc_id,
+      |  CAST(sd AS DOUBLE) AS score
+      |FROM rk WHERE rk <= 10 ORDER BY query, rk""".stripMargin
 
   /** t27's mixture arithmetic over a (lang, n_docs) counts table — shared
     * with the incrementally-maintained streaming twin (st34). */

@@ -206,6 +206,53 @@ class R9OpsSuite extends AnyFunSuite {
       "streamed index ranking diverged from batch t34")
   }
 
+  test("p07: live curation == dedup-then-rank replayed independently in " +
+    "plain Scala (losers from d03; BM25 over the clean corpus)") {
+    val losers = SparkEntry.queries("d03_minhash_lsh")(spark, sf)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(losers.nonEmpty, "fixture has no near-dups — p07 degenerates to t34")
+    val clean = T.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter { case (id, _) => !losers(id) }
+    val qterms = Seq(
+      ("q1", "spark"), ("q1", "join"),
+      ("q2", "window"), ("q2", "sort"), ("q2", "merge"),
+      ("q3", "stream"), ("q3", "batch"))
+    val n = clean.length.toDouble
+    val avgdl = clean.map(_._2.length.toLong).sum / n
+    val dfm = qterms.map(_._2).distinct
+      .map(t => t -> clean.count(_._2.contains(t)).toDouble).toMap
+    def s6(tf: Long, df: Double, dl: Int): BigDecimal =
+      BigDecimal(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = qterms.groupBy(_._1).toSeq.flatMap { case (q, ts) =>
+      clean.flatMap { case (id, toks) =>
+        val sc = ts.map(_._2)
+          .map(t => t -> toks.count(_ == t).toLong)
+          .filter(_._2 > 0)
+          .map { case (t, tf) => s6(tf, dfm(t), toks.length) }
+        if (sc.isEmpty) None else Some((q, id, sc.sum))
+      }.sortBy { case (_, id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((_, id, s), i) => (q, i + 1L, id, s) }
+    }.sortBy { case (q, rk, _, _) => (q, rk) }
+    val got = SparkEntry.queries("p07_live_curation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == want.length,
+      s"row count ${got.length} != expected ${want.length}")
+    got.zip(want).foreach { case ((gq, grk, gid, gs), (wq, wrk, wid, ws)) =>
+      assert(gq == wq && grk == wrk && gid == wid,
+        s"ranking mismatch: got ($gq,$grk,$gid), want ($wq,$wrk,$wid)")
+      assert(math.abs(gs - ws.toDouble) < 1e-12,
+        s"score mismatch at ($gq,$grk): got $gs, want $ws")
+    }
+    // dedup must have mattered: the clean ranking differs from raw t34
+    val raw = SparkEntry.queries("t34_bm25_retrieval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(!got.sameElements(raw),
+      "p07 identical to t34 — the dedup stage changed nothing")
+  }
+
   test("g13: harmonic replays exactly from the level counts; one row per " +
     "seed; levels disjoint by construction") {
     val rows = SparkEntry.queries("g13_harmonic_centrality")(spark, sf)
