@@ -14,9 +14,12 @@ package graft.ml
   * limit of the SSP window, proven bit-identical to SSP(MaxValue) and
   * divergent from Synchronous (see [[Asynchronous]]); SSP keeps a REAL
   * staleness bound (workers read globals up to s rounds stale, over-stale
-  * updates are skip-merged — see [[SSP]]); GM/FGM keep their
-  * communication-skipping semantics via the drift threshold (replicas
-  * that moved less than the threshold don't ship).
+  * updates are skip-merged — see [[SSP]]); GM keeps its
+  * communication-skipping semantics via the per-worker drift threshold
+  * (replicas that moved less than the threshold don't ship); FGM is the
+  * two-level FUNCTIONAL variant (see [[FGM]]) — scalar counter messages
+  * between syncs, model vectors only on a confirmed global violation,
+  * and then ALL workers sync (never GM's partial advance).
   */
 /** `blocks` counts maxMsgParams-bounded parameter blocks shipped to the
   * merge (see [[ModelWire]]) — the reference's message count, not a round
@@ -138,22 +141,19 @@ final case class EASGD(alpha: Double) extends Protocol {
   }
 }
 
-/** Geometric-monitoring family (GM exact, FGM functional — Samoladas &
-  * Garofalakis, EDBT 2018 lineage, see PAPERS.md): replicas whose parameter
-  * drift from the previous global stays inside the threshold don't ship,
-  * saving communication; the global advances only on shipped replicas.
+/** Classic geometric monitoring (the GM side of the reference's GM/FGM
+  * pair — Samoladas & Garofalakis, EDBT 2018 lineage, see PAPERS.md):
+  * replicas whose parameter drift from the previous global stays inside
+  * the threshold don't ship, saving communication; the global advances
+  * only on shipped replicas (a PARTIAL fold — contrast [[FGM]], whose
+  * global condition syncs all-or-nothing).
   */
 final case class DriftGated(override val name: String, threshold: Double)
     extends Protocol {
   override def ships(replica: ModelState, prev: Option[ModelState]): Boolean =
     prev match {
       case None => true // round one: everyone ships
-      case Some(pm) =>
-        val rp = replica.params; val pp = pm.params
-        var s = 0.0; var i = 0
-        val n = math.min(rp.length, pp.length)
-        while (i < n) { val d = rp(i) - pp(i); s += d * d; i += 1 }
-        math.sqrt(s) > threshold
+      case Some(pm) => Protocols.driftNorm(replica.params, pm.params) > threshold
     }
 
   override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
@@ -186,9 +186,114 @@ final case class DriftGated(override val name: String, threshold: Double)
   }
 }
 
+/** Functional geometric monitoring (the FGM side of the reference's GM/FGM
+  * pair, MLNodeGenerator.scala:33,62; Samoladas & Garofalakis EDBT-2018
+  * lineage) — the TWO-LEVEL protocol, not GM's per-worker gate. The safe
+  * function is phi_i = ||X_i - E|| - T; by convexity of the norm,
+  * sum(phi_i) <= 0 soundly bounds the drift of the AVERAGE model
+  * (||avg X_i - E|| <= avg||X_i - E|| <= T), which per-worker thresholds
+  * alone cannot (one big drifter can hide under k-1 workers' slack, and
+  * conversely k near-threshold workers can each stay silent under GM while
+  * their average drifts). Between syncs, workers ship 8-BYTE COUNTERS
+  * c_i = floor(drift_i / theta) — theta the quantum, T/2 after a sync.
+  * When sum(c_i) > k the hub polls the exact phi values (k more scalars):
+  * psi >= 0 is a confirmed violation — ALL workers ship their models and
+  * the global advances to their count-weighted average (never GM's
+  * partial fold); psi < 0 is a false alarm — a new subround begins with
+  * the rebalanced quantum theta' = -psi/(2k) and the global advances by
+  * ZERO. T = 0 degenerates to Synchronous (every round a violation).
+  *
+  * The decision is GLOBAL (a sum over workers), so unlike GM it cannot be
+  * a map-side [[ships]] predicate: the batch Trainer runs a real scalar
+  * phase between jobs (frozen rounds move k*8 bytes, never parameter
+  * vectors) and calls [[decide]]/[[syncFold]]; the streaming trainer,
+  * which already has the replicas driver-side per micro-batch, gets the
+  * identical semantics through [[aggregate]]. The quantum is driver-held
+  * mutable state (like SSP's recent-globals window) — one double.
+  */
+final case class FGM(threshold: Double) extends Protocol {
+  def name = "FGM"
+
+  /** Current quantum; reset to T/2 by every sync, rebalanced on a safe
+    * poll. Driver-side state — executors never touch it. */
+  @transient private var thetaV: Double = threshold / 2.0
+  def theta: Double = thetaV
+
+  /** Worker-side counter: how many quanta of drift this replica has
+    * accumulated since the last sync. */
+  def counterOf(driftNorm: Double): Long =
+    if (thetaV > 0) math.floor(driftNorm / thetaV).toLong else Long.MaxValue
+
+  /** Hub decision from the per-worker drift norms (the scalar phase):
+    * true = confirmed violation, sync everyone; false = global advances by
+    * zero this round (counter sum under k, or a false alarm that
+    * rebalanced the quantum). Charges the scalar traffic. */
+  def decide(drifts: Seq[Double], stats: ProtocolStats): Boolean = {
+    val k = drifts.length
+    stats.bytesShipped += k.toLong * 8L // counter messages
+    stats.blocks += k.toLong
+    val trigger = thetaV <= 0 ||
+      drifts.foldLeft(0L)((a, dv) => a + counterOf(dv)) > k.toLong
+    if (!trigger) false
+    else {
+      stats.bytesShipped += k.toLong * 8L // exact-phi poll
+      stats.blocks += k.toLong
+      val psi = drifts.foldLeft(0.0)((a, dv) => a + (dv - threshold))
+      if (psi >= 0) { thetaV = threshold / 2.0; true }
+      else { thetaV = -psi / (2.0 * k); false }
+    }
+  }
+
+  /** The sync fold: everyone shipped, the global is their count-weighted
+    * average (exactly the Synchronous merge). */
+  def syncFold(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats): ModelState = {
+    stats.modelsShipped += replicas.length
+    stats.bytesShipped += replicas.map(_.params.length.toLong * 8L).sum
+    learner.merge(replicas, prev)
+  }
+
+  /** Zero-advance round: a copy of the previous global with zeroed
+    * per-round counters (the DriftGated all-skip shape — returning prev
+    * itself would double-count fitted points). */
+  def frozen(prev: ModelState): ModelState = {
+    val keep = prev.deepCopy
+    keep.n = 0L
+    keep.cumLoss = 0.0
+    keep
+  }
+
+  /** One-shot path for callers that already hold every replica driver-side
+    * (the streaming trainer): identical decision + fold, with the scalar
+    * phases charged as in the two-phase batch path. */
+  override def aggregate(replicas: Seq[ModelState], prev: Option[ModelState],
+      learner: OnlineLearner, stats: ProtocolStats,
+      totalReplicas: Long = -1L): ModelState = prev match {
+    case None => syncFold(replicas, prev, learner, stats) // round 1 bootstrap
+    case Some(pm) =>
+      if (replicas.isEmpty) frozen(pm)
+      else {
+        val drifts = replicas.map(r => Protocols.driftNorm(r.params, pm.params))
+        if (decide(drifts, stats)) syncFold(replicas, prev, learner, stats)
+        else frozen(pm)
+      }
+  }
+}
+
 object Protocols {
   val names: Set[String] = Set("CentralizedTraining", "SingleLearner",
     "Asynchronous", "Synchronous", "SSP", "EASGD", "GM", "FGM")
+
+  /** The l2 parameter drift shared by GM's ship gate, FGM's safe function,
+    * and their oracles: ascending-index left-associated sum seeded 0.0
+    * over the common prefix, then sqrt — the exact summation order the
+    * ml29/ml30 DuckDB replays reproduce. */
+  def driftNorm(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
 
   def create(name: String, hp: Map[String, Double] = Map.empty): Protocol = name match {
     case "Synchronous" => Synchronous
@@ -198,7 +303,7 @@ object Protocols {
     case "SingleLearner" => SingleLearner
     case "EASGD" => EASGD(hp.getOrElse("alpha", 0.5))
     case "GM" => DriftGated("GM", hp.getOrElse("threshold", 0.0))
-    case "FGM" => DriftGated("FGM", hp.getOrElse("threshold", 0.01))
+    case "FGM" => FGM(hp.getOrElse("threshold", 0.01))
     case other => throw new IllegalArgumentException(s"unknown protocol: $other")
   }
 

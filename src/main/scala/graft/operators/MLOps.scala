@@ -915,15 +915,37 @@ object MLOps {
     // whichever of the four ship patterns the data produces at a given SF
     // (at sf0.01 exactly one worker skips: drifts 1.34 vs 0.93), the
     // merge — base-inclusion, count weights from running totals, the
-    // totalFitted fold of a partial ship — must match bit-for-bit. FGM is
-    // the same DriftGated fold at a different threshold, covered by this
-    // representative; Asynchronous at 2 workers is trajectory-identical
-    // to ml27's SSP(1) stale-read window and is pinned by the
-    // AsyncEqualsUnboundedSSP suite gate instead.
+    // totalFitted fold of a partial ship — must match bit-for-bit.
+    // Asynchronous at 2 workers is trajectory-identical to ml27's SSP(1)
+    // stale-read window and is pinned by the AsyncEqualsUnboundedSSP
+    // suite gate instead; FGM is a DIFFERENT protocol (two-level counter
+    // machinery, all-or-nothing sync) and gets its own gate — ml30.
     Op("ml29_gm_protocol_parity", (s, d) =>
       twoWorkerProtocolFit(s, d, 29, "GM", Map("threshold" -> 1.0),
         rounds = 2),
       Some(gmProtocolOracle)),
+    // ------------------------------------------------------------------
+    // FGM TWO-LEVEL TRAJECTORY PARITY — functional geometric monitoring
+    // is the reference's flagship protocol (FGMWorker/FGMParameterServer,
+    // MLNodeGenerator.scala:33,62; internals from the public Samoladas &
+    // Garofalakis EDBT-2018 design, not the closed mlAPI jar). Unlike
+    // GM's per-worker gate, the decision is a SUM over workers — the
+    // safe function phi_i = ||w_i - g1|| - T, sound for the AVERAGE
+    // model by norm convexity — so the oracle replays the full two-level
+    // flow: counters floor(drift_i/theta) with the post-sync quantum
+    // theta = T/2, the > k trigger, the exact-phi poll psi = (d0-T) +
+    // (d1-T), and the all-or-nothing outcome — a confirmed violation
+    // (psi >= 0) syncs BOTH replicas into the count-weighted average; a
+    // false alarm or a quiet counter round advances the global by ZERO
+    // (never GM's partial fold). T = 1.2 sits between the sf0.01 round-2
+    // drifts (1.34, 0.93): counters fire (2 + 1 > 2) but psi = -0.13 —
+    // the sum-slack masking case where GM(1.2) WOULD advance on worker 0
+    // alone and FGM provably freezes; the CASE covers both outcomes so
+    // the gate stays data-honest at every SF.
+    Op("ml30_fgm_protocol_parity", (s, d) =>
+      twoWorkerProtocolFit(s, d, 30, "FGM", Map("threshold" -> 1.2),
+        rounds = 2),
+      Some(fgmProtocolOracle)),
   )
 
   /** Shared engine side of ml26/ml27/ml28: a 2-partition (vec_id % 2)
@@ -1794,6 +1816,72 @@ object MLOps {
        |         WHEN s.s0 = 1 THEN g.nv + a.i
        |         WHEN s.s1 = 1 THEN g.nv + b.i
        |         ELSE 0 END AS nv
+       |  FROM f02 a, f12 b, g1 g, sh s)
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN g2.w0 WHEN 1 THEN g2.w1 WHEN 2 THEN g2.w2
+       |       WHEN 3 THEN g2.w3 WHEN 4 THEN g2.b
+       |       ELSE g1.cumv + g2.cumv END AS weight,
+       |  g1.nv + g2.nv AS n_fitted
+       |FROM g1, g2, (VALUES (0), (1), (2), (3), (4), (5)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** ml30: FGM(1.2) two-level fold. Round 1 = Synchronous merge (no
+    * previous global, bootstrap sync). Round 2 replays the whole counter
+    * machinery: per-worker drift (the ml29 summation order), counters
+    * floor(drift/theta) with theta = T/2, the sum > k trigger, the exact
+    * poll psi = (d0-T) + (d1-T) in collect order, and the all-or-nothing
+    * outcome — sync = count-weighted average of BOTH replicas with fresh
+    * per-round totals; anything else = g1 verbatim with ZEROED per-round
+    * counters. A partial advance in the engine (the GM shape) breaks the
+    * hash by construction.
+    */
+  private def fgmProtocolOracle: String = {
+    val thr = "CAST(1.2 AS DOUBLE)"
+    val theta = s"($thr / CAST(2 AS DOUBLE))"
+    def drift(r: String): String = {
+      val terms = protoDims.map(j =>
+        s"($r.w$j - g.w$j) * ($r.w$j - g.w$j)") :+
+        s"($r.b - g.b) * ($r.b - g.b)"
+      "sqrt(" +
+        terms.foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + ")"
+    }
+    def bothW(j: String): String = {
+      val f0 = "(CAST(a.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+      val f1 = "(CAST(b.i AS DOUBLE) / CAST(a.i + b.i AS DOUBLE))"
+      if (j == "b") s"((a.b * $f0) + (b.b * $f1))"
+      else s"(($f0 * a.w$j) + ($f1 * b.w$j))"
+    }
+    def pick(j: String): String =
+      s"""CASE WHEN s.sync = 1 THEN ${bothW(j)}
+         |         ELSE g.${if (j == "b") "b" else s"w$j"} END""".stripMargin
+    s"""WITH RECURSIVE $twoWorkerPtsCtes,
+       |${paChain("c0r1", "pts0", protoZeroSeed)},
+       |${paChain("c1r1", "pts1", protoZeroSeed)},
+       |${protoFin("f01", "c0r1")},
+       |${protoFin("f11", "c1r1")},
+       |${protoMergeCte("g1", "f01", "f11")},
+       |${paChain("c0r2", "pts0", protoSeedFrom("g1"))},
+       |${paChain("c1r2", "pts1", protoSeedFrom("g1"))},
+       |${protoFin("f02", "c0r2")},
+       |${protoFin("f12", "c1r2")},
+       |ph AS (
+       |  SELECT ${drift("a")} AS d0, ${drift("b")} AS d1
+       |  FROM f02 a, f12 b, g1 g),
+       |sh AS (
+       |  SELECT CASE WHEN (floor(d0 / $theta) + floor(d1 / $theta))
+       |                   > CAST(2 AS DOUBLE)
+       |              AND ((d0 - $thr) + (d1 - $thr)) >= CAST(0 AS DOUBLE)
+       |         THEN 1 ELSE 0 END AS sync
+       |  FROM ph),
+       |g2 AS (
+       |  SELECT
+       |    ${protoDims.map(j => s"${pick(j.toString)} AS w$j")
+            .mkString(",\n|    ")},
+       |    ${pick("b")} AS b,
+       |    CASE WHEN s.sync = 1 THEN a.cum + b.cum
+       |         ELSE CAST(0 AS DOUBLE) END AS cumv,
+       |    CASE WHEN s.sync = 1 THEN a.i + b.i ELSE 0 END AS nv
        |  FROM f02 a, f12 b, g1 g, sh s)
        |SELECT CAST(v.dim AS BIGINT) AS dim,
        |  CASE v.dim WHEN 0 THEN g2.w0 WHEN 1 THEN g2.w1 WHEN 2 THEN g2.w2

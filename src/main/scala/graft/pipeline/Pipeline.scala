@@ -140,6 +140,10 @@ object Trainer {
         case Asynchronous => Some(Int.MaxValue)
         case _ => None
       }
+      val fgmProto: Option[FGM] = protocol match {
+        case f: FGM => Some(f)
+        case _ => None
+      }
       val numParts = tdata.getNumPartitions
       val histCap = sspS
         .map(s => math.min(s.toLong, (numParts - 1).toLong).toInt + 1)
@@ -179,8 +183,38 @@ object Trainer {
           learner.finish(m)
           if (cnt == 0) Iterator.empty else Iterator.single(m)
         }
-        val mergedOpt: Option[ModelState] =
-          if (useTreeMerge) {
+        val mergedOpt: Option[ModelState] = if (fgmProto.isDefined &&
+            global.isDefined) {
+          // FGM two-level rounds (see Protocols.FGM): frozen rounds move
+          // only one 8-byte scalar per worker off the executors; parameter
+          // vectors travel ONLY on a confirmed global violation — and then
+          // every replica ships (all-or-nothing, never GM's partial fold).
+          // Round 1 (no global yet) bootstraps through the chunked path
+          // below, where FGM.ships is always true.
+          val fgm = fgmProto.get
+          val repl = replRdd.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            // counter phase: one drift norm per worker, partition order
+            val drifts = repl
+              .map(m => Protocols.driftNorm(m.params,
+                bcSeeds.value.head.get.params))
+              .collect()
+            if (drifts.isEmpty) None
+            else if (!fgm.decide(drifts.toSeq, stats))
+              Some(fgm.frozen(global.get))
+            else {
+              val maxP = spec.maxMsgParams
+              val blocks = repl.mapPartitions { it =>
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                it.flatMap(m => ModelWire.chunk(m, maxP, pid).iterator)
+              }.collect().toSeq
+              val shipped = ModelWire.reassemble(blocks,
+                (bdim, ps) => learner.init(bdim).loadWire(ps))
+              stats.blocks += blocks.length
+              Some(fgm.syncFold(shipped, global, learner, stats))
+            }
+          } finally repl.unpersist(blocking = false)
+        } else if (useTreeMerge) {
             if (replRdd.isEmpty()) None
             else {
               val (m, k, bytes) = replRdd

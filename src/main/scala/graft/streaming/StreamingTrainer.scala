@@ -35,6 +35,12 @@ object StreamingTrainer {
     val learner = Learners.create(spec.learner, spec.learnerHp)
     var global: Option[ModelState] = None
     var protocolName = spec.protocol
+    // One protocol instance per resolved parallelism, reused across
+    // micro-batches: the resolution rules still apply per batch (a 1-
+    // partition batch forces CentralizedTraining), but a stateful protocol
+    // (FGM's quantum) keeps its subround state across rounds. Stateless
+    // protocols are unaffected — a cached instance behaves identically.
+    var protoCache: Map[Int, Protocol] = Map.empty
     val stats = ProtocolStats()
     var totalFitted = 0L
     var totalCumLoss = 0.0
@@ -53,8 +59,13 @@ object StreamingTrainer {
         val rdd =
           if (partitionsPerBatch > 0) rdd0.repartition(partitionsPerBatch)
           else rdd0
-        val protocol = Protocols.resolve(spec.protocol, spec.learner,
-          rdd.getNumPartitions, spec.protocolHp)
+        val np = rdd.getNumPartitions
+        val protocol = protoCache.getOrElse(np, {
+          val p = Protocols.resolve(spec.protocol, spec.learner, np,
+            spec.protocolHp)
+          protoCache += np -> p
+          p
+        })
         protocolName = protocol.name
         val data = protocol.maxParallelism match {
           case Some(p) if rdd.getNumPartitions > p => rdd.coalesce(p)

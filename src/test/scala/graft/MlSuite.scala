@@ -156,7 +156,7 @@ class MlSuite extends AnyFunSuite {
     val replica = global.deepCopy
     replica.n = 10
     val stats = ProtocolStats()
-    val out = DriftGated("FGM", 1e9).aggregate(Seq(replica), Some(global), l, stats)
+    val out = DriftGated("GM", 1e9).aggregate(Seq(replica), Some(global), l, stats)
     assert(stats.modelsShipped == 0)
     // the global's weights survive unchanged, but the per-round counters are
     // ZERO — nothing shipped, so the hub's fitted totals must not advance

@@ -110,6 +110,49 @@ class R9OpsSuite extends AnyFunSuite {
       "zero-threshold GM must degenerate to the Synchronous fold")
   }
 
+  test("ml30 guard: FGM is all-or-nothing — for ANY threshold the round-2 " +
+    "global is either frozen g1 or the full Synchronous average, and both " +
+    "outcomes occur across the grid (GM's partial fold is impossible)") {
+    val (g1, n1) = fitParams("Synchronous", Map.empty, rounds = 1)
+    val (sync2, n2) = fitParams("Synchronous", Map.empty, rounds = 2)
+    assert(!g1.sameElements(sync2), "fixture degenerate: round 2 is a no-op")
+    val outcomes = Seq(0.05, 0.3, 0.6, 0.9, 1.2, 1.5, 1e3).map { t =>
+      val (p, n) = fitParams("FGM", Map("threshold" -> t), rounds = 2)
+      if (p.sameElements(sync2)) { assert(n == n2); "sync" }
+      else if (p.sameElements(g1)) { assert(n == n1); "frozen" }
+      else fail(s"FGM($t) produced a PARTIAL advance — neither g1 nor sync2")
+    }
+    assert(outcomes.contains("sync") && outcomes.contains("frozen"),
+      s"grid never exercised both outcomes: $outcomes")
+  }
+
+  test("ml30 guard: FGM(0) IS Synchronous (every round a confirmed " +
+    "violation)") {
+    val (f0, n0) = fitParams("FGM", Map("threshold" -> 0.0), rounds = 2)
+    val (sync, n1) = fitParams("Synchronous", Map.empty, rounds = 2)
+    assert(f0.sameElements(sync) && n0 == n1,
+      "FGM(0) must be bit-identical to Synchronous")
+  }
+
+  test("ml30 guard: frozen rounds move ONLY 8-byte counters — never " +
+    "parameter vectors") {
+    val f = Trainer.fit(spark,
+      PipelineSpec(91, "PA", Map("C" -> 1.0), Nil, "FGM",
+        protocolHp = Map("threshold" -> 1e9), rounds = 3), twoWorkerRdd())
+    val plen = f.model.params.length.toLong
+    val st = f.statistics
+    // round 1 bootstrap: both replicas ship vectors; rounds 2-3 freeze
+    // under the huge threshold (counter sum 0, no poll): 2 workers x
+    // 8-byte counter per round, zero vectors, zero model ships
+    assert(st.modelsShipped == 2L,
+      s"models shipped ${st.modelsShipped}, want round-1 bootstrap only")
+    assert(st.bytesShipped == 2L * plen * 8L + 2L * 2L * 8L,
+      s"bytes ${st.bytesShipped} != vectors ${2L * plen * 8L} + 32 counter bytes")
+    val (g1, n1) = fitParams("Synchronous", Map.empty, rounds = 1)
+    assert(f.model.params.sameElements(g1) && f.model.n == n1,
+      "over-threshold FGM rounds must advance the global by zero")
+  }
+
   test("ml28 guard: EASGD(1.0) round-2 center equals the plain average " +
     "(alpha=1 replaces the center)") {
     val (ea, _) = fitParams("EASGD", Map("alpha" -> 1.0), rounds = 2)
