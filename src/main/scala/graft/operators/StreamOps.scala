@@ -2286,6 +2286,58 @@ object StreamOps {
       Dedup.d03Report(Dedup.scoredCandidatePairsFromShingles(
         Dedup.capShingleDf(ledger, Dedup.ShingleDfCap)))
     }, Some(Dedup.d03Oracle)),
+    // ------------------------------------------------------------------
+    // FGM continuous training — the two-level protocol's SIGNATURE over
+    // the stream, distinguishable from st16's GM in the byte ledger:
+    // with the threshold unreachable, GM's frozen batches cost NOTHING
+    // (the map-side gate keeps replicas on their executors) while FGM's
+    // frozen batches each cost EXACTLY k 8-byte counter messages — the
+    // scalar heartbeat that lets the hub soundly bound the AVERAGE
+    // model's drift, which per-worker gates cannot. Gate: batch 0
+    // bootstraps (models ship once), every later batch adds 4*8 = 32
+    // bytes and ZERO models/fitted — counter inflation, a leaked merge,
+    // or a quantum reset shipping vectors each flip a hashed boolean.
+    Op("st43_fgm_stream_train", (s, d) => {
+      import s.implicits._
+      // same staged layout as st05/st16 (the protocol is the variable)
+      val dir = Streaming.stagedDir("train", d) { dir =>
+        T.embeddings(s, d).select(
+            col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("features"),
+            when(col("label") >= 5, 1.0).otherwise(-1.0).as("target"))
+          .repartitionByRange(4, col("vec_id"))
+          .select("features", "target")
+          .write.mode("append").parquet(dir)
+      }
+      val schema = StructType(Seq(
+        StructField("features", ArrayType(DoubleType)),
+        StructField("target", DoubleType)))
+      val fit = StreamingTrainer.fitStream(s, dir, schema,
+        graft.pipeline.PipelineSpec(43, "PA", Map("C" -> 0.01), Nil, "FGM",
+          protocolHp = Map("threshold" -> 1e12)),
+        partitionsPerBatch = 4)
+      val c = fit.curve.sortBy(_.batch)
+      val batchesExact = c.map(_.batch) == (0L until c.size.toLong)
+      val firstShips = c.head.modelsShipped > 0L && c.head.fitted > 0L
+      val shippedFlat = c.forall(_.modelsShipped == c.head.modelsShipped)
+      val fittedFlat = c.forall(_.fitted == c.head.fitted)
+      // the FGM heartbeat: batch i's cumulative bytes = bootstrap vectors
+      // + i * (4 workers * 8-byte counter)
+      val heartbeat = c.forall(p =>
+        p.bytesShipped == c.head.bytesShipped + p.batch * 4L * 8L)
+      val lossOk = c.forall(p => !p.cumLoss.isNaN && !p.cumLoss.isInfinite &&
+        p.cumLoss >= 0.0)
+      Seq((c.size, batchesExact, firstShips, shippedFlat, fittedFlat,
+        heartbeat, lossOk))
+        .toDF("n_batches", "batches_exact", "first_batch_ships",
+          "shipped_flat_after_first", "fitted_flat_after_first",
+          "counter_heartbeat_exact", "loss_valid")
+    },
+      Some("""SELECT CAST(4 AS INTEGER) AS n_batches, true AS batches_exact,
+        |  true AS first_batch_ships, true AS shipped_flat_after_first,
+        |  true AS fitted_flat_after_first, true AS counter_heartbeat_exact,
+        |  true AS loss_valid
+        |FROM (SELECT 1)""".stripMargin)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate

@@ -165,6 +165,26 @@ class MlSuite extends AnyFunSuite {
     assert(out.n == 0L && out.cumLoss == 0.0)
   }
 
+  test("FGM quantum: T/2 after a sync, rebalanced to -psi/(2k) on a false " +
+    "alarm, counters quantized against the current quantum") {
+    val f = FGM(1.0) // theta = 0.5
+    val stats = ProtocolStats()
+    // counters floor(0.9/0.5) + floor(0.8/0.5) = 1 + 1 = 2 <= k: no poll
+    assert(!f.decide(Seq(0.9, 0.8), stats) && f.theta == 0.5)
+    // 2 + 1 = 3 > 2 triggers; psi = 0.1 + (-0.05) >= 0: sync, theta resets
+    assert(f.decide(Seq(1.1, 0.95), stats) && f.theta == 0.5)
+    // 2 + 1 = 3 > 2 triggers; psi = 0.05 + (-0.45) = -0.4 < 0: FALSE
+    // ALARM — no sync, quantum rebalances to 0.4/(2*2) = 0.1
+    assert(!f.decide(Seq(1.05, 0.55), stats))
+    assert(math.abs(f.theta - 0.1) < 1e-15, s"theta ${f.theta}")
+    // the rebalanced quantum now quantizes the SAME drifts differently:
+    // floor(0.24/0.1) + floor(0.01/0.1) = 2 + 0 = 2 <= k: quiet
+    assert(!f.decide(Seq(0.24, 0.01), stats) && math.abs(f.theta - 0.1) < 1e-15)
+    // byte ledger: 4 counter phases + 2 polls, all 2 workers x 8 bytes;
+    // decide never ships a vector
+    assert(stats.bytesShipped == 6L * 2L * 8L && stats.modelsShipped == 0L)
+  }
+
   test("EASGD center moves a fraction alpha toward the replica average") {
     val l = new PAClassifier(0.05)
     val center = new LinearModel(Array(0.0, 0.0), 0.0)
