@@ -118,6 +118,37 @@ object Bench {
       .map(_.split(",").toSeq).getOrElse(Nil)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    // Cross-round anchors (r9 verdict #1): the spread rule below detects
+    // sample DISAGREEMENT, but persistent in-window host contention can
+    // slow BOTH base samples by the same factor — they agree, the resample
+    // never fires, and the artifact silently carries a multiple of the
+    // query's real cost (r9's g02: 17.1 s recorded vs 2.78 s standalone).
+    // Anchor each query against the previous round's committed per-query
+    // time (BENCH_DETAIL.json, same sf only): a fresh min > 3x its anchor
+    // forces the full resample budget, and if it STILL can't get within 3x
+    // the entry is emitted with an explicit "contended" flag instead of
+    // masquerading as a plan regression.
+    val anchors: Map[String, Double] = {
+      val p = Paths.get("/root/repo/BENCH_DETAIL.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        val qIdx = txt.indexOf("\"queries\":{")
+        if (!sfOk || qIdx < 0) Map.empty
+        else {
+          val start = qIdx + "\"queries\":{".length
+          val end = txt.indexOf("}", start)
+          if (end < 0) Map.empty
+          else """"([^"]+)":([-0-9.eE+]+)""".r
+            .findAllMatchIn(txt.substring(start, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
+    def anchoredSlow(name: String, xs: Seq[Double]): Boolean =
+      anchors.get(name).exists(a => xs.min > a * 3)
     val samples: Seq[(String, Seq[Double])] = selected.map { case (name, fn) =>
       val n = if (regressionWatch.contains(name)) 3 else 2
       val vs0 = (1 to n).map(_ => timeOne(name, fn))
@@ -128,9 +159,13 @@ object Bench {
       def spread(xs: Seq[Double]): Double =
         xs.max / math.max(xs.min, 1e-9)
       var vs = vs0
-      while (spread(vs) > 2.5 && vs.size < 4) vs = vs :+ timeOne(name, fn)
+      while ((spread(vs) > 2.5 || anchoredSlow(name, vs)) && vs.size < 4)
+        vs = vs :+ timeOne(name, fn)
       cleanupSession()
       name -> vs.toSeq
+    }
+    val contended: Seq[String] = samples.collect {
+      case (name, vs) if anchoredSlow(name, vs) => name
     }
     // When the base samples agree (spread <= 2.5x) the min is the
     // operator's cost — the classic both-plausible GC-noise case. When the
@@ -185,9 +220,11 @@ object Bench {
     // A subset run must not clobber the committed full-run artifact.
     val detailPath = if (only.isEmpty) "/root/repo/BENCH_DETAIL.json"
       else "/root/repo/BENCH_DETAIL.subset.json"
+    val contendedJson =
+      contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     Files.write(
       Paths.get(detailPath),
-      s"""{"sf":"$sfDir","total_sec":$total,"ingest_train_rows_per_sec":$rowsPerSec,"ingest_train_sec":$trainSec,"queries":{$detail},"samples":{$sampleDetail}}"""
+      s"""{"sf":"$sfDir","total_sec":$total,"ingest_train_rows_per_sec":$rowsPerSec,"ingest_train_sec":$trainSec,"contended":$contendedJson,"queries":{$detail},"samples":{$sampleDetail}}"""
         .getBytes(StandardCharsets.UTF_8))
 
     val qs = results
@@ -203,7 +240,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + ids(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"queries_shown":"slowest 10 of ${results.size}; full map in prior line + BENCH_DETAIL.json","sf":"$sfName","n_queries":${results.size},"sec_per_query":${fmt(total / math.max(1, results.size))},"ingest_train_rows_per_sec":${rowsPerSec.toLong},"ingest_train_sec":${fmt(trainSec)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"queries_shown":"slowest 10 of ${results.size}; full map in prior line + BENCH_DETAIL.json","sf":"$sfName","n_queries":${results.size},"sec_per_query":${fmt(total / math.max(1, results.size))},"contended":${contended.map(n => "\"" + ids(n) + "\"").mkString("[", ",", "]")},"ingest_train_rows_per_sec":${rowsPerSec.toLong},"ingest_train_sec":${fmt(trainSec)}}""")
     spark.stop()
   }
 }

@@ -23,12 +23,15 @@ package graft.ml
   */
 /** `blocks` counts maxMsgParams-bounded parameter blocks shipped to the
   * merge (see [[ModelWire]]) — the reference's message count, not a round
-  * count.
+  * count. `scalars` counts the 8-byte protocol heartbeats (FGM's drift
+  * counters and exact-phi polls) separately, so the parameter-block metric
+  * stays pure: a frozen FGM round moves k scalars and ZERO blocks.
   */
 final case class ProtocolStats(
     var modelsShipped: Long = 0L,
     var bytesShipped: Long = 0L,
-    var blocks: Long = 0L)
+    var blocks: Long = 0L,
+    var scalars: Long = 0L)
 
 sealed trait Protocol extends Serializable {
   def name: String
@@ -204,19 +207,23 @@ final case class DriftGated(override val name: String, threshold: Double)
   * ZERO. T = 0 degenerates to Synchronous (every round a violation).
   *
   * The decision is GLOBAL (a sum over workers), so unlike GM it cannot be
-  * a map-side [[ships]] predicate: the batch Trainer runs a real scalar
-  * phase between jobs (frozen rounds move k*8 bytes, never parameter
-  * vectors) and calls [[decide]]/[[syncFold]]; the streaming trainer,
-  * which already has the replicas driver-side per micro-batch, gets the
-  * identical semantics through [[aggregate]]. The quantum is driver-held
-  * mutable state (like SSP's recent-globals window) — one double.
+  * a map-side [[ships]] predicate: the batch AND streaming trainers run a
+  * real scalar phase between jobs (frozen rounds move k*8 bytes, never
+  * parameter vectors) and call [[decide]]/[[syncFold]]; [[aggregate]]
+  * keeps the identical one-shot semantics for callers that already hold
+  * every replica driver-side. The quantum is driver-held mutable state
+  * (like SSP's recent-globals window) — one double; FGM is deliberately a
+  * PLAIN class, not a case class, so copy/equality can never silently
+  * fork or discard that subround state (r9 advisor note).
   */
-final case class FGM(threshold: Double) extends Protocol {
+final class FGM(val threshold: Double) extends Protocol {
   def name = "FGM"
 
   /** Current quantum; reset to T/2 by every sync, rebalanced on a safe
-    * poll. Driver-side state — executors never touch it. */
-  @transient private var thetaV: Double = threshold / 2.0
+    * poll. Driver-side state — [[decide]] only ever runs on the driver's
+    * original instance; serialized executor copies never read it (their
+    * [[ships]] is the default always-true). */
+  private var thetaV: Double = threshold / 2.0
   def theta: Double = thetaV
 
   /** Worker-side counter: how many quanta of drift this replica has
@@ -227,17 +234,19 @@ final case class FGM(threshold: Double) extends Protocol {
   /** Hub decision from the per-worker drift norms (the scalar phase):
     * true = confirmed violation, sync everyone; false = global advances by
     * zero this round (counter sum under k, or a false alarm that
-    * rebalanced the quantum). Charges the scalar traffic. */
+    * rebalanced the quantum). Charges the scalar traffic into
+    * `bytesShipped` + `scalars` — never `blocks`, which stays a pure
+    * parameter-block count (r9 advisor note). */
   def decide(drifts: Seq[Double], stats: ProtocolStats): Boolean = {
     val k = drifts.length
     stats.bytesShipped += k.toLong * 8L // counter messages
-    stats.blocks += k.toLong
+    stats.scalars += k.toLong
     val trigger = thetaV <= 0 ||
       drifts.foldLeft(0L)((a, dv) => a + counterOf(dv)) > k.toLong
     if (!trigger) false
     else {
       stats.bytesShipped += k.toLong * 8L // exact-phi poll
-      stats.blocks += k.toLong
+      stats.scalars += k.toLong
       val psi = drifts.foldLeft(0.0)((a, dv) => a + (dv - threshold))
       if (psi >= 0) { thetaV = threshold / 2.0; true }
       else { thetaV = -psi / (2.0 * k); false }
@@ -303,7 +312,7 @@ object Protocols {
     case "SingleLearner" => SingleLearner
     case "EASGD" => EASGD(hp.getOrElse("alpha", 0.5))
     case "GM" => DriftGated("GM", hp.getOrElse("threshold", 0.0))
-    case "FGM" => FGM(hp.getOrElse("threshold", 0.01))
+    case "FGM" => new FGM(hp.getOrElse("threshold", 0.01))
     case other => throw new IllegalArgumentException(s"unknown protocol: $other")
   }
 
@@ -313,8 +322,19 @@ object Protocols {
     */
   def resolve(requested: String, learnerName: String, parallelism: Int,
       hp: Map[String, Double] = Map.empty): Protocol = {
-    if (learnerName == "HT" || learnerName == "K-means") SingleLearner
-    else if (parallelism <= 1) CentralizedTraining
-    else create(requested, hp)
+    create(resolveName(requested, learnerName, parallelism), hp)
+  }
+
+  /** Name-level resolution (the rules above without instantiation): lets a
+    * caller that caches protocol INSTANCES across rounds (the streaming
+    * trainer — FGM's quantum must survive between micro-batches) key the
+    * cache by the resolved protocol rather than by partition count, which
+    * would fork quantum state if batch partitioning varies (r9 advisor
+    * note). */
+  def resolveName(requested: String, learnerName: String,
+      parallelism: Int): String = {
+    if (learnerName == "HT" || learnerName == "K-means") "SingleLearner"
+    else if (parallelism <= 1) "CentralizedTraining"
+    else requested
   }
 }

@@ -944,9 +944,195 @@ object MLOps {
     // the gate stays data-honest at every SF.
     Op("ml30_fgm_protocol_parity", (s, d) =>
       twoWorkerProtocolFit(s, d, 30, "FGM", Map("threshold" -> 1.2),
-        rounds = 2),
+        rounds = fgmParityRounds),
       Some(fgmProtocolOracle)),
+    // ------------------------------------------------------------------
+    // FGM FALSE-ALARM / REBALANCE TRAJECTORY PARITY (r9 verdict task 3) —
+    // ml30 replays the confirmed-violation path; this gate replays the
+    // OTHER branch (Protocols.FGM.decide's psi < 0 arm): counters trigger
+    // the exact-phi poll, the poll reveals slack (psi < 0), the global
+    // FREEZES, and a new subround begins under the rebalanced quantum
+    // theta' = -psi/2k. Batch training can never reach a post-false-alarm
+    // sync (frozen global + static data = identical drifts forever), so
+    // the vehicle is the STREAMING trainer — three deterministic
+    // micro-batches of FRESH data through pid-routed worker partitions
+    // (the reference's continuous ingestion, FlinkLearning.scala:70-87):
+    // batch 0 bootstrap-syncs, batch 1 false-alarms at T = 1.2 (counters
+    // 2+1 > 2, psi < 0) and rebalances, batch 2's larger drift then
+    // confirms a violation UNDER theta' and syncs. The oracle replays all
+    // of it in DuckDB — six PA chains, both decisions as data-honest
+    // CASEs, and the quantum ARITHMETIC itself: dims 6 and 7 are the
+    // post-decision quanta (theta' = -psi/4 after the false alarm, T/2
+    // after the sync), hash-gated as raw doubles.
+    Op("ml31_fgm_false_alarm_replay", (s, d) => fgmFalseAlarmFit(s, d),
+      Some(fgmFalseAlarmOracle)),
   )
+
+  // defs, not vals: referenced during the `ops` val's own initialization
+  /** ml30 runs exactly this many rounds; its oracle's theta = T/2 binding
+    * is only valid at 2 (see fgmProtocolOracle). */
+  private def fgmParityRounds = 2
+
+  /** ml31's batch slices: [0,160) bootstraps, [160,240) false-alarms at
+    * T = 1.2, [240,480) syncs under the rebalanced quantum (measured at
+    * sf0.01 and sf0.1; the oracle's CASE logic stays correct on any
+    * branch, so other SFs remain data-honest). All inside vec_id < 480 —
+    * present at every staged SF. */
+  private def fgmBatchRanges = Seq((0L, 160L), (160L, 240L), (240L, 480L))
+  private def fgmFalseAlarmThreshold = 1.2
+
+  /** Engine side of ml31: stage the three batch slices as three parquet
+    * files with ascending mtimes (maxFilesPerTrigger=1 consumes oldest
+    * first), run the STREAMING trainer in routed mode — row (pid, seq)
+    * lands on worker pid and trains in seq order, the reference's
+    * partitionCustom assignment — and emit the raw final model plus the
+    * post-decision quanta of batches 1 and 2. */
+  private def fgmFalseAlarmFit(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = graft.streaming.Streaming.stagedDir("fgm31", d) { dir =>
+      fgmBatchRanges.zipWithIndex.foreach { case ((lo, hi), b) =>
+        val tmp = graft.streaming.Streaming.scratchDir("fgm31_stage_") + "/out"
+        T.embeddings(s, d)
+          .filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") % 2).as("pid"), col("vec_id").as("seq"),
+            expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+              .as("features"),
+            when(col("label") % 2 === 1, 1.0).otherwise(-1.0).as("target"))
+          .coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"fgm31 staging: no parquet part in $tmp"))
+        val dst = java.nio.file.Paths.get(dir, s"batch$b.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + b.toLong * 600000L))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("pid", LongType), StructField("seq", LongType),
+      StructField("features", ArrayType(DoubleType)),
+      StructField("target", DoubleType)))
+    val fit = graft.streaming.StreamingTrainer.fitStream(s, dir, schema,
+      PipelineSpec(31, "PA", Map("C" -> 1.0), Nil, "FGM",
+        protocolHp = Map("threshold" -> fgmFalseAlarmThreshold)),
+      partitionsPerBatch = 2, routed = true)
+    val m = fit.model.asInstanceOf[graft.ml.LinearModel]
+    val c = fit.curve.sortBy(_.batch)
+    require(c.size == 3, s"fgm31 expected 3 micro-batches, got ${c.size}")
+    import s.implicits._
+    ((m.w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) } :+
+        ((4L, m.b)) :+ ((5L, fit.model.cumLoss)) :+
+        ((6L, c(1).theta)) :+ ((7L, c(2).theta)))
+      .map { case (i, v) => (i, v, fit.model.n) })
+      .toDF("dim", "weight", "n_fitted")
+      .orderBy("dim")
+  }
+
+  /** ml31's DuckDB replay: six PA chains (3 batches x 2 pid-routed
+    * workers, NO ring split — the streaming trainer fits every row), both
+    * FGM decisions as data-honest CASEs over the replayed drift norms, and
+    * the quantum arithmetic (theta' = -psi/2k on a false alarm, T/2 on a
+    * sync, unchanged otherwise) emitted as dims 6-7. */
+  private def fgmFalseAlarmOracle: String = {
+    val thr = s"CAST($fgmFalseAlarmThreshold AS DOUBLE)"
+    val half = s"($thr / CAST(2 AS DOUBLE))"
+    def drift(r: String, g: String): String = {
+      val terms = protoDims.map(j =>
+        s"($r.w$j - $g.w$j) * ($r.w$j - $g.w$j)") :+
+        s"($r.b - $g.b) * ($r.b - $g.b)"
+      "sqrt(" +
+        terms.foldLeft("CAST(0 AS DOUBLE)")((acc, t) => s"($acc + $t)") + ")"
+    }
+    // one pts CTE per (batch, worker): every row, vec_id order
+    def pts(name: String, lo: Long, hi: Long, part: Int): String =
+      s"""$name AS (SELECT x0, x1, x2, x3, y,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS i
+         |  FROM raw31 WHERE part = $part AND vec_id >= $lo AND vec_id < $hi)"""
+        .stripMargin
+    // decision CTE: trig / psi / sync / post-decision theta, from a drift
+    // CTE `d` (columns d0, d1) and the incoming quantum expression
+    def dec(name: String, dCte: String, thetaIn: String): String =
+      s"""$name AS (
+         |  SELECT trig, psi, sync,
+         |    CASE WHEN sync = 1 THEN $half
+         |         WHEN trig = 1 THEN (CAST(0 AS DOUBLE) - psi)
+         |           / CAST(4 AS DOUBLE)
+         |         ELSE $thetaIn END AS theta
+         |  FROM (
+         |    SELECT trig, psi,
+         |      CASE WHEN trig = 1 AND psi >= CAST(0 AS DOUBLE) THEN 1
+         |           ELSE 0 END AS sync
+         |    FROM (
+         |      SELECT
+         |        CASE WHEN (floor(d0 / ($thetaIn)) + floor(d1 / ($thetaIn)))
+         |               > CAST(2 AS DOUBLE) THEN 1 ELSE 0 END AS trig,
+         |        ((CAST(0 AS DOUBLE) + (d0 - $thr)) + (d1 - $thr)) AS psi
+         |      FROM $dCte)))""".stripMargin
+    // frozen-or-synced global: picks the merged average on sync, else the
+    // previous global with ZEROED per-round counters
+    def gPick(name: String, avg: String, prevG: String, decCte: String)
+        : String =
+      s"""$name AS (
+         |  SELECT
+         |    ${protoDims.map(j =>
+              s"CASE WHEN t.sync = 1 THEN a.w$j ELSE g.w$j END AS w$j")
+             .mkString(",\n|    ")},
+         |    CASE WHEN t.sync = 1 THEN a.b ELSE g.b END AS b,
+         |    CASE WHEN t.sync = 1 THEN a.cumv ELSE CAST(0 AS DOUBLE) END
+         |      AS cumv,
+         |    CASE WHEN t.sync = 1 THEN a.nv ELSE CAST(0 AS BIGINT) END AS nv
+         |  FROM $avg a, $prevG g, $decCte t)""".stripMargin
+    val Seq((l1, h1), (l2, h2), (l3, h3)) = fgmBatchRanges
+    s"""WITH RECURSIVE raw31 AS (
+       |  SELECT vec_id,
+       |    ${protoDims.map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j")
+            .mkString(", ")},
+       |    CASE WHEN label % 2 = 1 THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(-1 AS DOUBLE) END AS y,
+       |    vec_id % 2 AS part
+       |  FROM embeddings WHERE vec_id < $h3),
+       |${pts("p10", l1, h1, 0)},
+       |${pts("p11", l1, h1, 1)},
+       |${pts("p20", l2, h2, 0)},
+       |${pts("p21", l2, h2, 1)},
+       |${pts("p30", l3, h3, 0)},
+       |${pts("p31", l3, h3, 1)},
+       |${paChain("c10", "p10", protoZeroSeed)},
+       |${paChain("c11", "p11", protoZeroSeed)},
+       |${protoFin("f10", "c10")},
+       |${protoFin("f11", "c11")},
+       |${protoMergeCte("g1", "f10", "f11")},
+       |${paChain("c20", "p20", protoSeedFrom("g1"))},
+       |${paChain("c21", "p21", protoSeedFrom("g1"))},
+       |${protoFin("f20", "c20")},
+       |${protoFin("f21", "c21")},
+       |d2 AS (SELECT ${drift("a", "g")} AS d0, ${drift("b", "g")} AS d1
+       |       FROM f20 a, f21 b, g1 g),
+       |${dec("t2", "d2", half)},
+       |${protoMergeCte("a2", "f20", "f21")},
+       |${gPick("g2", "a2", "g1", "t2")},
+       |${paChain("c30", "p30", protoSeedFrom("g2"))},
+       |${paChain("c31", "p31", protoSeedFrom("g2"))},
+       |${protoFin("f30", "c30")},
+       |${protoFin("f31", "c31")},
+       |d3 AS (SELECT ${drift("a", "g")} AS d0, ${drift("b", "g")} AS d1
+       |       FROM f30 a, f31 b, g2 g),
+       |${dec("t3", "d3", "(SELECT theta FROM t2)")},
+       |${protoMergeCte("a3", "f30", "f31")},
+       |${gPick("g3", "a3", "g2", "t3")}
+       |SELECT CAST(v.dim AS BIGINT) AS dim,
+       |  CASE v.dim WHEN 0 THEN g3.w0 WHEN 1 THEN g3.w1 WHEN 2 THEN g3.w2
+       |       WHEN 3 THEN g3.w3 WHEN 4 THEN g3.b
+       |       WHEN 5 THEN g1.cumv + g2.cumv + g3.cumv
+       |       WHEN 6 THEN t2.theta
+       |       ELSE t3.theta END AS weight,
+       |  g1.nv + g2.nv + g3.nv AS n_fitted
+       |FROM g1, g2, g3, t2, t3,
+       |  (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) v(dim)
+       |ORDER BY dim""".stripMargin
+  }
 
   /** Shared engine side of ml26/ml27/ml28: a 2-partition (vec_id % 2)
     * deterministic PA fit through the full Trainer machinery (ring split,
@@ -1838,6 +2024,15 @@ object MLOps {
     */
   private def fgmProtocolOracle: String = {
     val thr = "CAST(1.2 AS DOUBLE)"
+    // COUPLING: theta = T/2 is the POST-SYNC quantum and is correct here
+    // ONLY because ml30 runs exactly 2 rounds — round 1 is the bootstrap
+    // sync, so no false-alarm rebalance (theta' = -psi/2k) can precede the
+    // round-2 decision this oracle replays. Bumping `rounds` in
+    // ml30_fgm_protocol_parity without deriving the per-round quantum here
+    // would silently hash-diverge; ml31's oracle below derives the
+    // rebalanced quantum explicitly for the 3-round false-alarm trajectory.
+    require(fgmParityRounds == 2,
+      "fgmProtocolOracle hard-codes theta = T/2; rederive it if rounds change")
     val theta = s"($thr / CAST(2 AS DOUBLE))"
     def drift(r: String): String = {
       val terms = protoDims.map(j =>

@@ -17,8 +17,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StreamingTrainer {
 
+  /** `theta` is the FGM quantum carried FORWARD from this batch's decision
+    * (T/2 after a sync, -psi/2k after a false-alarm rebalance); NaN for
+    * non-FGM protocols. ml31 hash-gates the rebalance arithmetic on it. */
   final case class BatchPoint(batch: Long, fitted: Long, cumLoss: Double,
-      modelsShipped: Long, bytesShipped: Long)
+      modelsShipped: Long, bytesShipped: Long, theta: Double = Double.NaN)
 
   final case class StreamFit(model: ModelState, learner: OnlineLearner,
       protocolName: String, stats: ProtocolStats, curve: Seq[BatchPoint])
@@ -29,18 +32,30 @@ object StreamingTrainer {
     * training partitions — a single small file arrives as ONE partition,
     * which the resolution rules force to CentralizedTraining; multi-replica
     * protocols (GM/FGM gating, averaging) need the spread.
+    *
+    * `routed` = true switches to DETERMINISTIC worker routing — the
+    * reference's partitionCustom record-to-worker assignment
+    * (FlinkLearning.scala:70-87, random_partitioner replaced by an explicit
+    * key): the schema becomes (pid: long, seq: long, features, target), row
+    * (pid, seq) lands on training partition pid % partitionsPerBatch and
+    * partitions train in ascending seq order. Replayable trajectories
+    * (ml31's cross-engine FGM gate) need this; the default mode's
+    * round-robin repartition does not guarantee either assignment or order.
     */
   def fitStream(spark: SparkSession, dir: String, schema: StructType,
-      spec: PipelineSpec, partitionsPerBatch: Int = 0): StreamFit = {
+      spec: PipelineSpec, partitionsPerBatch: Int = 0,
+      routed: Boolean = false): StreamFit = {
     val learner = Learners.create(spec.learner, spec.learnerHp)
     var global: Option[ModelState] = None
     var protocolName = spec.protocol
-    // One protocol instance per resolved parallelism, reused across
+    // One protocol instance per RESOLVED PROTOCOL, reused across
     // micro-batches: the resolution rules still apply per batch (a 1-
     // partition batch forces CentralizedTraining), but a stateful protocol
-    // (FGM's quantum) keeps its subround state across rounds. Stateless
-    // protocols are unaffected — a cached instance behaves identically.
-    var protoCache: Map[Int, Protocol] = Map.empty
+    // (FGM's quantum) keeps its subround state across rounds — keyed by
+    // resolved name, NOT partition count, so varying batch partitioning
+    // can't fork the quantum (r9 advisor note). Stateless protocols are
+    // unaffected — a cached instance behaves identically.
+    var protoCache: Map[String, Protocol] = Map.empty
     val stats = ProtocolStats()
     var totalFitted = 0L
     var totalCumLoss = 0.0
@@ -55,15 +70,30 @@ object StreamingTrainer {
       .outputMode("append")
       .option("checkpointLocation", s"$dir/_ckpt_train_$ckpt")
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val rdd0 = df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
         val rdd =
-          if (partitionsPerBatch > 0) rdd0.repartition(partitionsPerBatch)
-          else rdd0
+          if (routed) {
+            val parts = math.max(1, partitionsPerBatch)
+            val byPid = new org.apache.spark.Partitioner {
+              def numPartitions: Int = parts
+              def getPartition(key: Any): Int =
+                (key.asInstanceOf[(Long, Long)]._1 % parts.toLong).toInt
+            }
+            df.rdd
+              .map(r => ((r.getLong(0), r.getLong(1)),
+                (r.getSeq[Double](2).toArray, r.getDouble(3))))
+              .repartitionAndSortWithinPartitions(byPid)
+              .map(_._2)
+          } else {
+            val rdd0 =
+              df.rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+            if (partitionsPerBatch > 0) rdd0.repartition(partitionsPerBatch)
+            else rdd0
+          }
         val np = rdd.getNumPartitions
-        val protocol = protoCache.getOrElse(np, {
-          val p = Protocols.resolve(spec.protocol, spec.learner, np,
-            spec.protocolHp)
-          protoCache += np -> p
+        val resolvedName = Protocols.resolveName(spec.protocol, spec.learner, np)
+        val protocol = protoCache.getOrElse(resolvedName, {
+          val p = Protocols.create(resolvedName, spec.protocolHp)
+          protoCache += resolvedName -> p
           p
         })
         protocolName = protocol.name
@@ -72,13 +102,11 @@ object StreamingTrainer {
           case _ => rdd
         }
         val bcGlobal = spark.sparkContext.broadcast(global)
-        // Same map-side ship gate + chunked ship path as the batch Trainer:
-        // drift-gated protocols keep non-drifted replicas on their
-        // executors, and shipped payloads travel as <=maxMsgParams-double
-        // ParamBlocks (block.dim carries the data-discovered input dim).
         val maxP = spec.maxMsgParams
-        val collected = data.mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+        // Per-partition replica training (seeded from the broadcast global,
+        // per-round counters zeroed) — the replica RDD is the batch
+        // Trainer's per-round shape, reused by both ship paths below.
+        val replRdd = data.mapPartitions { it =>
           var model: ModelState = bcGlobal.value.map(_.deepCopy).orNull
           if (model != null) { model.n = 0L; model.cumLoss = 0.0 }
           var any = false
@@ -87,28 +115,77 @@ object StreamingTrainer {
             any = true
             learner.fit(model, x, y)
           }
-          if (any) {
-            learner.finish(model)
-            if (protocol.ships(model, bcGlobal.value))
-              ModelWire.chunk(model, maxP, pid).iterator.map(Option(_))
-            else Iterator.single(Option.empty[ParamBlock])
-          } else Iterator.empty
-        }.collect()
-        val blocks = collected.flatten.toSeq
-        val replicas = ModelWire.reassemble(blocks,
-          (bdim, ps) => learner.init(bdim).loadWire(ps))
-        stats.blocks += blocks.length
-        if (collected.nonEmpty) {
-          val merged = protocol.aggregate(replicas, global, learner, stats,
-            totalReplicas =
-              collected.count(_.isEmpty).toLong + blocks.count(_.idx == 0))
+          if (any) { learner.finish(model); Iterator.single(model) }
+          else Iterator.empty
+        }
+        val fgmWithGlobal: Option[FGM] = protocol match {
+          case f: FGM if global.isDefined => Some(f)
+          case _ => None
+        }
+        val mergedOpt: Option[ModelState] = fgmWithGlobal match {
+          case Some(fgm) =>
+            // FGM two-level micro-batches, mirroring the batch Trainer
+            // (Pipeline.scala): the scalar counter phase collects ONE drift
+            // norm per worker; parameter vectors leave the executors ONLY
+            // on a confirmed global violation. A frozen batch therefore
+            // moves k*8 bytes AND zero blocks — the bytes ledger st43
+            // gates and the blocks ledger now agree (r9 advisor fix).
+            val repl = replRdd.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val drifts = repl
+                .map(m => Protocols.driftNorm(m.params,
+                  bcGlobal.value.get.params))
+                .collect()
+              if (drifts.isEmpty) None
+              else if (!fgm.decide(drifts.toSeq, stats))
+                Some(fgm.frozen(global.get))
+              else {
+                val blocks = repl.mapPartitions { it =>
+                  val pid = org.apache.spark.TaskContext.getPartitionId()
+                  it.flatMap(m => ModelWire.chunk(m, maxP, pid).iterator)
+                }.collect().toSeq
+                val shipped = ModelWire.reassemble(blocks,
+                  (bdim, ps) => learner.init(bdim).loadWire(ps))
+                stats.blocks += blocks.length
+                Some(fgm.syncFold(shipped, global, learner, stats))
+              }
+            } finally repl.unpersist(blocking = false)
+          case None =>
+            // Same map-side ship gate + chunked ship path as the batch
+            // Trainer: drift-gated protocols keep non-drifted replicas on
+            // their executors, and shipped payloads travel as
+            // <=maxMsgParams-double ParamBlocks (block.dim carries the
+            // data-discovered input dim).
+            val collected = replRdd.mapPartitions { it =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              it.flatMap { model =>
+                if (protocol.ships(model, bcGlobal.value))
+                  ModelWire.chunk(model, maxP, pid).iterator.map(Option(_))
+                else Iterator.single(Option.empty[ParamBlock])
+              }
+            }.collect()
+            val blocks = collected.flatten.toSeq
+            val replicas = ModelWire.reassemble(blocks,
+              (bdim, ps) => learner.init(bdim).loadWire(ps))
+            stats.blocks += blocks.length
+            if (collected.isEmpty) None
+            else Some(protocol.aggregate(replicas, global, learner, stats,
+              totalReplicas =
+                collected.count(_.isEmpty).toLong + blocks.count(_.idx == 0)))
+        }
+        mergedOpt.foreach { merged =>
           totalFitted += merged.n
           totalCumLoss += merged.cumLoss
           merged.n = totalFitted
           merged.cumLoss = totalCumLoss
           global = Some(merged)
+          val theta = protocol match {
+            case f: FGM => f.theta
+            case _ => Double.NaN
+          }
           curve += BatchPoint(batchId, totalFitted, totalCumLoss,
-            stats.modelsShipped, stats.bytesShipped)
+            stats.modelsShipped, stats.bytesShipped, theta)
         }
         ()
       }

@@ -167,7 +167,7 @@ class MlSuite extends AnyFunSuite {
 
   test("FGM quantum: T/2 after a sync, rebalanced to -psi/(2k) on a false " +
     "alarm, counters quantized against the current quantum") {
-    val f = FGM(1.0) // theta = 0.5
+    val f = new FGM(1.0) // theta = 0.5
     val stats = ProtocolStats()
     // counters floor(0.9/0.5) + floor(0.8/0.5) = 1 + 1 = 2 <= k: no poll
     assert(!f.decide(Seq(0.9, 0.8), stats) && f.theta == 0.5)

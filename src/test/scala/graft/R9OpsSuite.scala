@@ -148,6 +148,14 @@ class R9OpsSuite extends AnyFunSuite {
       s"models shipped ${st.modelsShipped}, want round-1 bootstrap only")
     assert(st.bytesShipped == 2L * plen * 8L + 2L * 2L * 8L,
       s"bytes ${st.bytesShipped} != vectors ${2L * plen * 8L} + 32 counter bytes")
+    // ledger separation (r9 advisor): `blocks` counts PARAMETER blocks only
+    // — the round-1 bootstrap's 2 one-block replicas; the frozen rounds'
+    // counter heartbeats land in `scalars` (2 workers x 2 frozen rounds,
+    // no poll — the counter sum is 0 under the huge threshold)
+    assert(st.blocks == 2L, s"blocks ${st.blocks}: scalar heartbeats " +
+      "leaked into the parameter-block ledger")
+    assert(f.stats.scalars == 4L,
+      s"scalars ${f.stats.scalars}, want 2 workers x 2 frozen rounds")
     val (g1, n1) = fitParams("Synchronous", Map.empty, rounds = 1)
     assert(f.model.params.sameElements(g1) && f.model.n == n1,
       "over-threshold FGM rounds must advance the global by zero")
