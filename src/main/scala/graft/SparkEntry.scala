@@ -27,7 +27,8 @@ object SparkEntry {
     operators.StreamOps.ops ++
     operators.SourceOps.ops ++
     operators.Multimodal.ops ++
-    operators.Curation.ops
+    operators.Curation.ops ++
+    operators.JobTopology.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

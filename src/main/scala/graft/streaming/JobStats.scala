@@ -141,8 +141,16 @@ object JobStatsOperator {
   /** Carrier keeping the watermarked timestamp next to the partial. */
   case class PartialEnvelope(e: StatPartial, eventTime: java.sql.Timestamp)
 
+  /** @param wmOnlyTag when set, partials carrying this tag advance the
+    *                   WATERMARK only (they pass the event-time collector,
+    *                   then are dropped before the stateful operator) — the
+    *                   Spark-native stand-in for wall-clock passing with no
+    *                   records, which is what arms the reference's quiescence
+    *                   timer (StatisticsOperator.scala:91).
+    */
   def run(stats: Dataset[StatPartial], workers: Int, testSetSize: Int = 256,
-      timeoutMs: Long = 30000L, watermarkDelay: String = "0 seconds")
+      timeoutMs: Long = 30000L, watermarkDelay: String = "0 seconds",
+      wmOnlyTag: String = null)
       : Dataset[SpokeEvent] = {
     import stats.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -152,6 +160,7 @@ object JobStatsOperator {
       .withWatermark("eventTime", watermarkDelay)
       .select(struct(cols.toSeq: _*).as("e"), col("eventTime"))
       .as[PartialEnvelope]
+      .filter(p => wmOnlyTag == null || p.e.tag != wmOnlyTag)
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[JobStatsState, SpokeEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

@@ -313,19 +313,30 @@ object SpokeCore {
             pending.foreach { case (f, t) => handleData(f, t) }
             out += SpokeEvent(key, "log", e.requestId, -1,
               pending.length.toDouble, "created:drained")
-          }
+          } else
+            // the catalog's duplicate-Create rejection (PipelineMap.scala:
+            // 31-36, "rejected: exists"), surfaced per hosted pipeline
+            out += SpokeEvent(key, "log", e.requestId, -1, 0.0,
+              "create_rejected:exists")
         case "Update" =>
           learner = Learners.create(e.learner)
           st = st.copy(learnerName = e.learner, created = true)
           model = null // fresh model; ring persists (operator-level in ref)
           out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "updated")
         case "Query" =>
-          // scored against the held-out ring (FlinkSpoke.scala:160-163):
-          // value = avg test loss; info carries fitted count, ring size,
-          // score and the cumulative training loss
-          val (n, cum, tl, sc) = queryScore()
-          out += SpokeEvent(key, "response", e.requestId, -1, tl,
-            s"fitted=$n,testn=${ring.length},score=$sc,cumLoss=$cum")
+          if (learner == null)
+            // the catalog's Query-on-missing rejection (PipelineMap.scala:
+            // 42-44, "rejected: missing"): no pipeline, no response partial
+            out += SpokeEvent(key, "log", e.requestId, -1, 0.0,
+              "query_rejected:missing")
+          else {
+            // scored against the held-out ring (FlinkSpoke.scala:160-163):
+            // value = avg test loss; info carries fitted count, ring size,
+            // score and the cumulative training loss
+            val (n, cum, tl, sc) = queryScore()
+            out += SpokeEvent(key, "response", e.requestId, -1, tl,
+              s"fitted=$n,testn=${ring.length},score=$sc,cumLoss=$cum")
+          }
         case "Delete" =>
           learner = null; model = null; buffer = Vector.empty; bufCount = 0
           extBuffer.foreach(_.drain())
@@ -402,6 +413,15 @@ object Spoke {
   * SURVEY §2.4 maps K1/K2 onto. Requires the RocksDB state store provider
   * (`spark.sql.streaming.stateStore.providerClass =
   * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`).
+  *
+  * Deployment note (r10, measured): the ListState buffer's appendValue is a
+  * RocksDB merge, and with the provider default
+  * `trackTotalNumberOfRows=true` every merge also GETs the whole
+  * accumulated list to maintain the row-count metric — O(buffer) per
+  * append, quadratic across a large pre-Create buffer (a 50k-row buffer
+  * load sat minutes deep in RocksDB.get). Merge-heavy deployments must set
+  * `spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=false`;
+  * the R10 suite load test pins the tuned shape.
   */
 class TwsSpokeProcessor(testMode: Boolean = false, testCap: Int = SpokeCore.TestCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Envelope, SpokeEvent] {
@@ -616,6 +636,59 @@ class TwsStatsProcessor(timeoutMs: Long)
         s"makespan=$makespan,models=${st.modelsShipped},bytes=${st.bytesShipped}," +
           s"blocks=${st.blocks},fitted=${st.fitted}"))
     }
+  }
+}
+
+/** One worker shard's answer to a broadcast Query, as read back off the
+  * spoke's response sink (the K5 input shape).
+  */
+case class WorkerResponse(
+    pipe: Int, worker: Int, requestId: Long,
+    fitted: Long, testn: Long, loss: Double, score: Double)
+
+/** Merged query response released by the exactly-p barrier. */
+case class MergedResponse(
+    pipe: Int, requestId: Long, parts: Int,
+    fitted: Long, testn: Long, avgLoss: Double, avgScore: Double)
+
+private[graft] case class MergeState(
+    parts: Int, fitted: Long, testn: Long, lossSum: Double, scoreSum: Double)
+
+/** The reference's ResponseConstructor (ResponseConstructor.scala:13-69) as
+  * a STREAMING barrier: worker-shard response partials accumulate per
+  * (pipeline, requestId) in keyed state, and the merged QueryResponse is
+  * released only when exactly `workers` partials have arrived — dataFitted
+  * summed, losses and scores averaged. State is O(open requests), removed on
+  * release, so a pipeline with r in-flight queries holds r tiny rows no
+  * matter the corpus size; the barrier is trigger-order independent (any
+  * subset of partials per trigger accumulates identically).
+  */
+object ResponseMerge {
+
+  def process(workers: Int)(key: (Int, Long), it: Iterator[WorkerResponse],
+      state: GroupState[MergeState]): Iterator[MergedResponse] = {
+    var st = state.getOption.getOrElse(MergeState(0, 0L, 0L, 0.0, 0.0))
+    val out = ArrayBuffer[MergedResponse]()
+    it.foreach { r =>
+      st = MergeState(st.parts + 1, st.fitted + r.fitted, st.testn + r.testn,
+        st.lossSum + r.loss, st.scoreSum + r.score)
+      if (st.parts == workers) {
+        out += MergedResponse(key._1, key._2, st.parts, st.fitted, st.testn,
+          st.lossSum / workers, st.scoreSum / workers)
+        st = MergeState(0, 0L, 0L, 0.0, 0.0)
+        state.remove()
+      }
+    }
+    if (st.parts > 0) state.update(st)
+    out.iterator
+  }
+
+  def run(responses: Dataset[WorkerResponse], workers: Int): Dataset[MergedResponse] = {
+    import responses.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    responses.groupByKey(r => (r.pipe, r.requestId))
+      .flatMapGroupsWithState[MergeState, MergedResponse](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(process(workers))
   }
 }
 

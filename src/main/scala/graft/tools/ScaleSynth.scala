@@ -19,13 +19,23 @@ import org.apache.spark.sql.functions._
   * - remaining tables: copied verbatim (the probed ops do not read them,
   *   but T.* loaders must resolve).
   *
-  * Usage: runMain graft.tools.ScaleSynth [srcDir outDir reps]
+  * Usage: runMain graft.tools.ScaleSynth [srcDir outDir reps [docsOnly]]
+  *
+  * `docsOnly` mode (r10 100x probe): replicate ONLY documents at `reps`
+  * (vowel-perm x consonant-perm = up to 100 distinct rewrites, so replicas
+  * stay shingle-disjoint and the dedup candidate structure scales by
+  * volume, not by cross-replica blowup) and copy every other table
+  * verbatim — the d03/t34/st41 probes read documents alone, and
+  * replicating lineitem 100x would cost minutes for tables the probe
+  * never opens.
   */
 object ScaleSynth {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    val docsOnly = args.length > 3 && args(3) == "docsOnly"
+    if (docsOnly) { synthDocsOnly(src, out, reps); return }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -83,6 +93,42 @@ object ScaleSynth {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     println(s"SYNTH done: $out at ${reps}x of $src")
+    spark.stop()
+  }
+
+  private def synthDocsOnly(src: String, out: String, reps: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vperms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeuoi", "eouia", "iuaoe", "oieua", "uioea")
+    val cperms = Seq("bcdfg", "cdfgb", "dfgbc", "fgbcd", "gbcdf",
+      "bdcgf", "cgfbd", "dbgcf", "fcbgd", "gfdbc")
+    require(reps <= vperms.length * cperms.length, s"max ${vperms.length * cperms.length} reps")
+    val docs = T.documents(spark, src)
+    val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    (0 until reps).map { i =>
+      val (vp, cp) = (vperms(i % 10), cperms(i / 10))
+      docs.select(
+        (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(translate(col("text"), "aeiou", vp), "bcdfg", cp))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    spark.read.parquet(s"$src/events.parquet")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"SYNTH docsOnly done: $out documents at ${reps}x of $src")
     spark.stop()
   }
 }

@@ -96,4 +96,152 @@ class R10OpsSuite extends AnyFunSuite {
     assert(t2 == 0.6 || t2 < 0.6, s"theta after batch 1 out of range: $t2")
     assert(t3 == 0.6 || t3 < 0.6, s"theta after batch 2 out of range: $t3")
   }
+
+  // ---- p08 capstone building blocks ----
+
+  private def ctl(seq: Long, reqType: String, learner: String = "",
+      reqId: Long = -1L) =
+    graft.streaming.Envelope(seq, 1, "control", reqType, learner, reqId,
+      -1, Nil, None, "")
+  private def pt(seq: Long, id: Long) =
+    graft.streaming.Envelope(seq, 1, "data", "", "", -1L, id,
+      Seq(1.0, 2.0), Some(1.0), "training")
+
+  test("SpokeCore enforces the catalog's per-id statefulness: duplicate " +
+    "Create and Query-on-missing are rejected with tagged logs " +
+    "(PipelineMap.scala:31-47)") {
+    import graft.streaming.{Spoke, SpokeState}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[SpokeState](
+      org.apache.spark.api.java.Optional.empty[SpokeState](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // Query before any Create: rejected, no response partial
+    val r0 = Spoke.process(1, Iterator(ctl(0, "Query", reqId = 5L)), st).toSeq
+    assert(r0.map(e => (e.kind, e.info)) ==
+      Seq(("log", "query_rejected:missing")))
+    // Create, then duplicate Create: second is rejected
+    val r1 = Spoke.process(1, Iterator(ctl(1, "Create", "PA", 1L),
+      ctl(2, "Create", "SVM", 2L), pt(3, 0L)), st).toSeq
+    assert(r1.map(e => (e.kind, e.info, e.requestId)) ==
+      Seq(("log", "created:drained", 1L),
+        ("log", "create_rejected:exists", 2L)))
+    // the duplicate must NOT have replaced the learner
+    assert(st.get.learnerName == "PA")
+    // a real Query still answers
+    val r2 = Spoke.process(1, Iterator(ctl(4, "Query", reqId = 9L)), st).toSeq
+    assert(r2.map(_.kind) == Seq("response"))
+  }
+
+  test("ResponseMerge releases exactly at parts == workers, sums fitted, " +
+    "averages losses, and clears its state (ResponseConstructor.scala:13-69)") {
+    import graft.streaming.{MergeState, ResponseMerge, WorkerResponse}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[MergeState](
+      org.apache.spark.api.java.Optional.empty[MergeState](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    def wr(w: Int, fitted: Long, loss: Double) =
+      WorkerResponse(1, w, 9L, fitted, 10L, loss, 0.5)
+    // three of four partials: nothing may emit
+    val r0 = ResponseMerge.process(4)((1, 9L),
+      Iterator(wr(0, 100, 0.2), wr(1, 110, 0.4), wr(2, 90, 0.6)), st).toSeq
+    assert(r0.isEmpty && st.get.parts == 3)
+    // the fourth releases the merged response and removes state
+    val r1 = ResponseMerge.process(4)((1, 9L), Iterator(wr(3, 100, 0.8)), st).toSeq
+    assert(r1.size == 1)
+    val m = r1.head
+    assert(m.parts == 4 && m.fitted == 400L && m.testn == 40L)
+    assert(math.abs(m.avgLoss - 0.5) < 1e-12)
+    assert(st.getOption.isEmpty)
+    // a second query round on the same key starts from scratch
+    val r2 = ResponseMerge.process(4)((1, 9L), Iterator(wr(0, 7, 0.1)), st).toSeq
+    assert(r2.isEmpty && st.get.parts == 1)
+  }
+
+  test("pre-Create buffer under load: 50k rows x 2 pipelines over 10 " +
+    "triggers — TwsSpoke ListState appends vs fMGWS whole-state rewrite, " +
+    "identical answers, timings recorded (PLANS.md)") {
+    import graft.streaming.{Envelope, Spoke, SpokeEvent, Streaming, TwsSpoke}
+    import org.apache.spark.sql.{Dataset, Encoder}
+    val nRows = 50000
+    val nFiles = 10
+    val per = nRows / nFiles
+    def env(seq: Long, pid: Int, id: Long, y: Double) =
+      Envelope(seq, pid, "data", "", "", -1L, id, Seq(1.0, 2.0), Some(y), "")
+    val dir = java.nio.file.Files.createTempDirectory("r10_buf50k_").toString
+    val s0 = spark
+    import s0.implicits._
+    // 10 trigger files of pre-Create rows for TWO pipelines (state in >1
+    // shuffle partition), then Create + Query; every trigger before the
+    // Create is pure buffer-append load
+    val t0 = System.currentTimeMillis()
+    (0 until nFiles).foreach { f =>
+      (f * per until (f + 1) * per).flatMap(i => Seq(
+          env(i.toLong, 1, i.toLong, if (i % 2 == 0) 1.0 else -1.0),
+          env(i.toLong, 2, i.toLong, if (i % 3 == 0) 1.0 else -1.0)))
+        .toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/data")).forEach(p =>
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis > t0 - (nFiles + 2 - f) * 60000)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 - (nFiles + 1 - f) * 60000)))
+    }
+    Seq(1, 2).flatMap(pid => Seq(
+        Envelope(1000000L, pid, "control", "Create", "PA", 1L, -1, Nil, None, ""),
+        Envelope(1000001L, pid, "control", "Query", "", 9L, -1, Nil, None, "")))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
+
+    def run(label: String, tws: Boolean): (Seq[SpokeEvent], Long) = {
+      val s2 = spark.newSession()
+      if (tws) {
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // MEASURED r10 finding: with the default
+        // trackTotalNumberOfRows=true, every ListState.appendValue does a
+        // RocksDB GET of the whole merged list to maintain the row-count
+        // metric — O(buffer) per append, quadratic over a 50k-row buffer
+        // (the first run of this test sat >7 minutes in RocksDB.get).
+        // Disabling the count restores the O(1) merge-append the ListState
+        // design promises; any merge-heavy TwsSpoke deployment needs this.
+        s2.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+          "false")
+      }
+      val src = s2.readStream
+        .schema(implicitly[Encoder[Envelope]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/data")
+        .as[Envelope](implicitly[Encoder[Envelope]])
+      val name = s"buf50k_${label}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val start = System.nanoTime()
+      Streaming.withStreamShuffle(s2) {
+        val body: Dataset[SpokeEvent] =
+          if (tws) TwsSpoke.run(src) else Spoke.run(src)
+        val q = body.writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", s"$dir/_ckpt_$name").start()
+        q.processAllAvailable(); q.stop()
+      }
+      val elapsedMs = (System.nanoTime() - start) / 1000000L
+      val rows = s2.table(name)
+        .as[SpokeEvent](implicitly[Encoder[SpokeEvent]]).collect().toSeq
+      (rows, elapsedMs)
+    }
+
+    val (twsRows, twsMs) = run("tws", tws = true)
+    val (fmRows, fmMs) = run("fm", tws = false)
+    info(s"50k-row pre-Create buffer: TwsSpoke/ListState ${twsMs}ms, " +
+      s"fMGWS whole-state rewrite ${fmMs}ms")
+    def gate(rows: Seq[SpokeEvent]) = rows
+      .map(e => (e.pipelineId, e.kind, e.requestId, e.value, e.info))
+      .sortBy(t => (t._1, t._2, t._3))
+    // both bindings drain all 50k rows per pipeline and answer identically
+    assert(gate(twsRows) == gate(fmRows))
+    Seq(1, 2).foreach { pid =>
+      val drain = twsRows.find(e => e.pipelineId == pid && e.kind == "log").get
+      assert(drain.value == nRows.toDouble, drain.toString)
+      val resp = twsRows.find(e => e.pipelineId == pid && e.kind == "response").get
+      assert(resp.info.contains("testn=256") &&
+        resp.info.contains(s"fitted=${nRows - 256}"), resp.info)
+    }
+  }
 }

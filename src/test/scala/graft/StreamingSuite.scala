@@ -46,8 +46,11 @@ class StreamingSuite extends AnyFunSuite {
       data(10, 30, None, "forecasting"), ctl(11, "Delete")), st).toSeq
     assert(out.count(_.kind == "prediction") == 1)
     assert(out.exists(e => e.kind == "log" && e.info == "deleted"))
+    // post-Delete Query: the catalog's "rejected: missing" outcome
+    // (PipelineMap.scala:42-44) — the spoke no longer hosts the pipeline
     val out2 = Spoke.process(1, Iterator(ctl(20, "Query", reqId = 2L)), st).toSeq
-    assert(out2.head.info.startsWith("fitted=0,"))
+    assert(out2.map(e => (e.kind, e.info)) ==
+      Seq(("log", "query_rejected:missing")))
   }
 
   test("statistics operator merges per-pipeline stats and emits on quiescence timeout") {
