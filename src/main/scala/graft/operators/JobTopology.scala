@@ -299,10 +299,17 @@ object JobTopology {
       val n = T.embeddings(s, d).count()
       val nTrain = n - 50L
 
-      runJob(s, wireDir, out)
+      def tlog[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        if (sys.env.contains("P08_TRACE"))
+          println(f"P08 $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      tlog("q1_job")(runJob(s, wireDir, out))
       val runTag = java.util.UUID.randomUUID().toString.replace("-", "")
-      val merged = runMerge(s, out, s"p08m_$runTag")
-      val jobStats = runStats(s, out, s"p08s_$runTag")
+      val merged = tlog("q2_merge")(runMerge(s, out, s"p08m_$runTag"))
+      val jobStats = tlog("q3_stats")(runStats(s, out, s"p08s_$runTag"))
 
       // ---- gate assembly: one pinned row per composed behavior ----
       val catalogRows = s.read.schema(spokeSchema).parquet(s"$out/logs")
