@@ -36,6 +36,8 @@ object ScaleSynth {
     val reps = if (args.length > 2) args(2).toInt else 10
     val docsOnly = args.length > 3 && args(3) == "docsOnly"
     if (docsOnly) { synthDocsOnly(src, out, reps); return }
+    val embOnly = args.length > 3 && args(3) == "embOnly"
+    if (embOnly) { synthEmbOnly(src, out, reps); return }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -129,6 +131,39 @@ object ScaleSynth {
     spark.read.parquet(s"$src/events.parquet")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"SYNTH docsOnly done: $out documents at ${reps}x of $src")
+    spark.stop()
+  }
+
+  /** embOnly mode (r10 p08 volume probe): replicate ONLY embeddings at
+    * `reps` with CONTIGUOUS vec_ids (replica i occupies [i*n, (i+1)*n)),
+    * copying every other table verbatim — p08's staging derives its
+    * pre-Create window, forecasting tail and worker sharding from vec_id
+    * positions, so contiguity keeps the lifecycle shape identical while the
+    * training volume scales by reps.
+    */
+  private def synthEmbOnly(src: String, out: String, reps: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = T.embeddings(spark, src)
+    val n = emb.count()
+    emb.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select(
+        (col("vec_id") + col("rep") * n).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    spark.read.parquet(s"$src/events.parquet")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"SYNTH embOnly done: $out embeddings at ${reps}x of $src")
     spark.stop()
   }
 }
