@@ -214,8 +214,14 @@ object JobTopology {
         col("value").as("loss"),
         regexp_extract(col("info"), "score=([^,]+)", 1).cast(DoubleType).as("score"))
 
-  /** Q2 — the K5 barrier over the response sink, as a stream. */
-  private def runMerge(s: SparkSession, out: String, name: String): DataFrame = {
+  /** Q2 — the K5 barrier over the response sink, as a stream. Returns the
+    * STARTED query: Q2 and Q3 are independent consumers of the spoke's
+    * output, exactly the reference DAG's parallel queryResponses /
+    * performance branches (FlinkLearning.scala:104-135), so the caller
+    * runs them concurrently and awaits both.
+    */
+  private def startMerge(s: SparkSession, out: String, name: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import s.implicits._
     Streaming.withStreamShuffle(s) {
       val wr = s.readStream.schema(spokeSchema).parquet(s"$out/responses")
@@ -229,13 +235,11 @@ object JobTopology {
           col("value").as("loss"),
           regexp_extract(col("info"), "score=([^,]+)", 1).cast(DoubleType).as("score"))
         .as[WorkerResponse]
-      val q = ResponseMerge.run(wr, Workers).writeStream
+      ResponseMerge.run(wr, Workers).writeStream
         .format("memory").queryName(name).outputMode("append")
         .option("checkpointLocation", s"$out/_ckpt_q2")
         .start()
-      q.processAllAvailable(); q.stop()
     }
-    s.table(name)
   }
 
   /** Q3 — K6 job statistics: the worker responses become time-ordered stat
@@ -244,7 +248,8 @@ object JobTopology {
     * fires terminate_signal BEFORE the Terminate partials arrive; the
     * workers×pipelines barrier then releases the finals.
     */
-  private def runStats(s: SparkSession, out: String, name: String): DataFrame = {
+  private def startStats(s: SparkSession, out: String, name: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import s.implicits._
     val resp = workerResponses(s, out)
     val statsP = resp.filter(col("requestId") === 9L)
@@ -282,14 +287,12 @@ object JobTopology {
     Streaming.withStreamShuffle(s) {
       val src = s.readStream.schema(Encoders.product[StatPartial].schema)
         .option("maxFilesPerTrigger", "1").parquet(statsDir).as[StatPartial]
-      val q = JobStatsOperator.run(src, workers = Workers, testSetSize = 256,
+      JobStatsOperator.run(src, workers = Workers, testSetSize = 256,
         timeoutMs = 60000L, wmOnlyTag = "__wm__").writeStream
         .format("memory").queryName(name).outputMode("append")
         .option("checkpointLocation", s"$out/_ckpt_q3")
         .start()
-      q.processAllAvailable(); q.stop()
     }
-    s.table(name)
   }
 
   val ops: Seq[Op] = Seq(
@@ -308,8 +311,15 @@ object JobTopology {
       }
       tlog("q1_job")(runJob(s, wireDir, out))
       val runTag = java.util.UUID.randomUUID().toString.replace("-", "")
-      val merged = tlog("q2_merge")(runMerge(s, out, s"p08m_$runTag"))
-      val jobStats = tlog("q3_stats")(runStats(s, out, s"p08s_$runTag"))
+      // Q2 and Q3 run CONCURRENTLY — the reference DAG's parallel
+      // queryResponses/performance branches off the worker stream
+      val (merged, jobStats) = tlog("q2q3_merge_stats") {
+        val q2 = startMerge(s, out, s"p08m_$runTag")
+        val q3 = startStats(s, out, s"p08s_$runTag")
+        q2.processAllAvailable(); q3.processAllAvailable()
+        q2.stop(); q3.stop()
+        (s.table(s"p08m_$runTag"), s.table(s"p08s_$runTag"))
+      }
 
       // ---- gate assembly: one pinned row per composed behavior ----
       val catalogRows = s.read.schema(spokeSchema).parquet(s"$out/logs")
