@@ -201,10 +201,11 @@ object JobTopology {
     }
   }
 
-  /** Worker responses as read back off the response sink. */
-  private def workerResponses(s: SparkSession, out: String): DataFrame =
-    s.read.schema(spokeSchema).parquet(s"$out/responses")
-      .filter(col("kind") === "response")
+  /** Decode spoke response rows into the K5 input shape (shared by the
+    * batch gate read and Q2's streaming read).
+    */
+  private def respProjection(df: DataFrame): DataFrame =
+    df.filter(col("kind") === "response")
       .select(
         expr("pipelineId DIV 1024").cast(IntegerType).as("pipe"),
         pmod(col("pipelineId"), lit(1024)).cast(IntegerType).as("worker"),
@@ -213,6 +214,10 @@ object JobTopology {
         regexp_extract(col("info"), "testn=(\\d+)", 1).cast(LongType).as("testn"),
         col("value").as("loss"),
         regexp_extract(col("info"), "score=([^,]+)", 1).cast(DoubleType).as("score"))
+
+  /** Worker responses as read back off the response sink. */
+  private def workerResponses(s: SparkSession, out: String): DataFrame =
+    respProjection(s.read.schema(spokeSchema).parquet(s"$out/responses"))
 
   /** Q2 — the K5 barrier over the response sink, as a stream. Returns the
     * STARTED query: Q2 and Q3 are independent consumers of the spoke's
@@ -224,16 +229,8 @@ object JobTopology {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import s.implicits._
     Streaming.withStreamShuffle(s) {
-      val wr = s.readStream.schema(spokeSchema).parquet(s"$out/responses")
-        .filter(col("kind") === "response")
-        .select(
-          expr("pipelineId DIV 1024").cast(IntegerType).as("pipe"),
-          pmod(col("pipelineId"), lit(1024)).cast(IntegerType).as("worker"),
-          col("requestId"),
-          regexp_extract(col("info"), "fitted=(\\d+)", 1).cast(LongType).as("fitted"),
-          regexp_extract(col("info"), "testn=(\\d+)", 1).cast(LongType).as("testn"),
-          col("value").as("loss"),
-          regexp_extract(col("info"), "score=([^,]+)", 1).cast(DoubleType).as("score"))
+      val wr = respProjection(
+        s.readStream.schema(spokeSchema).parquet(s"$out/responses"))
         .as[WorkerResponse]
       ResponseMerge.run(wr, Workers).writeStream
         .format("memory").queryName(name).outputMode("append")
