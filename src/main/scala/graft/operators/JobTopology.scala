@@ -119,6 +119,11 @@ object JobTopology {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the documented production default (PLANS.md r10): per-merge row-count
+    // maintenance GETs the whole merged value — O(buffer) per ListState
+    // append under load
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     import s2.implicits._
     Streaming.withStreamShuffle(s2) {
       val raw = s2.readStream

@@ -814,6 +814,10 @@ object StreamOps {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // production default (PLANS.md r10): row-count maintenance GETs the
+      // whole merged value per state write — O(buffer) per ListState append
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       val q = Streaming.withStreamShuffle(s2) {
         val name = uniq("st31")
         val src = s2.readStream
@@ -2117,6 +2121,10 @@ object StreamOps {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // production default (PLANS.md r10): row-count maintenance GETs the
+      // whole merged value per state write — O(buffer) per ListState append
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       val q = Streaming.withStreamShuffle(s2) {
         val name = uniq("st39")
         val src = s2.readStream
@@ -2355,6 +2363,10 @@ object StreamOps {
     if (provider == "rocksdb")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // production default (PLANS.md r10): row-count maintenance GETs the
+      // whole merged value per state write — O(buffer) per ListState append
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     val out = Streaming.scratchDir(s"graft_crash_${provider}_")
     def runToQuiescence(): Unit = Streaming.withStreamShuffle(s2) {
       val q = s2.readStream.schema(schema)
