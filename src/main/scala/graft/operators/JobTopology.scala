@@ -16,15 +16,17 @@ import org.apache.spark.sql.types._
   *   S sources (raw JSON, one staged stream standing in for the request +
   *   training + forecasting Kafka topics, Job.scala:42-57,127-133)
   *   → P parsers route by validity (DataInstanceParser / RequestParser,
-  *     the P7 filters: a record parses as exactly one of the two shapes)
-  *   → the catalog's stateless validation rejects unknown learners
-  *     (PipelineMap.scala:66-69) before anything reaches a worker
+  *     the P7 filters: a record parses as exactly one of the two shapes) in
+  *     ONE scan of the wire stream — branch-per-destination would read the
+  *     ingest firehose once per branch per trigger
   *   → control broadcast ×workers (C2) + per-(pipeline,worker) keying (C3/C7)
   *   → the multi-pipeline spoke: TWO concurrent pipelines (PA classifier +
   *     PA regressor) hosted by the SAME stream, interleaved
-  *     Create/data/Query/Delete, pre-Create buffering, duplicate-Create and
-  *     Query-on-missing rejections (the catalog's per-id statefulness lives
-  *     WITH the pipeline state, PipelineMap.scala:31-47) — run on the
+  *     Create/data/Query/Delete, pre-Create buffering, duplicate-Create,
+  *     invalid-learner and Query-on-missing rejections (the WHOLE catalog —
+  *     per-id statefulness AND name validation, PipelineMap.scala:31-47,
+  *     66-69 — lives in the keyed state, sharded with the pipeline's
+  *     workers, so rejection outcomes count once per shard) — run on the
   *     primary transformWithState/RocksDB path (K1/K2)
   *   → K9 tagged sinks: predictions / worker responses / logs fan out of one
   *     foreachBatch (the reference's side-output → Kafka-topic sinks, O1-O4)
@@ -130,63 +132,73 @@ object JobTopology {
         .schema(StructType(Seq(StructField("value", StringType))))
         .option("maxFilesPerTrigger", "1").parquet(wireDir)
 
-      // P1/P3: data instances -> per-pipeline envelopes. Every hosted
-      // pipeline sees every point (the reference spoke trains all hosted
-      // pipelines per record); the per-pipeline target shaping is the
-      // preprocessor stage (±1 for the classifier, raw for the regressor).
-      val pts = Wire.toPoints(Wire.parseInstances(raw, "value"))
-      val dataEnv = pts
-        .withColumn("pid", explode(array(lit(1), lit(2))))
-        .select(
-          when(col("operation") === "forecasting", col("id") + 1100000L)
-            .when(col("id") < 100L, col("id"))
-            .otherwise(col("id") + 200000L).as("seq"),
-          (col("pid") * 1024 + pmod(col("id"), lit(4L)).cast(IntegerType))
-            .cast(IntegerType).as("pipelineId"),
-          lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
-          lit(-1L).as("requestId"), col("id"),
-          col("features"),
-          when(col("operation") === "forecasting", lit(null).cast(DoubleType))
-            .when(col("pid") === 1,
-              when(col("target") >= 5.0, 1.0).otherwise(-1.0))
-            .otherwise(col("target")).as("target"),
-          col("operation"))
+      // ONE scan of the wire stream routes everything (the P7 validity
+      // filters as disjoint parse-success predicates): each record becomes
+      // 0..max(pipelines, workers) envelopes via a codegen'd array build +
+      // explode. A branch-per-destination union would scan the ingest
+      // firehose once PER BRANCH per trigger — 3x the I/O at 100 TB for
+      // the same rows. Validation (learner names) moves INTO the spoke's
+      // keyed catalog state, so there is no stateless reject branch at all.
+      val di = col("__di")
+      val rq = col("__rq")
+      val diValid = col("value") =!= "EOS" && di.isNotNull &&
+        (size(coalesce(di("numericalFeatures"), array())) > 0 ||
+          size(coalesce(di("discreteFeatures"), array())) > 0 ||
+          size(coalesce(di("categoricalFeatures"), array())) > 0) &&
+        (di("operation").isNull ||
+          di("operation").isin("training", "forecasting"))
+      val rqValid = rq.isNotNull &&
+        rq("request").isin("Create", "Update", "Query", "Delete")
 
-      // P2/K1: requests. Stateless validation = the catalog's learner-name
-      // check; per-id statefulness (exists/missing) is enforced inside the
-      // spoke's keyed state.
-      val reqs = Wire.parseRequests(raw, "value")
-      val names = Learners.names.toSeq
-      val isCreateLike = col("request").isin("Create", "Update")
-      val valid = reqs.filter(!isCreateLike ||
-        (col("learner").isNotNull && col("learner.name").isin(names: _*)))
-      val ctrlEnv = valid
-        .withColumn("worker", explode(array((0 until Workers).map(lit): _*)))
-        .select(
-          (col("requestId") * 100000L).as("seq"),
-          (col("id") * 1024 + col("worker")).cast(IntegerType).as("pipelineId"),
-          lit("control").as("kind"), col("request").as("reqType"),
-          coalesce(col("learner.name"), lit("")).as("learner"),
-          coalesce(col("requestId"), lit(-1L)).as("requestId"),
-          lit(-1L).as("id"),
-          array().cast(ArrayType(DoubleType)).as("features"),
-          lit(null).cast(DoubleType).as("target"),
-          lit("").as("operation"))
+      // P1/P3: a data instance fans to every hosted pipeline (the reference
+      // spoke trains all hosted pipelines per record); the per-pipeline
+      // target shaping is the preprocessor stage (±1 for the classifier,
+      // raw for the regressor).
+      def dataEnv(pid: Int) = struct(
+        when(di("operation") === "forecasting", di("id") + 1100000L)
+          .when(di("id") < 100L, di("id"))
+          .otherwise(di("id") + 200000L).as("seq"),
+        (lit(pid * 1024) + pmod(di("id"), lit(4L)).cast(IntegerType))
+          .cast(IntegerType).as("pipelineId"),
+        lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+        lit(-1L).as("requestId"), di("id").as("id"),
+        concat(
+          coalesce(di("numericalFeatures"), array().cast(ArrayType(DoubleType))),
+          coalesce(expr("transform(__di.discreteFeatures, x -> CAST(x AS DOUBLE))"),
+            array().cast(ArrayType(DoubleType)))).as("features"),
+        when(di("operation") === "forecasting", lit(null).cast(DoubleType))
+          .otherwise(if (pid == 1)
+            when(di("target") >= 5.0, 1.0).otherwise(-1.0)
+          else di("target")).as("target"),
+        coalesce(di("operation"), lit("training")).as("operation"))
 
-      val envelopes = dataEnv.unionByName(ctrlEnv).as[Envelope]
+      // P2/K1: a request broadcasts to the pipeline's worker shards (C2).
+      def ctrlEnv(w: Int) = struct(
+        (rq("requestId") * 100000L).as("seq"),
+        (rq("id") * 1024 + w).cast(IntegerType).as("pipelineId"),
+        lit("control").as("kind"), rq("request").as("reqType"),
+        coalesce(rq("learner")("name"), lit("")).as("learner"),
+        coalesce(rq("requestId"), lit(-1L)).as("requestId"),
+        lit(-1L).as("id"),
+        array().cast(ArrayType(DoubleType)).as("features"),
+        lit(null).cast(DoubleType).as("target"),
+        lit("").as("operation"))
+
+      // slice(.., 1, 0) yields a typed empty array, so invalid parses
+      // contribute zero envelopes and explode drops the record
+      val envelopes = raw
+        .withColumn("__di", from_json(col("value"), Wire.dataInstanceSchema))
+        .withColumn("__rq", from_json(col("value"), Wire.requestSchema))
+        .select(explode(concat(
+          slice(array(dataEnv(1), dataEnv(2)), lit(1),
+            when(diValid, 2).otherwise(0)),
+          slice(array((0 until Workers).map(ctrlEnv): _*), lit(1),
+            when(rqValid, Workers).otherwise(0)))).as("e"))
+        .select(col("e.*"))
+        .as[Envelope]
       val spoke = TwsSpoke.run(envelopes).toDF()
 
-      // catalog validation rejections join the log side output
-      val rejected = reqs.filter(isCreateLike &&
-          (col("learner").isNull || !col("learner.name").isin(names: _*)))
-        .select(col("id").cast(IntegerType).as("pipelineId"),
-          lit("log").as("kind"),
-          coalesce(col("requestId"), lit(-1L)).as("requestId"),
-          lit(-1L).as("id"), lit(0.0).as("value"),
-          concat(lit("create_rejected:invalid learner: "),
-            coalesce(col("learner.name"), lit("?"))).as("info"))
-
-      val q = spoke.unionByName(rejected).writeStream
+      val q = spoke.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$out/_ckpt_q1")
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -409,7 +421,7 @@ object JobTopology {
     },
       Some("""SELECT * FROM (VALUES
         |  ('catalog', 'create_rejected:exists', CAST(4 AS BIGINT), true),
-        |  ('catalog', 'create_rejected:invalid', CAST(1 AS BIGINT), true),
+        |  ('catalog', 'create_rejected:invalid', CAST(4 AS BIGINT), true),
         |  ('catalog', 'created:drained', CAST(8 AS BIGINT), true),
         |  ('catalog', 'deleted', CAST(4 AS BIGINT), true),
         |  ('catalog', 'query_rejected:missing', CAST(4 AS BIGINT), true),

@@ -303,7 +303,19 @@ object SpokeCore {
     events.foreach { e =>
       if (e.kind == "control") e.reqType match {
         case "Create" =>
-          if (learner == null) {
+          if (learner != null)
+            // the catalog's duplicate-Create rejection (PipelineMap.scala:
+            // 31-36, "rejected: exists"), surfaced per hosted pipeline —
+            // exists takes precedence over validation, like the reference
+            out += SpokeEvent(key, "log", e.requestId, -1, 0.0,
+              "create_rejected:exists")
+          else if (!Learners.names.contains(e.learner))
+            // the catalog's learner-name validation (PipelineMap.scala:
+            // 66-69) lives WITH the per-pipeline state: a malformed Create
+            // is rejected in place, never crashes a worker
+            out += SpokeEvent(key, "log", e.requestId, -1, 0.0,
+              s"create_rejected:invalid learner: ${e.learner}")
+          else {
             learner = Learners.create(e.learner)
             st = st.copy(learnerName = e.learner, created = true)
             val pending = extBuffer.map(_.drain()).getOrElse(buffer)
@@ -313,16 +325,18 @@ object SpokeCore {
             pending.foreach { case (f, t) => handleData(f, t) }
             out += SpokeEvent(key, "log", e.requestId, -1,
               pending.length.toDouble, "created:drained")
-          } else
-            // the catalog's duplicate-Create rejection (PipelineMap.scala:
-            // 31-36, "rejected: exists"), surfaced per hosted pipeline
-            out += SpokeEvent(key, "log", e.requestId, -1, 0.0,
-              "create_rejected:exists")
+          }
         case "Update" =>
-          learner = Learners.create(e.learner)
-          st = st.copy(learnerName = e.learner, created = true)
-          model = null // fresh model; ring persists (operator-level in ref)
-          out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "updated")
+          if (!Learners.names.contains(e.learner))
+            // Update validates like Create (PipelineMap.scala:37-41)
+            out += SpokeEvent(key, "log", e.requestId, -1, 0.0,
+              s"update_rejected:invalid learner: ${e.learner}")
+          else {
+            learner = Learners.create(e.learner)
+            st = st.copy(learnerName = e.learner, created = true)
+            model = null // fresh model; ring persists (operator-level in ref)
+            out += SpokeEvent(key, "log", e.requestId, -1, 0.0, "updated")
+          }
         case "Query" =>
           if (learner == null)
             // the catalog's Query-on-missing rejection (PipelineMap.scala:

@@ -120,6 +120,16 @@ class R10OpsSuite extends AnyFunSuite {
     val r0 = Spoke.process(1, Iterator(ctl(0, "Query", reqId = 5L)), st).toSeq
     assert(r0.map(e => (e.kind, e.info)) ==
       Seq(("log", "query_rejected:missing")))
+    // invalid learner name: the catalog's validation rejection, in place —
+    // never an executor crash (PipelineMap.scala:66-69)
+    val rv = Spoke.process(1,
+      Iterator(ctl(0, "Create", "DeepForest", 7L)), st).toSeq
+    assert(rv.map(e => (e.kind, e.info, e.requestId)) ==
+      Seq(("log", "create_rejected:invalid learner: DeepForest", 7L)))
+    val ru = Spoke.process(1,
+      Iterator(ctl(0, "Update", "NotALearner", 8L)), st).toSeq
+    assert(ru.map(e => (e.kind, e.info)) ==
+      Seq(("log", "update_rejected:invalid learner: NotALearner")))
     // Create, then duplicate Create: second is rejected
     val r1 = Spoke.process(1, Iterator(ctl(1, "Create", "PA", 1L),
       ctl(2, "Create", "SVM", 2L), pt(3, 0L)), st).toSeq
