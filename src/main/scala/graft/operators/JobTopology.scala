@@ -112,6 +112,78 @@ object JobTopology {
       f3.coalesce(1).write.mode("append").parquet(dir)
     }
 
+  /** ONE scan of the wire stream routes everything (the P7 validity
+    * filters as disjoint parse-success predicates): each `value` record
+    * becomes 0..max(pipelines, workers) envelopes via a codegen'd array
+    * build + explode. A branch-per-destination union would scan the ingest
+    * firehose once PER BRANCH per trigger — 3x the I/O at 100 TB for the
+    * same rows (PlanSuite pins the single-scan shape). Validation (learner
+    * names) lives INSIDE the spoke's keyed catalog state, so there is no
+    * stateless reject branch at all.
+    *
+    * Works on any DataFrame with a `value` string column — streaming in
+    * Q1, batch in the PlanSuite pin.
+    */
+  private[graft] def route(raw: DataFrame): org.apache.spark.sql.Dataset[Envelope] = {
+    val di = col("__di")
+    val rq = col("__rq")
+    val diValid = col("value") =!= "EOS" && di.isNotNull &&
+      (size(coalesce(di("numericalFeatures"), array())) > 0 ||
+        size(coalesce(di("discreteFeatures"), array())) > 0 ||
+        size(coalesce(di("categoricalFeatures"), array())) > 0) &&
+      (di("operation").isNull ||
+        di("operation").isin("training", "forecasting"))
+    val rqValid = rq.isNotNull &&
+      rq("request").isin("Create", "Update", "Query", "Delete")
+
+    // P1/P3: a data instance fans to every hosted pipeline (the reference
+    // spoke trains all hosted pipelines per record); the per-pipeline
+    // target shaping is the preprocessor stage (±1 for the classifier,
+    // raw for the regressor).
+    def dataEnv(pid: Int) = struct(
+      when(di("operation") === "forecasting", di("id") + 1100000L)
+        .when(di("id") < 100L, di("id"))
+        .otherwise(di("id") + 200000L).as("seq"),
+      (lit(pid * 1024) + pmod(di("id"), lit(4L)).cast(IntegerType))
+        .cast(IntegerType).as("pipelineId"),
+      lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
+      lit(-1L).as("requestId"), di("id").as("id"),
+      concat(
+        coalesce(di("numericalFeatures"), array().cast(ArrayType(DoubleType))),
+        coalesce(expr("transform(__di.discreteFeatures, x -> CAST(x AS DOUBLE))"),
+          array().cast(ArrayType(DoubleType)))).as("features"),
+      when(di("operation") === "forecasting", lit(null).cast(DoubleType))
+        .otherwise(if (pid == 1)
+          when(di("target") >= 5.0, 1.0).otherwise(-1.0)
+        else di("target")).as("target"),
+      coalesce(di("operation"), lit("training")).as("operation"))
+
+    // P2/K1: a request broadcasts to the pipeline's worker shards (C2).
+    def ctrlEnv(w: Int) = struct(
+      (rq("requestId") * 100000L).as("seq"),
+      (rq("id") * 1024 + w).cast(IntegerType).as("pipelineId"),
+      lit("control").as("kind"), rq("request").as("reqType"),
+      coalesce(rq("learner")("name"), lit("")).as("learner"),
+      coalesce(rq("requestId"), lit(-1L)).as("requestId"),
+      lit(-1L).as("id"),
+      array().cast(ArrayType(DoubleType)).as("features"),
+      lit(null).cast(DoubleType).as("target"),
+      lit("").as("operation"))
+
+    // slice(.., 1, 0) yields a typed empty array, so invalid parses
+    // contribute zero envelopes and explode drops the record
+    raw
+      .withColumn("__di", from_json(col("value"), Wire.dataInstanceSchema))
+      .withColumn("__rq", from_json(col("value"), Wire.requestSchema))
+      .select(explode(concat(
+        slice(array(dataEnv(1), dataEnv(2)), lit(1),
+          when(diValid, 2).otherwise(0)),
+        slice(array((0 until Workers).map(ctrlEnv): _*), lit(1),
+          when(rqValid, Workers).otherwise(0)))).as("e"))
+      .select(col("e.*"))
+      .as[Envelope](Encoders.product[Envelope])
+  }
+
   /** Q1 — the Job: parse + route + validate + expand, spoke, tagged sinks.
     * Returns after the stream drains; outputs land under `out`.
     */
@@ -126,77 +198,11 @@ object JobTopology {
     // append under load
     s2.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-    import s2.implicits._
     Streaming.withStreamShuffle(s2) {
       val raw = s2.readStream
         .schema(StructType(Seq(StructField("value", StringType))))
         .option("maxFilesPerTrigger", "1").parquet(wireDir)
-
-      // ONE scan of the wire stream routes everything (the P7 validity
-      // filters as disjoint parse-success predicates): each record becomes
-      // 0..max(pipelines, workers) envelopes via a codegen'd array build +
-      // explode. A branch-per-destination union would scan the ingest
-      // firehose once PER BRANCH per trigger — 3x the I/O at 100 TB for
-      // the same rows. Validation (learner names) moves INTO the spoke's
-      // keyed catalog state, so there is no stateless reject branch at all.
-      val di = col("__di")
-      val rq = col("__rq")
-      val diValid = col("value") =!= "EOS" && di.isNotNull &&
-        (size(coalesce(di("numericalFeatures"), array())) > 0 ||
-          size(coalesce(di("discreteFeatures"), array())) > 0 ||
-          size(coalesce(di("categoricalFeatures"), array())) > 0) &&
-        (di("operation").isNull ||
-          di("operation").isin("training", "forecasting"))
-      val rqValid = rq.isNotNull &&
-        rq("request").isin("Create", "Update", "Query", "Delete")
-
-      // P1/P3: a data instance fans to every hosted pipeline (the reference
-      // spoke trains all hosted pipelines per record); the per-pipeline
-      // target shaping is the preprocessor stage (±1 for the classifier,
-      // raw for the regressor).
-      def dataEnv(pid: Int) = struct(
-        when(di("operation") === "forecasting", di("id") + 1100000L)
-          .when(di("id") < 100L, di("id"))
-          .otherwise(di("id") + 200000L).as("seq"),
-        (lit(pid * 1024) + pmod(di("id"), lit(4L)).cast(IntegerType))
-          .cast(IntegerType).as("pipelineId"),
-        lit("data").as("kind"), lit("").as("reqType"), lit("").as("learner"),
-        lit(-1L).as("requestId"), di("id").as("id"),
-        concat(
-          coalesce(di("numericalFeatures"), array().cast(ArrayType(DoubleType))),
-          coalesce(expr("transform(__di.discreteFeatures, x -> CAST(x AS DOUBLE))"),
-            array().cast(ArrayType(DoubleType)))).as("features"),
-        when(di("operation") === "forecasting", lit(null).cast(DoubleType))
-          .otherwise(if (pid == 1)
-            when(di("target") >= 5.0, 1.0).otherwise(-1.0)
-          else di("target")).as("target"),
-        coalesce(di("operation"), lit("training")).as("operation"))
-
-      // P2/K1: a request broadcasts to the pipeline's worker shards (C2).
-      def ctrlEnv(w: Int) = struct(
-        (rq("requestId") * 100000L).as("seq"),
-        (rq("id") * 1024 + w).cast(IntegerType).as("pipelineId"),
-        lit("control").as("kind"), rq("request").as("reqType"),
-        coalesce(rq("learner")("name"), lit("")).as("learner"),
-        coalesce(rq("requestId"), lit(-1L)).as("requestId"),
-        lit(-1L).as("id"),
-        array().cast(ArrayType(DoubleType)).as("features"),
-        lit(null).cast(DoubleType).as("target"),
-        lit("").as("operation"))
-
-      // slice(.., 1, 0) yields a typed empty array, so invalid parses
-      // contribute zero envelopes and explode drops the record
-      val envelopes = raw
-        .withColumn("__di", from_json(col("value"), Wire.dataInstanceSchema))
-        .withColumn("__rq", from_json(col("value"), Wire.requestSchema))
-        .select(explode(concat(
-          slice(array(dataEnv(1), dataEnv(2)), lit(1),
-            when(diValid, 2).otherwise(0)),
-          slice(array((0 until Workers).map(ctrlEnv): _*), lit(1),
-            when(rqValid, Workers).otherwise(0)))).as("e"))
-        .select(col("e.*"))
-        .as[Envelope]
-      val spoke = TwsSpoke.run(envelopes).toDF()
+      val spoke = TwsSpoke.run(route(raw)).toDF()
 
       val q = spoke.writeStream
         .outputMode("append")

@@ -685,4 +685,31 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "token table no longer read from the materialized cache")
   }
+
+  test("p08 router: ONE scan of the wire stream feeds every envelope " +
+    "branch; the parse + fan-out stays in whole-stage codegen") {
+    // the router is source-agnostic: pin the plan on a batch frame (the
+    // streaming plan wraps the identical projection around the file source)
+    import spark.implicits._
+    val routed = graft.operators.JobTopology.route(
+      Seq(
+        """{"id": 7, "operation": "training", "numericalFeatures": [1.0, 2.0], "target": 1}""",
+        """{"id": 1, "request": "Create", "requestId": 1, "learner": {"name": "PA"}}""",
+        "EOS").toDF("value"))
+    val p = routed.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // exactly one source scan: a branch-per-destination union would show
+    // one scan per branch (3x the ingest I/O per trigger at 100 TB)
+    val scans = p.linesIterator.count(l =>
+      l.matches("""\(\d+\) Scan.*""") || l.matches("""\(\d+\) LocalTableScan.*"""))
+    assert(scans == 1, s"wire routing reads the source $scans times:\n" +
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Union"), "router regained a branch-per-destination union")
+    assert(p.contains("codegen id"), "parse+fan-out fell out of codegen")
+    // and it routes: 2 data envelopes (one per hosted pipeline) + 4
+    // control envelopes (worker broadcast), EOS dropped
+    val rows = routed.collect()
+    assert(rows.count(_.kind == "data") == 2 &&
+      rows.count(_.kind == "control") == 4 && rows.length == 6)
+  }
 }
