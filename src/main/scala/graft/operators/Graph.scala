@@ -991,6 +991,75 @@ object Graph {
       |  CAST(SUM(CAST(ROUND(1.0 / CAST(hop AS DOUBLE), 9)
       |    AS DECIMAL(18,9))) AS DOUBLE) AS harmonic
       |FROM lv GROUP BY s ORDER BY s""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ADAMIC–ADAR LINK PREDICTION (Adamic & Adar, "Friends and neighbors
+    // on the Web", 2003) over g10's thinned co-purchase view: candidate
+    // pairs are 2-hop endpoints, and each common neighbor m contributes
+    // 1/ln(deg(m)) — a rare shared neighbor is stronger evidence than a
+    // hub. Complements g10, whose path score rewards hubs; AA is the
+    // standard normalized index. Exactness: deg is an exact integer,
+    // each 1/ln(deg) contribution is quantized at 9 dp into
+    // DECIMAL(18,9) (the g13 harmonic pattern) so the pair score is
+    // exact decimal addition — order-independent under any partitioning
+    // — and neighbors with deg < 2 (ln <= 0) are excluded identically in
+    // both engines. Scale shape: deg is an O(nodes) aggregate joined
+    // into the same degree-oriented wedge join as g10 on the persisted
+    // shared edge artifact; the existing-edge anti-join runs on the same
+    // co-partitioned (a, c) keys, and only the global top-50 leaves the
+    // final shuffle.
+    Op(
+      "g14_adamic_adar",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val bi = sampledWeightedBi(s, d).select("a", "b").persist()
+        val contrib = bi.groupBy(col("a").as("m"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+          .select(col("m"),
+            round(lit(1.0) / log(col("deg").cast(DoubleType)), 9)
+              .cast(DecimalType(18, 9)).as("aa_term"))
+        bi.select(col("a"), col("b").as("m"))
+          .join(bi.select(col("a").as("m"), col("b").as("c")), "m")
+          .filter(col("a") =!= col("c"))
+          .join(contrib, "m")
+          .groupBy("a", "c")
+          .agg(count(lit(1)).as("common"), sum("aa_term").as("aa_dec"))
+          .join(bi.select(col("a"), col("b").as("c")),
+            Seq("a", "c"), "left_anti")
+          .orderBy(col("aa_dec").desc, col("a"), col("c"))
+          .limit(50)
+          .select(col("a"), col("c"), col("common"),
+            col("aa_dec").cast(DoubleType).as("aa"))
+      },
+      Some("""WITH ed AS (
+        |  SELECT a, b FROM (
+        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |    FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey
+        |     AND l1.l_partkey <> l2.l_partkey
+        |    GROUP BY 1, 2)
+        |  WHERE substr(md5(CAST(LEAST(a, b) AS VARCHAR) || ':' ||
+        |    CAST(GREATEST(a, b) AS VARCHAR)), 1, 1) = '0'),
+        |ct AS (
+        |  SELECT m, CAST(ROUND(1.0 / LN(CAST(deg AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9)) AS aa_term
+        |  FROM (SELECT a AS m, COUNT(*) AS deg FROM ed GROUP BY a)
+        |  WHERE deg >= 2),
+        |pr AS (
+        |  SELECT x.a, y.b AS c, COUNT(*) AS common,
+        |    SUM(ct.aa_term) AS aa_dec
+        |  FROM ed x JOIN ed y ON x.b = y.a
+        |  JOIN ct ON ct.m = x.b
+        |  WHERE x.a <> y.b
+        |  GROUP BY 1, 2)
+        |SELECT a, c, common, aa FROM (
+        |  SELECT p.a, p.c, CAST(p.common AS BIGINT) AS common,
+        |    CAST(p.aa_dec AS DOUBLE) AS aa, p.aa_dec
+        |  FROM pr p
+        |  WHERE NOT EXISTS (SELECT 1 FROM ed
+        |    WHERE ed.a = p.a AND ed.b = p.c)
+        |  ORDER BY p.aa_dec DESC, p.a, p.c LIMIT 50)
+        |ORDER BY aa_dec DESC, a, c""".stripMargin)),
   )
 
   /** g10's 1/16-thinned weighted directed edge view (both orientations,

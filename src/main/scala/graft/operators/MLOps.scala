@@ -966,7 +966,165 @@ object MLOps {
     // after the sync), hash-gated as raw doubles.
     Op("ml31_fgm_false_alarm_replay", (s, d) => fgmFalseAlarmFit(s, d),
       Some(fgmFalseAlarmOracle)),
+    // ------------------------------------------------------------------
+    // DRIFT-GATED RETRAINING PIPELINE — the model-refresh loop every
+    // production scorer runs (detect drift, refit on the post-drift
+    // window, keep the version ledger): ml16's exact decimal Page-CUSUM
+    // finds each event type's drift point, rows split into pre/post
+    // segments at the first alarm, and ONE aggregation pass per segment
+    // builds the ridge normal equations A = lambda*I + sum(z z^T),
+    // b = sum(y z) over autoregressive features z = (lag1, lag2, 1) —
+    // exactly the engine's ORR information form (ml/Learners.scala
+    // RlsEstimator; reference ORR.scala's A/b accumulators) — solved
+    // IN-PLAN by a 3x3 Cramer expansion. Fully declarative: no driver
+    // loop, no collect; detection, segmentation, featurization, and the
+    // solve are one DataFrame. Exactness: values carry 2 decimals, so
+    // every CUSUM sum and every normal-equation entry is exact DECIMAL
+    // arithmetic cast to double ONCE; the Cramer expansion is the SAME
+    // generated expression string in both engines (identical fp op
+    // order); weights quantize at 6 dp. Scale shape: two window passes
+    // over one (event_type, ts, event_id) sort order — a single sort
+    // shuffle — then an O(segments)-row aggregate; the solve is O(1)
+    // per segment in the projection. At 100 TB the only data-volume
+    // stage is the windowed scan; model state never exceeds d^2 doubles
+    // per segment.
+    Op("p09_drift_retrain", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = Num.dec2(col("value")) -
+        lit(new java.math.BigDecimal("55.00")) // mu0 + delta, as ml16
+      val lam = lit(new java.math.BigDecimal("500.00"))
+      val base = T.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("l1", lag(col("value"), 1).over(ord))
+        .withColumn("l2", lag(col("value"), 2).over(ord))
+        .withColumn("cs", sum(dev).over(run))
+        .withColumn("ph",
+          col("cs") - least(min(col("cs")).over(run),
+            lit(new java.math.BigDecimal("0.00"))))
+        .withColumn("alarm_rn",
+          min(when(col("ph") > lam, col("rn")))
+            .over(Window.partitionBy(col("event_type"))))
+      val sums = base
+        .filter(col("l2").isNotNull)
+        .select(col("event_type"),
+          when(col("alarm_rn").isNotNull && col("rn") >= col("alarm_rn"), 1L)
+            .otherwise(0L).as("segment"),
+          col("alarm_rn"),
+          Num.dec2(col("l1")).as("z1"), Num.dec2(col("l2")).as("z2"),
+          Num.dec2(col("value")).as("y"))
+        .groupBy("event_type", "segment")
+        .agg(
+          count(lit(1)).as("n_fit"),
+          max(col("alarm_rn")).cast(LongType).as("drift_at"),
+          sum(col("z1") * col("z1")).cast(DoubleType).as("s11"),
+          sum(col("z1") * col("z2")).cast(DoubleType).as("s12"),
+          sum(col("z1")).cast(DoubleType).as("s1"),
+          sum(col("z2") * col("z2")).cast(DoubleType).as("s22"),
+          sum(col("z2")).cast(DoubleType).as("s2"),
+          sum(col("y") * col("z1")).cast(DoubleType).as("b0"),
+          sum(col("y") * col("z2")).cast(DoubleType).as("b1"),
+          sum(col("y")).cast(DoubleType).as("b2"))
+        .withColumn("a00", col("s11") + lit(1.0))
+        .withColumn("a01", col("s12"))
+        .withColumn("a02", col("s1"))
+        .withColumn("a11", col("s22") + lit(1.0))
+        .withColumn("a12", col("s2"))
+        .withColumn("a22", col("n_fit").cast(DoubleType) + lit(1.0))
+      sums
+        .withColumn("det", expr(cramer3Det))
+        .withColumn("w_lag1", round(expr(cramer3Num(0)) / col("det"), 6))
+        .withColumn("w_lag2", round(expr(cramer3Num(1)) / col("det"), 6))
+        .withColumn("w_bias", round(expr(cramer3Num(2)) / col("det"), 6))
+        .select(col("event_type"), col("segment"), col("n_fit"),
+          col("drift_at"), col("w_lag1"), col("w_lag2"), col("w_bias"))
+        .orderBy("event_type", "segment")
+    }, Some(s"""WITH e AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    LAG(value, 1) OVER w AS l1,
+      |    LAG(value, 2) OVER w AS l2,
+      |    SUM(CAST(value AS DECIMAL(18,2)) - CAST(55.00 AS DECIMAL(18,2)))
+      |      OVER w AS cs
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS UNBOUNDED PRECEDING)),
+      |m AS (
+      |  SELECT event_type, value, rn, l1, l2, cs,
+      |    MIN(cs) OVER (PARTITION BY event_type ORDER BY rn
+      |                  ROWS UNBOUNDED PRECEDING) AS mn
+      |  FROM e),
+      |-- CASE, not LEAST: DuckDB's LEAST demotes DECIMAL(38,2) to DOUBLE
+      |p AS (
+      |  SELECT event_type, value, rn, l1, l2,
+      |    cs - (CASE WHEN mn < CAST(0.00 AS DECIMAL(38,2)) THEN mn
+      |               ELSE CAST(0.00 AS DECIMAL(38,2)) END) AS ph
+      |  FROM m),
+      |al AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN ph > 500 THEN rn END) AS alarm_rn
+      |  FROM p GROUP BY event_type),
+      |seg AS (
+      |  SELECT p.event_type,
+      |    CASE WHEN al.alarm_rn IS NOT NULL AND p.rn >= al.alarm_rn
+      |         THEN 1 ELSE 0 END AS segment,
+      |    al.alarm_rn,
+      |    CAST(p.l1 AS DECIMAL(18,2)) AS z1,
+      |    CAST(p.l2 AS DECIMAL(18,2)) AS z2,
+      |    CAST(p.value AS DECIMAL(18,2)) AS y
+      |  FROM p JOIN al ON al.event_type = p.event_type
+      |  WHERE p.l2 IS NOT NULL),
+      |sums AS (
+      |  SELECT event_type, segment,
+      |    COUNT(*) AS n_fit,
+      |    CAST(MAX(alarm_rn) AS BIGINT) AS drift_at,
+      |    CAST(SUM(z1 * z1) AS DOUBLE) AS s11,
+      |    CAST(SUM(z1 * z2) AS DOUBLE) AS s12,
+      |    CAST(SUM(z1) AS DOUBLE) AS s1,
+      |    CAST(SUM(z2 * z2) AS DOUBLE) AS s22,
+      |    CAST(SUM(z2) AS DOUBLE) AS s2,
+      |    CAST(SUM(y * z1) AS DOUBLE) AS b0,
+      |    CAST(SUM(y * z2) AS DOUBLE) AS b1,
+      |    CAST(SUM(y) AS DOUBLE) AS b2
+      |  FROM seg GROUP BY event_type, segment),
+      |aa AS (
+      |  SELECT event_type, segment, n_fit, drift_at, b0, b1, b2,
+      |    s11 + CAST(1.0 AS DOUBLE) AS a00, s12 AS a01, s1 AS a02,
+      |    s22 + CAST(1.0 AS DOUBLE) AS a11, s2 AS a12,
+      |    CAST(n_fit AS DOUBLE) + CAST(1.0 AS DOUBLE) AS a22
+      |  FROM sums),
+      |sol AS (
+      |  SELECT event_type, segment, n_fit, drift_at,
+      |    ($cramer3Det) AS det,
+      |    (${cramer3Num(0)}) AS d0, (${cramer3Num(1)}) AS d1,
+      |    (${cramer3Num(2)}) AS d2
+      |  FROM aa)
+      |SELECT event_type, CAST(segment AS BIGINT) AS segment,
+      |  CAST(n_fit AS BIGINT) AS n_fit, drift_at,
+      |  ROUND(d0 / det, 6) AS w_lag1, ROUND(d1 / det, 6) AS w_lag2,
+      |  ROUND(d2 / det, 6) AS w_bias
+      |FROM sol ORDER BY event_type, segment""".stripMargin)),
   )
+
+  /** Leibniz expansion of the symmetric 3x3 system's determinants as ONE
+    * shared expression string per determinant — Spark `expr` and the DuckDB
+    * oracle evaluate the identical token sequence, so the IEEE op order (and
+    * therefore every low bit) matches across engines. `a(r,c)` folds to the
+    * upper-triangle column name (the matrix is symmetric by construction).
+    */
+  private def det3Expansion(e: (Int, Int) => String): String = {
+    def minor(c1: Int, c2: Int) =
+      s"(${e(1, c1)} * ${e(2, c2)} - ${e(1, c2)} * ${e(2, c1)})"
+    s"${e(0, 0)} * ${minor(1, 2)} - ${e(0, 1)} * ${minor(0, 2)} + ${e(0, 2)} * ${minor(0, 1)}"
+  }
+  private def symA(r: Int, c: Int): String =
+    if (r <= c) s"a$r$c" else s"a$c$r"
+  private[operators] def cramer3Det: String = det3Expansion(symA)
+  private[operators] def cramer3Num(i: Int): String =
+    det3Expansion((r, c) => if (c == i) s"b$r" else symA(r, c))
 
   // defs, not vals: referenced during the `ops` val's own initialization
   /** ml30 runs exactly this many rounds; its oracle's theta = T/2 binding

@@ -1360,5 +1360,103 @@ object Similarity {
       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand,
       |  CAST(rrf_dec AS DOUBLE) AS rrf, rk_d, rk_s
       |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin)),
+    // ------------------------------------------------------------------
+    // TWO-STAGE QUANTIZED RERANK — the standard production ANN serving
+    // shape (Jégou/Douze/Schmid's ADC two-stage search, and every vector
+    // DB since): a cheap quantized scan nominates a candidate pool, an
+    // exact float pass re-scores ONLY the survivors. Stage 1 is s16's
+    // symmetric int8 kernel (integer dot products — exact, order-free)
+    // kept as a bounded heap of C=40 per query; stage 2 joins the 16x40
+    // candidate ids back to the float corpus and ranks by the s01 cosine
+    // fold. Exactness: stage 1 is integer arithmetic, stage 2 is the
+    // proven-deterministic cosine fold — both cross-engine bit-stable.
+    // Scale shape: ONE corpus scan for the int8 stage (queries broadcast,
+    // no shuffle before the per-query heaps), then the rerank touches
+    // |Q|xC rows — the candidate list and the query vectors both
+    // broadcast against the corpus scan, so the exact pass costs a
+    // second scan's worth of IO but O(|Q|xC) float kernels, not O(|Q|xN).
+    // At 100 TB stage 1 rides the IVF partition pruning (s03/s04) and the
+    // int8 codes are 4x smaller than the floats they summarize.
+    Op("s18_quantized_rerank", (s, d) => {
+      val e = T.embeddings(s, d)
+      val codes = e
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
+        .withColumn("maxabs", expr(
+          "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("maxabs") > 0.0)
+        .select(col("vec_id"), expr(
+          "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))")
+          .as("q"))
+      val qs = codes.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("q").as("qv"))
+      // stage 1: int8 coarse scan — bounded heap of (iscore DESC, vec_id)
+      val cands = codes.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("iscore", expr(
+          "aggregate(zip_with(qv, q, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("iscore")).as("ns"), col("vec_id")), 40).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("c"))
+        .select(col("q_id"), col("c.vec_id").as("vec_id"))
+      // stage 2: exact cosine over the survivors only; the candidate list
+      // and query vectors broadcast, so this is one more corpus scan with
+      // O(|Q|xC) float kernels and no shuffle before the final heaps
+      val qemb = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cands), "vec_id")
+        .join(broadcast(qemb), "q_id")
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .filter(!isnan(col("cos")))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("cos")).as("nc"), col("vec_id")), 5).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk"),
+          col("col.vec_id").as("vec_id"), (-col("col.nc")).as("cos"))
+        .orderBy("q_id", "rk")
+    }, Some(s"""WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, xd,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(xd, x -> abs(x))), (a, b) -> greatest(a, b))
+      |      AS maxabs
+      |  FROM v),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(xd, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+      |      AS q
+      |  FROM m WHERE maxabs > 0),
+      |qq AS (SELECT vec_id AS q_id, q AS qv FROM c WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT qq.q_id, c.vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, len(c.q)),
+      |        i -> qv[i] * c.q[i])), (a, b) -> a + b) AS iscore
+      |  FROM c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+      |cand AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY iscore DESC, vec_id) AS rc
+      |    FROM sc) WHERE rc <= 40),
+      |re AS (
+      |  SELECT cand.q_id, cand.vec_id,
+      |    ${VecSql.cos("qe.embedding", "e.embedding")} AS cos
+      |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+      |  JOIN embeddings qe ON qe.vec_id = cand.q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk
+      |  FROM re WHERE NOT isnan(cos))
+      |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
   )
 }

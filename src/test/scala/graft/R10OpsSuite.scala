@@ -254,4 +254,116 @@ class R10OpsSuite extends AnyFunSuite {
         resp.info.contains(s"fitted=${nRows - 256}"), resp.info)
     }
   }
+
+  test("s18: the exact rerank stage returns s01's brute-force cosines for " +
+    "every pair it emits, and the int8 stage-1 pool keeps recall@5 high") {
+    val rr = SparkEntry.queries("s18_quantized_rerank")(spark, sf).collect()
+    val exact = SparkEntry.queries("s01_topk_bruteforce")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(rr.map(_.getAs[Long]("q_id")).distinct.length == 16)
+    rr.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q returned ${rows.length} rows")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L))
+    }
+    // rerank cosines are the s01 kernel bit-for-bit wherever both rank
+    val hits = rr.flatMap { r =>
+      exact.get((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .map(c => (c, r.getAs[Double]("cos")))
+    }
+    hits.foreach { case (want, got) =>
+      assert(java.lang.Double.doubleToLongBits(want) ==
+        java.lang.Double.doubleToLongBits(got), s"cos $got != exact $want")
+    }
+    // int8 coarse stage at C=40 should keep most of the true top-5
+    val recall = hits.length.toDouble / exact.size
+    info(f"s18 recall@5 vs s01 exact: $recall%.3f")
+    assert(recall >= 0.8, f"stage-1 pool lost too much: recall $recall%.3f")
+  }
+
+  test("g14: Adamic-Adar emits only non-edges, every score replays from " +
+    "1/ln(deg) over true common neighbors") {
+    val rows = SparkEntry.queries("g14_adamic_adar")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val bi = graft.operators.Graph.coPurchaseEdges(spark, sf)
+      .filter(substring(md5(concat(
+        least(col("a"), col("b")).cast("string"), lit(":"),
+        greatest(col("a"), col("b")).cast("string"))), 1, 1) === "0")
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = bi.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val edges = bi.toSet
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("a"), r.getAs[Long]("c"))
+      assert(!edges.contains((a, c)), s"($a,$c) is an existing edge")
+      val common = nbrs.getOrElse(a, Set.empty[Long])
+        .intersect(nbrs.getOrElse(c, Set.empty[Long]))
+        .filter(m => nbrs(m).size >= 2)
+      assert(common.size.toLong == r.getAs[Long]("common"),
+        s"($a,$c): common ${r.getAs[Long]("common")} != ${common.size}")
+      val want = common.toSeq.map { m =>
+        BigDecimal(1.0 / math.log(nbrs(m).size.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(r.getAs[Double]("aa") - want) < 1e-9,
+        s"($a,$c): aa ${r.getAs[Double]("aa")} != $want")
+    }
+    // descending score order with (a, c) tiebreak
+    val key = rows.map(r => (-r.getAs[Double]("aa"), r.getAs[Long]("a"),
+      r.getAs[Long]("c"))).toSeq
+    assert(key == key.sorted, "top-50 is not (aa DESC, a, c) ordered")
+  }
+
+  test("p09: segment structure follows ml16's alarms, and each segment's " +
+    "weights satisfy the ridge normal equations it was solved from") {
+    val out = SparkEntry.queries("p09_drift_retrain")(spark, sf).collect()
+    val alarms = SparkEntry.queries("ml16_cusum_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Option(r.getAs[java.lang.Long]("first_alarm_pos"))).toMap
+    alarms.foreach { case (et, alarm) =>
+      val segs = out.filter(_.getAs[String]("event_type") == et)
+        .map(_.getAs[Long]("segment")).sorted.toSeq
+      val want = if (alarm.isDefined) Seq(0L, 1L) else Seq(0L)
+      assert(segs == want, s"$et: segments $segs, alarm $alarm")
+    }
+    // re-derive one segment's normal equations from the raw rows and check
+    // A w = b within rounding tolerance (w carries 6 dp)
+    val et = out.head.getAs[String]("event_type")
+    val seg = out.head.getAs[Long]("segment")
+    val alarm = alarms(et).map(_.toLong)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val rows = T.events(spark, sf).filter(col("event_type") === et)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("l1", lag(col("value"), 1).over(ord))
+      .withColumn("l2", lag(col("value"), 2).over(ord))
+      .filter(col("l2").isNotNull)
+      .select("rn", "l1", "l2", "value").collect()
+      .map(r => (r.getAs[Int]("rn").toLong, r.getAs[Double]("l1"),
+        r.getAs[Double]("l2"), r.getAs[Double]("value")))
+      .filter { case (rn, _, _, _) =>
+        val inSeg1 = alarm.exists(rn >= _)
+        if (seg == 1L) inSeg1 else !inSeg1
+      }
+    val n = rows.length.toDouble
+    def s(f: ((Long, Double, Double, Double)) => Double) = rows.map(f).sum
+    val a = Array(
+      Array(1.0 + s(t => t._2 * t._2), s(t => t._2 * t._3), s(t => t._2)),
+      Array(s(t => t._2 * t._3), 1.0 + s(t => t._3 * t._3), s(t => t._3)),
+      Array(s(t => t._2), s(t => t._3), 1.0 + n))
+    val b = Array(s(t => t._4 * t._2), s(t => t._4 * t._3), s(t => t._4))
+    val w = Array(out.head.getAs[Double]("w_lag1"),
+      out.head.getAs[Double]("w_lag2"), out.head.getAs[Double]("w_bias"))
+    assert(out.head.getAs[Long]("n_fit") == rows.length.toLong)
+    (0 until 3).foreach { r =>
+      val lhs = (0 until 3).map(cc => a(r)(cc) * w(cc)).sum
+      // residual tolerance: |A| entries are O(n * value^2); 6-dp weight
+      // rounding perturbs A*w by up to ~|A|_row * 5e-7
+      val tol = a(r).map(math.abs).sum * 1e-6 + 1e-6
+      assert(math.abs(lhs - b(r)) <= tol,
+        s"row $r: A*w = $lhs vs b = ${b(r)} (tol $tol)")
+    }
+  }
 }
