@@ -47,6 +47,85 @@ object VectorOps {
     dot
   }
 
+  /** One-pass symmetric int8 quantization of a float vector: codes are
+    * floor(x * 127.0 / maxabs) as longs — exactly the s16 SQL pipeline
+    * (cast-to-double transform → greatest fold → floor transform) collapsed
+    * into one loop with ONE output allocation, bit-identical arithmetic.
+    * A zero-norm vector returns an EMPTY array (the SQL path's
+    * `maxabs > 0` row filter becomes `size(codes) > 0`).
+    */
+  def i8Codes(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > maxabs) maxabs = v
+      i += 1
+    }
+    if (maxabs <= 0.0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    else {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble * 127.0 / maxabs).toLong
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** Dot product of two float vectors with double accumulation in index
+    * order — the fold order of `aggregate(zip_with(a, b, (x, y) ->
+    * CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0, +)` and of the DuckDB
+    * list_reduce form, without the per-pair intermediate array.
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared L2 distance of two double vectors, accumulation in index
+    * order — the fold order of `aggregate(zip_with(a, b, (x, y) ->
+    * (x - y) * (x - y)), 0.0, +)` without the per-pair array.
+    */
+  def dist2DD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dx = a.getDouble(i) - b.getDouble(i)
+      acc += dx * dx
+      i += 1
+    }
+    acc
+  }
+
+  /** Exact dot product of two BIGINT code vectors, long accumulation in
+    * index order — the codegen'd form of the oracle's integer list_reduce
+    * fold. Replaces `aggregate(zip_with(...))` in the quadratic
+    * query x candidate stage, which allocated a fresh 64-element array per
+    * PAIR.
+    */
+  def dotLL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** First 4 bytes of MD5 as an unsigned 32-bit value in a long — identical
     * to `('0x' || substr(md5(s), 1, 8))::BIGINT` in DuckDB and
     * `conv(substring(md5(s), 1, 8), 16, 10)` in Spark SQL.
@@ -241,6 +320,54 @@ case class DotFD(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** `i8_codes(array<float>) -> array<long>`: one-pass symmetric int8
+  * quantization (empty array for zero-norm inputs), codegen'd.
+  */
+case class I8Codes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.i8Codes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.i8Codes($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `dot_ff(array<float>, array<float>) -> double`, codegen'd. */
+case class DotFF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dotFF($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dist2_dd(array<double>, array<double>) -> double`, codegen'd. */
+case class Dist2DD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dist2DD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dist2DD($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dot_ll(array<bigint>, array<bigint>) -> bigint`, codegen'd. */
+case class DotLL(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dotLL($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `rolling_hashes(string) -> array<long>` (k=8 windows), codegen'd. */
 case class RollingHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -315,6 +442,10 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 object F {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotFD(a: Column, b: Column): Column = call_function("dot_fd", a, b)
+  def i8Codes(a: Column): Column = call_function("i8_codes", a)
+  def dotLL(a: Column, b: Column): Column = call_function("dot_ll", a, b)
+  def dotFF(a: Column, b: Column): Column = call_function("dot_ff", a, b)
+  def dist2DD(a: Column, b: Column): Column = call_function("dist2_dd", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   /** Rabin–Karp rolling hash of every k-char window, one O(n) pass. */
   def rollingHashes(s: Column, k: Int): Column =
@@ -333,6 +464,18 @@ object F {
     (FunctionIdentifier("dot_fd"),
       new ExpressionInfo(classOf[DotFD].getName, "dot_fd"),
       (es: Seq[Expression]) => DotFD(es(0), es(1))),
+    (FunctionIdentifier("i8_codes"),
+      new ExpressionInfo(classOf[I8Codes].getName, "i8_codes"),
+      (es: Seq[Expression]) => I8Codes(es.head)),
+    (FunctionIdentifier("dot_ll"),
+      new ExpressionInfo(classOf[DotLL].getName, "dot_ll"),
+      (es: Seq[Expression]) => DotLL(es(0), es(1))),
+    (FunctionIdentifier("dot_ff"),
+      new ExpressionInfo(classOf[DotFF].getName, "dot_ff"),
+      (es: Seq[Expression]) => DotFF(es(0), es(1))),
+    (FunctionIdentifier("dist2_dd"),
+      new ExpressionInfo(classOf[Dist2DD].getName, "dist2_dd"),
+      (es: Seq[Expression]) => Dist2DD(es(0), es(1))),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)),

@@ -717,17 +717,13 @@ object Similarity {
         val pqTop = shortlist
           .join(feats, "vec_id")
           .join(broadcast(queries), "q_id")
-          .withColumn("dist", expr(
-            "aggregate(zip_with(fd, q_fd, (x, y) -> (x - y) * (x - y)), " +
-              "CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+          .withColumn("dist", F.dist2DD(col("fd"), col("q_fd")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select("q_id", "vec_id")
         val exactTop = feats.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(fd, q_fd, (x, y) -> (x - y) * (x - y)), " +
-              "CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+          .withColumn("dist", F.dist2DD(col("fd"), col("q_fd")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select("q_id", "vec_id")
@@ -1122,10 +1118,7 @@ object Similarity {
           col("n2").as("qn2"))
       val scored = e.crossJoin(broadcast(q)).crossJoin(broadcast(maxN2))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("ip",
-          expr("aggregate(zip_with(q_emb, embedding, " +
-            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), " +
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .withColumn("ip", F.dotFF(col("q_emb"), col("embedding")))
         .withColumn("mips_cos",
           col("ip") / (sqrt(col("qn2")) * sqrt(col("m2"))))
       val wIp = Window.partitionBy("q_id")
@@ -1175,15 +1168,14 @@ object Similarity {
     // an O(queries*k) merge — no corpus shuffle. Zero-norm vectors are
     // excluded up front (s05 proves all fixtures are nonzero).
     Op("s16_int8_search", (s, d) => {
+      // quantization + scoring ride the codegen'd I8Codes/DotLL kernels
+      // (one pass, one allocation per ROW; the zip_with+aggregate form
+      // this replaced allocated a 64-element array per query x candidate
+      // PAIR — measured 15x slower than the float kernel at 2M vectors,
+      // SCALE.md r10 ANN probe)
       val codes = T.embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
-        .withColumn("maxabs", expr(
-          "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-        .filter(col("maxabs") > 0.0)
-        .select(col("vec_id"), expr(
-          "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))")
-          .as("q"))
+        .select(col("vec_id"), F.i8Codes(col("embedding")).as("q"))
+        .filter(size(col("q")) > 0)
       val qs = codes.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("q").as("qv"))
       // bounded-heap top-5 per query (see s01): integer scores negate
@@ -1191,9 +1183,7 @@ object Similarity {
       // (iscore DESC, vec_id ASC) — no per-query candidate sort anywhere
       codes.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("iscore", expr(
-          "aggregate(zip_with(qv, q, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("iscore", F.dotLL(col("qv"), col("q")))
         .groupBy("q_id")
         .agg(F.topkStructs(
           struct((-col("iscore")).as("ns"), col("vec_id")), 5).as("tk"))
@@ -1379,23 +1369,17 @@ object Similarity {
     // int8 codes are 4x smaller than the floats they summarize.
     Op("s18_quantized_rerank", (s, d) => {
       val e = T.embeddings(s, d)
+      // codegen'd one-pass quantizer + long-dot kernels (see s16 note:
+      // the higher-order-function form was 15x slower at 2M vectors)
       val codes = e
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
-        .withColumn("maxabs", expr(
-          "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-        .filter(col("maxabs") > 0.0)
-        .select(col("vec_id"), expr(
-          "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))")
-          .as("q"))
+        .select(col("vec_id"), F.i8Codes(col("embedding")).as("q"))
+        .filter(size(col("q")) > 0)
       val qs = codes.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("q").as("qv"))
       // stage 1: int8 coarse scan — bounded heap of (iscore DESC, vec_id)
       val cands = codes.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("iscore", expr(
-          "aggregate(zip_with(qv, q, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("iscore", F.dotLL(col("qv"), col("q")))
         .groupBy("q_id")
         .agg(F.topkStructs(
           struct((-col("iscore")).as("ns"), col("vec_id")), 40).as("tk"))

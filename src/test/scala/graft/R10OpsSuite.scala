@@ -255,6 +255,54 @@ class R10OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("codegen'd vector kernels equal their higher-order-function forms " +
+    "bit-for-bit (i8_codes, dot_ll, dot_ff, dist2_dd)") {
+    import graft.functions.F
+    val e = T.embeddings(spark, sf).limit(200)
+    // i8_codes == the 3-stage transform/fold/transform pipeline
+    val threeStage = e
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
+      .withColumn("maxabs", expr(
+        "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("maxabs") > 0.0)
+      .select(col("vec_id"), expr(
+        "transform(xd, x -> CAST(floor(x * 127.0D / maxabs) AS BIGINT))")
+        .as("q"))
+    val kernel = e.select(col("vec_id"), F.i8Codes(col("embedding")).as("q"))
+      .filter(size(col("q")) > 0)
+    assert(threeStage.exceptAll(kernel).isEmpty && kernel.exceptAll(threeStage).isEmpty)
+    // pairwise kernels vs the zip_with folds on a small cross product
+    val a = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"),
+        col("embedding").cast(ArrayType(DoubleType)).as("da"),
+        F.i8Codes(col("embedding")).as("qa"))
+    val b = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"),
+        col("embedding").cast(ArrayType(DoubleType)).as("db"),
+        F.i8Codes(col("embedding")).as("qb"))
+    val both = a.crossJoin(b)
+      .withColumn("k_ll", F.dotLL(col("qa"), col("qb")))
+      .withColumn("h_ll", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("k_ff", F.dotFF(col("va"), col("vb")))
+      .withColumn("h_ff", expr("aggregate(zip_with(va, vb, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("k_d2", F.dist2DD(col("da"), col("db")))
+      .withColumn("h_d2", expr("aggregate(zip_with(da, db, (x, y) -> " +
+        "(x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Long]("k_ll") == r.getAs[Long]("h_ll"))
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("k_ff")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("h_ff")))
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("k_d2")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("h_d2")))
+    }
+  }
+
   test("s18: the exact rerank stage returns s01's brute-force cosines for " +
     "every pair it emits, and the int8 stage-1 pool keeps recall@5 high") {
     val rr = SparkEntry.queries("s18_quantized_rerank")(spark, sf).collect()
