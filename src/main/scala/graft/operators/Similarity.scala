@@ -1402,7 +1402,14 @@ object Similarity {
         .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk"),
           col("col.vec_id").as("vec_id"), (-col("col.nc")).as("cos"))
         .orderBy("q_id", "rk")
-    }, Some(s"""WITH v AS (
+    }, Some(rerankOracle)),
+  )
+
+  /** s18's two-stage oracle (int8 top-40 candidates, exact cosine top-5) —
+    * shared with the streaming serve twin (st44), whose trigger boundaries
+    * must not move a single candidate or score.
+    */
+  private[operators] def rerankOracle: String = s"""WITH v AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
       |  FROM embeddings),
@@ -1441,6 +1448,5 @@ object Similarity {
       |      ORDER BY cos DESC, vec_id) AS rk
       |  FROM re WHERE NOT isnan(cos))
       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
-      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
-  )
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 }

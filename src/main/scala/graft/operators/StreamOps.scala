@@ -2346,6 +2346,70 @@ object StreamOps {
         |  true AS fitted_flat_after_first, true AS counter_heartbeat_exact,
         |  true AS loss_valid
         |FROM (SELECT 1)""".stripMargin)),
+    // ------------------------------------------------------------------
+    // STREAMING QUANTIZED-RERANK SERVING (streaming s18): query vectors
+    // arrive as a stream; each trigger runs ONLY the cheap int8 coarse
+    // scan for its batch's queries — the codegen'd i8_codes/dot_ll
+    // kernels against the static code table — and appends the C=40
+    // bounded-heap survivors per query to a candidate ledger; the exact
+    // float rerank then reads the accumulated |Q|xC ledger once after
+    // the drain. Per-trigger serving cost is the quantized scan, never
+    // a float corpus pass. Gate = s18's IDENTICAL exact oracle: trigger
+    // boundaries cannot move a candidate or a score, because each query
+    // arrives whole in one trigger and its bounded heap ignores the rest
+    // of the batch — streaming serve == batch rerank, value for value.
+    // At 100 TB the static side is the IVF-partitioned code table (s04)
+    // so each trigger's scan prunes to probed lists; the foreachBatch
+    // ledger shape is unchanged.
+    Op("st44_stream_rerank_serve", (s, d) => {
+      val e = T.embeddings(s, d)
+      val codes = e.select(col("vec_id"), F.i8Codes(col("embedding")).as("q"))
+        .filter(size(col("q")) > 0)
+      val qs = codes.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("q").as("qv"))
+      val schema = qs.schema
+      val dir = Streaming.scratchDir("graft_st44q_")
+      // two genuine probe triggers, queries disjoint across them
+      qs.filter(col("q_id") < 8).coalesce(1).write.mode("append").parquet(dir)
+      qs.filter(col("q_id") >= 8).coalesce(1).write.mode("append").parquet(dir)
+      val out = Streaming.scratchDir("graft_st44c_")
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.withColumn("k", lit(1))
+              .join(codes.withColumn("k", lit(1)), "k")
+              .filter(col("vec_id") =!= col("q_id"))
+              .withColumn("iscore", F.dotLL(col("qv"), col("q")))
+              .groupBy("q_id")
+              .agg(F.topkStructs(
+                struct((-col("iscore")).as("ns"), col("vec_id")), 40).as("tk"))
+              .select(col("q_id"), explode(col("tk")).as("c"))
+              .select(col("q_id"), col("c.vec_id").as("vec_id"))
+              .write.mode("append").parquet(s"$out/cand")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val cands = s.read.parquet(s"$out/cand")
+      val qemb = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cands), "vec_id")
+        .join(broadcast(qemb), "q_id")
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .filter(!isnan(col("cos")))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("cos")).as("nc"), col("vec_id")), 5).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk"),
+          col("col.vec_id").as("vec_id"), (-col("col.nc")).as("cos"))
+        .orderBy("q_id", "rk")
+    }, Some(Similarity.rerankOracle)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate

@@ -330,6 +330,19 @@ class R10OpsSuite extends AnyFunSuite {
     assert(recall >= 0.8, f"stage-1 pool lost too much: recall $recall%.3f")
   }
 
+  test("st44: streaming rerank serve equals batch s18 value-for-value — " +
+    "trigger boundaries move no candidate and no score") {
+    val stream = SparkEntry.queries("st44_stream_rerank_serve")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))).toSeq
+    val batch = SparkEntry.queries("s18_quantized_rerank")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))).toSeq
+    assert(stream == batch)
+  }
+
   test("g14: Adamic-Adar emits only non-edges, every score replays from " +
     "1/ln(deg) over true common neighbors") {
     val rows = SparkEntry.queries("g14_adamic_adar")(spark, sf).collect()
