@@ -1403,6 +1403,88 @@ object Similarity {
           col("col.vec_id").as("vec_id"), (-col("col.nc")).as("cos"))
         .orderBy("q_id", "rk")
     }, Some(rerankOracle)),
+    // ------------------------------------------------------------------
+    // THE FULL SERVING STACK — IVF prune -> int8 scan -> exact rerank
+    // (s03's coarse quantizer, s16's quantized kernel, s01's float
+    // kernel, composed the way a production vector index actually
+    // serves): queries probe nprobe=2 of 16 inverted lists, the int8
+    // scan scores ONLY the probed lists' codes into a C=20 bounded heap,
+    // and the exact cosine pass re-ranks the C survivors for the final
+    // top-3. Per query the float kernel touches C rows and the int8
+    // kernel nprobe/nlist of the corpus — at 100 TB with the lists laid
+    // out as partitions (s04), a query reads 1/8 of the data with the
+    // cheap kernel and 20 rows with the expensive one. Centroids are
+    // Trainer-fit (not SQL-derivable), so the gate is the s03 pattern:
+    // completeness + recall@3 against the exact brute-force ranking,
+    // asserted engine-side as booleans the oracle reproduces — a
+    // quantizer, probe, pool, or rerank regression flips a bit and the
+    // hash mismatches. The recall gate clears 0.90 at sf0.001, sf0.01
+    // and sf0.1 (driver-hash-verified); the pool can only lose what the
+    // IVF probe already missed plus int8 rank inversions past C=20, so
+    // its ceiling is s03's probe recall.
+    Op("s19_ivf_quantized_rerank", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nlist = 16; val nprobe = 2; val cpool = 20
+      val feats = T.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("fd"),
+          col("embedding"))
+        .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+      val centsLit = lit(fullCorpusQuantizer(s, d, nlist))
+      val listed = feats
+        .withColumn("bucket",
+          element_at(F.nearestCentroids(col("fd"), centsLit, EmbDim, 1), 1))
+        .withColumn("q8", F.i8Codes(col("embedding")))
+        .filter(size(col("q8")) > 0)
+      val q = listed.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("q8").as("qv"),
+          explode(F.nearestCentroids(col("fd"), centsLit, EmbDim, nprobe))
+            .as("bucket"))
+      // stage 2: int8 over the probed lists only, C-bounded heap
+      val cands = listed.select(col("vec_id"), col("bucket"), col("q8"))
+        .join(q, Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("iscore", F.dotLL(col("qv"), col("q8")))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("iscore")).as("ns"), col("vec_id")), cpool).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("c"))
+        .select(col("q_id"), col("c.vec_id").as("vec_id"))
+      // stage 3: exact rerank of the C survivors
+      val e = T.embeddings(s, d)
+      val qe = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val served = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cands), "vec_id")
+        .join(broadcast(qe), "q_id")
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .filter(!isnan(col("cos")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "vec_id")
+      // exact top-3 baseline (s01's kernel) for the recall gate
+      val exact = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(qe))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .filter(!isnan(col("cos")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "vec_id")
+      val perQ = served.groupBy("q_id").agg(count(lit(1)).as("n3"))
+      val hits = exact.join(served, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      perQ.join(hits, Seq("q_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (min(col("n3")) === 3 && max(col("n3")) === 3)
+            .as("all_topk_complete"),
+          (sum(coalesce(col("hits"), lit(0L))).cast(DoubleType) /
+            (count(lit(1)) * 3) >= RecallThreshold).as("recall_at_3_ge_090"))
+    },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  true AS all_topk_complete, true AS recall_at_3_ge_090
+        |FROM embeddings WHERE vec_id < 16""".stripMargin)),
   )
 
   /** s18's two-stage oracle (int8 top-40 candidates, exact cosine top-5) —
