@@ -1028,21 +1028,38 @@ object MLOps {
           sum(col("y") * col("z1")).cast(DoubleType).as("b0"),
           sum(col("y") * col("z2")).cast(DoubleType).as("b1"),
           sum(col("y")).cast(DoubleType).as("b2"))
-        .withColumn("a00", col("s11") + lit(1.0))
-        .withColumn("a01", col("s12"))
-        .withColumn("a02", col("s1"))
-        .withColumn("a11", col("s22") + lit(1.0))
-        .withColumn("a12", col("s2"))
-        .withColumn("a22", col("n_fit").cast(DoubleType) + lit(1.0))
-      sums
-        .withColumn("det", expr(cramer3Det))
-        .withColumn("w_lag1", round(expr(cramer3Num(0)) / col("det"), 6))
-        .withColumn("w_lag2", round(expr(cramer3Num(1)) / col("det"), 6))
-        .withColumn("w_bias", round(expr(cramer3Num(2)) / col("det"), 6))
+      ridgeSolve3(sums)
         .select(col("event_type"), col("segment"), col("n_fit"),
           col("drift_at"), col("w_lag1"), col("w_lag2"), col("w_bias"))
         .orderBy("event_type", "segment")
-    }, Some(s"""WITH e AS (
+    }, Some(driftRetrainOracle)),
+  )
+
+  /** p09's in-plan ridge solve, shared with the streaming twin (st45): the
+    * input carries the exact-decimal-cast-to-double normal-equation sums
+    * (s11 s12 s1 s22 s2 b0 b1 b2) plus n_fit; lambda = 1 lands on the
+    * diagonal here, and the Cramer expansions are the shared generated
+    * strings, so batch and streaming weights are the SAME IEEE op
+    * sequence.
+    */
+  private[graft] def ridgeSolve3(sums: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sums
+      .withColumn("a00", col("s11") + lit(1.0))
+      .withColumn("a01", col("s12"))
+      .withColumn("a02", col("s1"))
+      .withColumn("a11", col("s22") + lit(1.0))
+      .withColumn("a12", col("s2"))
+      .withColumn("a22", col("n_fit").cast(DoubleType) + lit(1.0))
+      .withColumn("det", expr(cramer3Det))
+      .withColumn("w_lag1", round(expr(cramer3Num(0)) / col("det"), 6))
+      .withColumn("w_lag2", round(expr(cramer3Num(1)) / col("det"), 6))
+      .withColumn("w_bias", round(expr(cramer3Num(2)) / col("det"), 6))
+
+  /** p09's oracle — shared verbatim with st45, whose incremental state fold
+    * must land on the identical weights (streaming == batch).
+    */
+  private[graft] def driftRetrainOracle: String = s"""WITH e AS (
       |  SELECT event_type, value,
       |    ROW_NUMBER() OVER w AS rn,
       |    LAG(value, 1) OVER w AS l1,
@@ -1106,8 +1123,7 @@ object MLOps {
       |  CAST(n_fit AS BIGINT) AS n_fit, drift_at,
       |  ROUND(d0 / det, 6) AS w_lag1, ROUND(d1 / det, 6) AS w_lag2,
       |  ROUND(d2 / det, 6) AS w_bias
-      |FROM sol ORDER BY event_type, segment""".stripMargin)),
-  )
+      |FROM sol ORDER BY event_type, segment""".stripMargin
 
   /** Leibniz expansion of the symmetric 3x3 system's determinants as ONE
     * shared expression string per determinant — Spark `expr` and the DuckDB

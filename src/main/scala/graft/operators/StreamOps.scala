@@ -2410,6 +2410,91 @@ object StreamOps {
           col("col.vec_id").as("vec_id"), (-col("col.nc")).as("cos"))
         .orderBy("q_id", "rk")
     }, Some(Similarity.rerankOracle)),
+    // ------------------------------------------------------------------
+    // STREAMING DRIFT-GATED RETRAIN (streaming p09): the model-refresh
+    // loop LIVE — st26's incremental CUSUM detector extended so the same
+    // durable O(keys) state also carries the last two values (the AR(2)
+    // features of the NEXT row) and per-segment ridge normal-equation
+    // partials, all exact decimal strings. Each trigger folds only its
+    // delta; the alarm row opens the segment-1 accumulators at exactly
+    // p09's split; after the drain the accumulated sums convert to
+    // doubles through the SAME decimal->double path Spark's cast uses
+    // and solve through p09's shared in-plan Cramer stage. Gate = p09's
+    // IDENTICAL oracle: the incremental fold must land on the batch
+    // weights bit for bit — detection, segmentation AND refit are
+    // streaming == batch, value for value. At 100 TB: state is
+    // O(event_types x ~20 decimals), per-trigger cost is the delta
+    // fold, and a refit after new arrivals reads NO history — the
+    // information-form accumulators are the whole memory of the past.
+    Op("st45_stream_drift_retrain", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), Num.dec2(col("value")).as("v"))
+      val midTs = ev.agg(((min("tsu") + max("tsu")) / 2).cast(LongType))
+        .head().getLong(0)
+      val dir = Streaming.scratchDir("graft_retrain_src_")
+      val out = Streaming.scratchDir("graft_retrain_out_")
+      val schema = ev.schema
+      def stateVersions(): Seq[Long] =
+        Option(new java.io.File(out).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.startsWith("state_"))
+          .map(_.stripPrefix("state_").toLong).sorted
+      def stateBelow(batch: Long): Map[String, RetrainState] =
+        stateVersions().filter(_ < batch).lastOption match {
+          case None => Map.empty
+          case Some(ver) =>
+            s.read.parquet(s"$out/state_$ver").as[RetrainState]
+              .collect().map(st => st.event_type -> st).toMap
+        }
+      def runOnce(): Unit = Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val prior = stateBelow(batchId)
+            val next = b.repartition(col("event_type"))
+              .sortWithinPartitions("event_type", "tsu", "event_id")
+              .as[(String, Long, Long, java.math.BigDecimal)]
+              .mapPartitions(rows => retrainFold(prior, rows))(
+                org.apache.spark.sql.Encoders.product[RetrainState])
+              .collect() // O(keys): detector + information-form state only
+            val merged = (prior ++ next.map(st => st.event_type -> st)).values
+            b.sparkSession.createDataset(merged.toSeq)(
+              org.apache.spark.sql.Encoders.product[RetrainState])
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$out/state_$batchId")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      ev.filter(col("tsu") <= midTs).coalesce(1)
+        .write.mode("append").parquet(dir)
+      runOnce() // batch 0: first half, in event-time order
+      ev.filter(col("tsu") > midTs).coalesce(1)
+        .write.mode("append").parquet(dir)
+      runOnce() // batch 1: resumes from the checkpoint, only the delta
+      val fin = s.read.parquet(s"$out/state_${stateVersions().last}")
+        .as[RetrainState].collect().toSeq
+      val recs = fin.flatMap { st =>
+        val drift =
+          if (st.firstAlarm >= 0) Some(st.firstAlarm) else Option.empty[Long]
+        def row(segId: Long, n: Long, acc: Seq[String]) = {
+          def d(i: Int) = new java.math.BigDecimal(acc(i)).doubleValue
+          (st.event_type, segId, n, drift,
+            d(0), d(1), d(2), d(3), d(4), d(5), d(6), d(7))
+        }
+        (if (st.n0 > 0) Seq(row(0L, st.n0, st.seg0)) else Nil) ++
+          (if (st.n1 > 0) Seq(row(1L, st.n1, st.seg1)) else Nil)
+      }
+      MLOps.ridgeSolve3(recs.toDF("event_type", "segment", "n_fit",
+          "drift_at", "s11", "s12", "s1", "s22", "s2", "b0", "b1", "b2"))
+        .select(col("event_type"), col("segment"), col("n_fit"),
+          col("drift_at"), col("w_lag1"), col("w_lag2"), col("w_bias"))
+        .orderBy("event_type", "segment")
+    }, Some(MLOps.driftRetrainOracle)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate
@@ -2537,6 +2622,67 @@ object StreamOps {
     * through instead of materializing as a toSeq. Exposed for the skew
     * unit test.
     */
+  /** st45's per-key incremental fold: the cusumFold recursion extended
+    * with the AR(2) feature lags and the two segments' ridge
+    * normal-equation partials — BigDecimal string arithmetic throughout,
+    * so the accumulated sums are EXACTLY the decimals p09's batch
+    * aggregation produces (products at scale 4, sums exact) and the
+    * final decimal->double conversion is the single rounding Spark's own
+    * decimal cast performs. The alarm row itself opens segment 1
+    * (rn >= firstAlarm), matching p09's `rn >= alarm_rn` split; rows
+    * before the second lag exists (rn <= 2) accumulate nothing, matching
+    * the batch `l2 IS NOT NULL` filter.
+    */
+  private[graft] def retrainFold(
+      prior: Map[String, RetrainState],
+      rows: Iterator[(String, Long, Long, java.math.BigDecimal)])
+      : Iterator[RetrainState] = {
+    val zero = Seq.fill(8)("0")
+    def step(st: RetrainState, v: java.math.BigDecimal): RetrainState = {
+      val rn = st.nPts + 1
+      val cs = BigDecimal(st.cs) + BigDecimal(v) - BigDecimal("55.00")
+      val mn = BigDecimal(st.mn).min(cs)
+      val ph = cs - mn
+      val firstAlarm =
+        if (st.firstAlarm >= 0) st.firstAlarm
+        else if (ph > BigDecimal("500.00")) rn
+        else -1L
+      val inSeg1 = firstAlarm >= 0 && rn >= firstAlarm
+      val (n0, seg0, n1, seg1) =
+        if (st.prev2.isEmpty) (st.n0, st.seg0, st.n1, st.seg1)
+        else {
+          val z1 = BigDecimal(st.prev1); val z2 = BigDecimal(st.prev2)
+          val y = BigDecimal(v)
+          val add = Seq(z1 * z1, z1 * z2, z1, z2 * z2, z2, y * z1, y * z2, y)
+          def upd(acc: Seq[String]): Seq[String] =
+            acc.zip(add).map { case (a, x) => (BigDecimal(a) + x).toString }
+          if (inSeg1) (st.n0, st.seg0, st.n1 + 1, upd(st.seg1))
+          else (st.n0 + 1, upd(st.seg0), st.n1, st.seg1)
+        }
+      RetrainState(st.event_type, cs.toString, mn.toString, rn, firstAlarm,
+        v.toString, st.prev1, n0, seg0, n1, seg1)
+    }
+    new Iterator[RetrainState] {
+      private var pending: RetrainState = advance()
+      private var cur: (String, Long, Long, java.math.BigDecimal) = _
+      private def advance(): RetrainState = {
+        if (cur == null) { if (!rows.hasNext) return null; cur = rows.next() }
+        val key = cur._1
+        var st = prior.getOrElse(key,
+          RetrainState(key, "0.00", "0.00", 0L, -1L, "", "", 0L, zero, 0L, zero))
+        while (cur != null && cur._1 == key) {
+          st = step(st, cur._4)
+          cur = if (rows.hasNext) rows.next() else null
+        }
+        st
+      }
+      def hasNext: Boolean = pending != null
+      def next(): RetrainState = {
+        val out = pending; pending = advance(); out
+      }
+    }
+  }
+
   private[graft] def cusumFold(
       prior: Map[String, CusumState],
       rows: Iterator[(String, Long, Long, java.math.BigDecimal)])
@@ -2580,6 +2726,16 @@ object StreamOps {
   */
 case class CusumState(event_type: String, cs: String, mn: String,
     maxPh: String, nPts: Long, nAlarms: Long, firstAlarm: Long)
+
+/** Durable drift-gated-retrain state (st45): the st26 detector plus the
+  * last two values (next row's AR(2) features) and each segment's ridge
+  * normal-equation partials in s11/s12/s1/s22/s2/b0/b1/b2 order —
+  * decimals as strings, exact across resumes. Empty prev strings mean
+  * the lag does not exist yet.
+  */
+case class RetrainState(event_type: String, cs: String, mn: String,
+    nPts: Long, firstAlarm: Long, prev1: String, prev2: String,
+    n0: Long, seg0: Seq[String], n1: Long, seg1: Seq[String])
 
 /** Per-user funnel position (st28): event count + the three stage
   * timestamps in epoch micros (-1 = stage not reached).

@@ -343,6 +343,20 @@ class R10OpsSuite extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("st45: incremental drift-retrain state lands on p09's batch " +
+    "weights bit-for-bit, and the fold resumes exactly across triggers") {
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("segment"),
+        r.getAs[Long]("n_fit"), Option(r.getAs[java.lang.Long]("drift_at")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("w_lag1")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("w_lag2")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("w_bias")))).toSeq
+    val stream =
+      key(SparkEntry.queries("st45_stream_drift_retrain")(spark, sf).collect())
+    val batch = key(SparkEntry.queries("p09_drift_retrain")(spark, sf).collect())
+    assert(stream == batch)
+  }
+
   test("g14: Adamic-Adar emits only non-edges, every score replays from " +
     "1/ln(deg) over true common neighbors") {
     val rows = SparkEntry.queries("g14_adamic_adar")(spark, sf).collect()
