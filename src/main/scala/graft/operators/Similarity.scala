@@ -1471,10 +1471,12 @@ object Similarity {
         .filter(!isnan(col("cos")))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select("q_id", "vec_id")
+      // gate arithmetic over O(|Q|) rows — every side is bounded by the
+      // 16-query predicate at ANY corpus scale, so the joins broadcast
       val perQ = served.groupBy("q_id").agg(count(lit(1)).as("n3"))
-      val hits = exact.join(served, Seq("q_id", "vec_id"))
+      val hits = exact.join(broadcast(served), Seq("q_id", "vec_id"))
         .groupBy("q_id").agg(count(lit(1)).as("hits"))
-      perQ.join(hits, Seq("q_id"), "left")
+      perQ.join(broadcast(hits), Seq("q_id"), "left")
         .agg(
           count(lit(1)).as("n_queries"),
           (min(col("n3")) === 3 && max(col("n3")) === 3)

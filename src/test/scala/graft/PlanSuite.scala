@@ -686,6 +686,30 @@ class PlanSuite extends AnyFunSuite {
       "token table no longer read from the materialized cache")
   }
 
+  test("s18/s19: no shuffle join and no cartesian anywhere in the serving " +
+    "stack — bounded sides broadcast, corpus stays put") {
+    for (q <- Seq("s18_quantized_rerank", "s19_ivf_quantized_rerank")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffles a corpus-sized join side")
+      assert(!p.contains("CartesianProduct"), s"$q went quadratic")
+    }
+  }
+
+  test("p09: detection, featurization and the in-plan solve ride ONE data " +
+    "shuffle (all four windows share the sort exchange; the solve is " +
+    "projection-only)") {
+    val p = plan("p09_drift_retrain")
+    val exchanges = p.split("\n")
+      .count(l => l.trim.matches("""\(\d+\) Exchange"""))
+    // one hash exchange for the (event_type | ts, event_id) window chain
+    // + the final ORDER BY's range exchange over O(segments) rows
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Join"),
+      "p09 should be join-free — segmentation is a window, not a self-join")
+  }
+
   test("p08 router: ONE scan of the wire stream feeds every envelope " +
     "branch; the parse + fan-out stays in whole-stage codegen") {
     // the router is source-agnostic: pin the plan on a batch frame (the
