@@ -1103,9 +1103,16 @@ object Similarity {
     // per-rank agreement emitted as a hash-gated column. Every score is
     // the shared left-fold dot kernel (bit-identical cross-engine); the
     // norm cap is a one-row broadcast max over n² (no sqrt until the
-    // final scalar ops). Scale shape: identical to s01's baseline — one
-    // broadcast of the 16-query set, one corpus scan, per-query top-k;
-    // the reduction adds two scalars per row.
+    // final scalar ops). Scale shape: the scoring pass is s01's — one
+    // broadcast of the 16-query set, one corpus scan (the codegen'd
+    // dot_ff kernel) — but this GATE ARM then ranks via two windows
+    // over the scored set, because it must report each emitted row's
+    // rank under BOTH orderings to prove the reduction (a bounded heap
+    // can't give a non-member's global rank). That costs two per-query
+    // sorts (measured 8.05 s at 2M vectors, SCALE.md r10 ANN probe) and
+    // is the parity-gate shape only: PRODUCTION MIPS serving is the
+    // point of the reduction — augment once, then ride the s02–s14
+    // cosine stack (LSH/IVF/heaps) unchanged.
     Op("s15_mips_search", (s, d) => {
       val e = T.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
