@@ -229,11 +229,17 @@ object MLOps {
     // Prediction serving, hash-gated: the fitted values themselves are
     // training-path floats no SQL oracle can derive, so each scored row
     // carries the invariants that PROVE the serving path (the ml12/ml13
-    // pattern): the prediction is in the classifier's domain {-1, +1}, and
-    // one model-level gate — training accuracy beats the ~0.5 majority
-    // class with margin (gated at 0.60; the gate passes at every fixture
-    // and parallelism the driver checks) — rides along. A scoring regression (NaN params, broken preprocessor chain,
-    // wrong sign convention) flips a hashed boolean on every row.
+    // pattern): the prediction is in the classifier's domain {-1, +1},
+    // the model is not a constant predictor (both classes appear — the
+    // degenerate-scaler failure, which scores exactly the majority share
+    // and no accuracy threshold can separate from a weak fit), and
+    // training accuracy strictly beats coin-flip. The gate was 0.60
+    // until a full sf0.1 check exposed it as fixture-tuned: the
+    // synthetic labels are only weakly learnable there (PA reads 0.5385
+    // vs a 0.502 majority share, while sf0.01 reads 0.626), so the
+    // margin gate traded robustness-across-fixtures for nothing — the
+    // regressions it aimed at (NaN params, broken preprocessor, wrong
+    // sign convention) are each caught by a dedicated boolean instead.
     Op("ml09_predictions", (s, d) => {
       val df = binary(features(s, d))
       val fitted = Trainer.fit(s,
@@ -241,16 +247,18 @@ object MLOps {
         toRdd(df))
       val scored = fitted.predict(s, df)
         .join(df.select(col("id"), col("target")), "id")
-      val acc = scored
-        .agg(avg(when(col("prediction") === col("target"), 1.0).otherwise(0.0)))
-        .head().getDouble(0)
+      val Array(acc, nClasses) = scored
+        .agg(avg(when(col("prediction") === col("target"), 1.0).otherwise(0.0)),
+          countDistinct(col("prediction")).cast(DoubleType))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
       scored.select(col("id"),
         col("prediction").isin(-1.0, 1.0).as("pred_in_domain"),
-        lit(acc >= 0.60).as("acc_beats_majority"))
+        lit(nClasses == 2.0).as("predicts_both_classes"),
+        lit(acc > 0.50).as("acc_beats_coinflip"))
         .orderBy("id")
     },
       Some("""SELECT vec_id AS id, true AS pred_in_domain,
-        |  true AS acc_beats_majority
+        |  true AS predicts_both_classes, true AS acc_beats_coinflip
         |FROM embeddings ORDER BY id""".stripMargin)),
     // ------------------------------------------------------------------
     // Hash-gated hub statistics: every communication counter is EXACTLY
