@@ -1429,6 +1429,111 @@ object Similarity {
     // and sf0.1 (driver-hash-verified); the pool can only lose what the
     // IVF probe already missed plus int8 rank inversions past C=20, so
     // its ceiling is s03's probe recall.
+    // ------------------------------------------------------------------
+    // RERANK POOL-SIZE TUNING CURVE (the d22/s07 parameter-sweep pattern
+    // applied to s18): for C in {5, 10, 20, 40}, how much of the exact
+    // top-5 does the int8 candidate pool retain? This is THE sizing
+    // question for the two-stage stack — C multiplies the float-kernel
+    // cost per query, so the curve is what an operator reads to pick the
+    // cheapest pool that holds recall. Fully EXACT cross-engine (unlike
+    // the invariant-gated IVF curve s07): int8 scores are integers, the
+    // exact top-5 is the proven cosine fold, and the emitted cells are
+    // integer hit counts plus one correctly-rounded 6-dp division.
+    // Scale shape: ONE int8 scan (the C=40 heap serves every smaller C
+    // by rank prefix), one exact-baseline scan, then O(|Q| x 40) rows
+    // join O(|Q| x 5) — driver-free, output O(#C values).
+    Op("s20_rerank_recall_curve", (s, d) => {
+      val e = T.embeddings(s, d)
+      val codes = e
+        .select(col("vec_id"), F.i8Codes(col("embedding")).as("q"))
+        .filter(size(col("q")) > 0)
+      val qs = codes.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("q").as("qv"))
+      // one C=40 heap; each smaller pool is a rank prefix of it
+      val pool = codes.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("iscore", F.dotLL(col("qv"), col("q")))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("iscore")).as("ns"), col("vec_id")), 40).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).as("rc"),
+          col("col.vec_id").as("vec_id"))
+      val qe = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact5 = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(qe))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
+        .filter(!isnan(col("cos")))
+        .groupBy("q_id")
+        .agg(F.topkStructs(
+          struct((-col("cos")).as("nc"), col("vec_id")), 5).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("c"))
+        .select(col("q_id"), col("c.vec_id").as("vec_id"))
+      val nQ = 16L
+      val hitsByRank = pool.join(exact5, Seq("q_id", "vec_id"))
+        .select(col("rc"))
+      hitsByRank
+        .crossJoin(broadcast(
+          s.range(1).select(explode(
+            lit(Array(5, 10, 20, 40))).as("pool_c"))))
+        .filter(col("rc") <= col("pool_c"))
+        .groupBy("pool_c")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("pool_c").cast(LongType).as("pool_c"), col("hits"),
+          round(col("hits").cast(DoubleType) / lit((nQ * 5).toDouble), 6)
+            .as("recall_at_5"))
+        .orderBy("pool_c")
+    }, Some(s"""WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, xd,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(xd, x -> abs(x))), (a, b) -> greatest(a, b))
+      |      AS maxabs
+      |  FROM v),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(xd, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+      |      AS q
+      |  FROM m WHERE maxabs > 0),
+      |qq AS (SELECT vec_id AS q_id, q AS qv FROM c WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT qq.q_id, c.vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, len(c.q)),
+      |        i -> qv[i] * c.q[i])), (a, b) -> a + b) AS iscore
+      |  FROM c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+      |pool AS (
+      |  SELECT q_id, vec_id, rc FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY iscore DESC, vec_id) AS rc
+      |    FROM sc) WHERE rc <= 40),
+      |ex AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    ${VecSql.cos("q.q_emb", "e.embedding")} AS cos
+      |  FROM (SELECT vec_id AS q_id, embedding AS q_emb
+      |        FROM embeddings WHERE vec_id < 16) q
+      |  CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+      |ex5 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cos DESC, vec_id) AS rk
+      |    FROM ex WHERE NOT isnan(cos)) WHERE rk <= 5),
+      |hits AS (
+      |  SELECT pool.rc FROM pool
+      |  JOIN ex5 ON ex5.q_id = pool.q_id AND ex5.vec_id = pool.vec_id)
+      |SELECT CAST(t.pool_c AS BIGINT) AS pool_c,
+      |  COUNT(*) AS hits,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / 80.0, 6) AS recall_at_5
+      |FROM hits JOIN (VALUES (5), (10), (20), (40)) t(pool_c)
+      |  ON hits.rc <= t.pool_c
+      |GROUP BY t.pool_c ORDER BY pool_c""".stripMargin)),
     Op("s19_ivf_quantized_rerank", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val nlist = 16; val nprobe = 2; val cpool = 20
