@@ -126,11 +126,13 @@ class PlanSuite extends AnyFunSuite {
   }
 
   test("native expressions stay inside whole-stage codegen (no fallback)") {
-    // d04 (simhash32), t06 (rolling_hashes/md5_prefix32), s02 (dot_fd):
-    // each plan must show codegen stages (the `*(n)` stars in simple
-    // explain) and no CodegenFallback — a fallback would silently interpret
-    // the hot loop.
-    for (name <- Seq("d04_simhash", "t06_rolling_fingerprint", "s02_ann_lsh")) {
+    // d04 (simhash32), t06 (rolling_hashes/md5_prefix32), s02 (dot_fd),
+    // s16 (i8_codes + dot_ll — the r10 kernels whose whole point is the
+    // codegen'd hot loop), s15 (dot_ff): each plan must show codegen
+    // stages (the `*(n)` stars in simple explain) and no CodegenFallback
+    // — a fallback would silently interpret the hot loop.
+    for (name <- Seq("d04_simhash", "t06_rolling_fingerprint", "s02_ann_lsh",
+        "s16_int8_search", "s15_mips_search")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect() // materialize so AQE finalizes the physical stages
       val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
