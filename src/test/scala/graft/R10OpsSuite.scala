@@ -357,6 +357,30 @@ class R10OpsSuite extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("s20: the recall curve is monotone in C, and its C=40 point IS " +
+    "s18's realized recall against the exact top-5") {
+    val curve = SparkEntry.queries("s20_rerank_recall_curve")(spark, sf)
+      .collect().map(r => r.getAs[Long]("pool_c") ->
+        (r.getAs[Long]("hits"), r.getAs[Double]("recall_at_5"))).toMap
+    val cs = curve.keys.toSeq.sorted
+    assert(cs == Seq(5L, 10L, 20L, 40L))
+    cs.sliding(2).foreach { case Seq(a, b) =>
+      assert(curve(a)._1 <= curve(b)._1, s"hits not monotone at C=$b")
+    }
+    // s18 reranks the same C=40 pool with the same exact kernel, so the
+    // number of its emitted pairs that sit in the exact top-5 must equal
+    // the curve's C=40 hit count
+    val s18 = SparkEntry.queries("s18_quantized_rerank")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    val exact = SparkEntry.queries("s01_topk_bruteforce")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    assert(exact.intersect(s18).size.toLong == curve(40L)._1,
+      s"s18 top-5 hits ${exact.intersect(s18).size} != curve C=40 " +
+        s"hits ${curve(40L)._1}")
+  }
+
   test("g14: Adamic-Adar emits only non-edges, every score replays from " +
     "1/ln(deg) over true common neighbors") {
     val rows = SparkEntry.queries("g14_adamic_adar")(spark, sf).collect()
