@@ -1590,6 +1590,101 @@ object Dedup {
       |  CAST(vp AS BIGINT) AS v_phash
       |FROM merged WHERE vj + vs + vp >= 2
       |ORDER BY doc_a, doc_b""".stripMargin)),
+    // ------------------------------------------------------------------
+    // DUPLICATE-SPAN SCRUB — the production step AFTER d23's detection
+    // (Lee et al.'s ExactSubstr pipeline actually REMOVES the duplicated
+    // substrings before training): every maximal cross-doc duplicated
+    // span (d23's islands, shared via dupSpanRanges) is cut out of its
+    // document and the surviving pieces stitched back together. The gate
+    // hashes the SURGERY itself, not just the arithmetic d23 already
+    // covers: each doc emits its kept-character count AND an md5 prefix
+    // of the reconstructed kept text — one displaced cut boundary and
+    // the digest flips. Stitching is window-ordered gap extraction
+    // (prev covered end -> next span start) plus the tail, concatenated
+    // in span order; islands are provably disjoint with >=1 kept char
+    // between them (break condition gap > 40 vs cover reach 39), so the
+    // pieces never overlap. Docs under 40 chars or with no spans pass
+    // through whole. Scale shape: d23's candidate machinery verbatim,
+    // then O(spans) window rows rejoin text ONCE per doc for the
+    // substring projection — the reconstruction never shuffles text,
+    // only (doc_id, s, e) triples and the final per-doc concat.
+    Op("d28_span_scrub", (s, d) => {
+      val docs = T.documents(s, d)
+      val w = Window.partitionBy("doc_id").orderBy("s")
+      val pieces = dupSpanRanges(docs)
+        .withColumn("prev_end",
+          coalesce(lag(col("e") + 39, 1).over(w), lit(0L)))
+        .withColumn("last_end",
+          max(col("e") + 39).over(Window.partitionBy("doc_id")))
+        .join(docs.select(col("doc_id"), col("text"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          concat(
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(s, substring(text, cast(prev_end + 1 as int), " +
+              "cast(s - prev_end - 1 as int))))), x -> x.col2), '')"),
+            first(expr("substring(text, cast(last_end + 1 as int), " +
+              "cast(n_chars - last_end as int))")))
+            .as("kept_text"))
+      docs
+        .join(pieces, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("kept_text"), col("text")).as("kept"),
+          col("n_chars"))
+        .select(col("doc_id"), col("n_spans"),
+          length(col("kept")).cast(LongType).as("kept_chars"),
+          (col("n_chars") - length(col("kept"))).cast(LongType)
+            .as("removed_chars"),
+          expr("cast(conv(substring(md5(kept), 1, 8), 16, 10) as bigint)")
+            .as("kept_md5p"))
+        .orderBy("doc_id")
+    }, Some("""WITH g AS (
+      |  SELECT doc_id, n_chars, pos, md5(substr(text, pos, 40)) AS h
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE n_chars >= 40),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER
+      |      (PARTITION BY doc_id ORDER BY pos) > 40
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM dp),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk),
+      |sp AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |ordered AS (
+      |  SELECT doc_id, s,
+      |    COALESCE(LAG(e + 39) OVER (PARTITION BY doc_id ORDER BY s), 0)
+      |      AS prev_end
+      |  FROM sp),
+      |tails AS (SELECT doc_id, MAX(e + 39) AS last_end FROM sp GROUP BY doc_id),
+      |keptt AS (
+      |  SELECT o.doc_id, COUNT(*) AS n_spans,
+      |    STRING_AGG(substr(d.text, CAST(o.prev_end + 1 AS INT),
+      |      CAST(o.s - o.prev_end - 1 AS INT)), '' ORDER BY o.s)
+      |    || substr(d.text, CAST(t.last_end + 1 AS INT)) AS kept
+      |  FROM ordered o JOIN documents d ON d.doc_id = o.doc_id
+      |  JOIN tails t ON t.doc_id = o.doc_id
+      |  GROUP BY o.doc_id, d.text, t.last_end)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(k.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(length(COALESCE(k.kept, d.text)) AS BIGINT) AS kept_chars,
+      |  CAST(d.n_chars - length(COALESCE(k.kept, d.text)) AS BIGINT)
+      |    AS removed_chars,
+      |  ('0x' || substr(md5(COALESCE(k.kept, d.text)), 1, 8))::BIGINT
+      |    AS kept_md5p
+      |FROM documents d LEFT JOIN keptt k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin)),
   )
 
   /** d27's engine, shared with the p06 flagship: the 2-of-3 ensemble
@@ -1774,7 +1869,11 @@ object Dedup {
     * the candidates alone — O(duplicated chars), not O(n_chars) — restores
     * exactness before island coalescing. Output and oracle are unchanged.
     */
-  private[graft] def maximalDupSpans(docs: DataFrame): DataFrame = {
+  /** d23's span machinery up to the maximal islands: one row per maximal
+    * cross-doc duplicated span, (doc_id, s, e) with covered chars
+    * [s, e+39]. Shared by d23's coverage aggregate and d28's scrub.
+    */
+  private[graft] def dupSpanRanges(docs: DataFrame): DataFrame = {
     val eligible = docs.filter(col("n_chars") >= 40)
     val rh = eligible
       .select(col("doc_id"),
@@ -1797,13 +1896,19 @@ object Dedup {
       .filter(col("nd") >= 2)
       .select("g")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = grams.join(dup, Seq("g"), "left_semi")
+    grams.join(dup, Seq("g"), "left_semi")
       .select("doc_id", "pos")
       .withColumn("b",
         when(col("pos") - lag(col("pos"), 1).over(w) > 40, 1L).otherwise(0L))
       .withColumn("island", sum(col("b")).over(w))
       .groupBy("doc_id", "island")
       .agg(min("pos").as("s"), max("pos").as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  private[graft] def maximalDupSpans(docs: DataFrame): DataFrame = {
+    val eligible = docs.filter(col("n_chars") >= 40)
+    val spans = dupSpanRanges(docs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 40).as("covered"),

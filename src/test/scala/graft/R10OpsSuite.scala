@@ -381,6 +381,32 @@ class R10OpsSuite extends AnyFunSuite {
         s"hits ${curve(40L)._1}")
   }
 
+  test("d28: the scrub's accounting is exactly d23's coverage — same " +
+    "spans, removed == covered, kept + removed == n_chars") {
+    val scrub = SparkEntry.queries("d28_span_scrub")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("kept_chars"), r.getAs[Long]("removed_chars"))).toMap
+    val d23 = SparkEntry.queries("d23_duplicate_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("covered_chars"))).toMap
+    val chars = T.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scrub.keySet == chars.keySet) // every doc passes through
+    var removedTotal = 0L
+    scrub.foreach { case (id, (nSpans, kept, removed)) =>
+      assert(kept + removed == chars(id), s"doc $id: kept+removed mismatch")
+      d23.get(id) match {
+        case Some((want, covered)) =>
+          assert(nSpans == want && removed == covered,
+            s"doc $id: scrub ($nSpans, $removed) != d23 ($want, $covered)")
+        case None => // under 40 chars: d23 excludes, scrub passes through
+          assert(nSpans == 0L && removed == 0L, s"doc $id scrubbed chars")
+      }
+      removedTotal += removed
+    }
+    assert(removedTotal > 0L, "fixture has cross-doc spans; none removed")
+  }
+
   test("g14: Adamic-Adar emits only non-edges, every score replays from " +
     "1/ln(deg) over true common neighbors") {
     val rows = SparkEntry.queries("g14_adamic_adar")(spark, sf).collect()
