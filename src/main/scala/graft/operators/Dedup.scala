@@ -1610,26 +1610,8 @@ object Dedup {
     // only (doc_id, s, e) triples and the final per-doc concat.
     Op("d28_span_scrub", (s, d) => {
       val docs = T.documents(s, d)
-      val w = Window.partitionBy("doc_id").orderBy("s")
-      val pieces = dupSpanRanges(docs)
-        .withColumn("prev_end",
-          coalesce(lag(col("e") + 39, 1).over(w), lit(0L)))
-        .withColumn("last_end",
-          max(col("e") + 39).over(Window.partitionBy("doc_id")))
-        .join(docs.select(col("doc_id"), col("text"), col("n_chars")),
-          Seq("doc_id"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_spans"),
-          concat(
-            expr("array_join(transform(array_sort(collect_list(" +
-              "struct(s, substring(text, cast(prev_end + 1 as int), " +
-              "cast(s - prev_end - 1 as int))))), x -> x.col2), '')"),
-            first(expr("substring(text, cast(last_end + 1 as int), " +
-              "cast(n_chars - last_end as int))")))
-            .as("kept_text"))
       docs
-        .join(pieces, Seq("doc_id"), "left")
+        .join(stitchKept(dupSpanRanges(docs), docs), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("kept_text"), col("text")).as("kept"),
@@ -1895,9 +1877,46 @@ object Dedup {
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("g")
+    positionsToSpans(
+      grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos"))
+  }
+
+  /** The scrub stitch (d28/st46): given maximal spans (doc_id, s, e) with
+    * covered chars [s, e+39], cut every span out of its document and
+    * reassemble the survivors — window-ordered gap substrings plus the
+    * tail, concatenated in span order. Returns one row per spanned doc:
+    * (doc_id, n_spans, kept_text). Spans from the island machinery are
+    * disjoint with >=1 kept char between them (break at gap > 40 vs
+    * cover reach 39), so pieces never overlap.
+    */
+  private[graft] def stitchKept(spans: DataFrame, docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    spans
+      .withColumn("prev_end",
+        coalesce(lag(col("e") + 39, 1).over(w), lit(0L)))
+      .withColumn("last_end",
+        max(col("e") + 39).over(Window.partitionBy("doc_id")))
+      .join(docs.select(col("doc_id"), col("text"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        concat(
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(s, substring(text, cast(prev_end + 1 as int), " +
+            "cast(s - prev_end - 1 as int))))), x -> x.col2), '')"),
+          first(expr("substring(text, cast(last_end + 1 as int), " +
+            "cast(n_chars - last_end as int))")))
+          .as("kept_text"))
+  }
+
+  /** Gaps-and-islands coalescing of duplicated window positions into
+    * maximal spans (the d23 interval machinery, factored for st46's
+    * admission path): (doc_id, pos) -> (doc_id, s, e).
+    */
+  private[graft] def positionsToSpans(dp: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, Seq("g"), "left_semi")
-      .select("doc_id", "pos")
+    dp
       .withColumn("b",
         when(col("pos") - lag(col("pos"), 1).over(w) > 40, 1L).otherwise(0L))
       .withColumn("island", sum(col("b")).over(w))

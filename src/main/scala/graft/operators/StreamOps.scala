@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** st46's standing corpus window index (16-byte md5 per 40-char window),
+    * persisted once per fixture dir — the coPurchaseEdges shared-artifact
+    * pattern; production maintains this incrementally at ingest.
+    */
+  private val winIdxCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private def uniq(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
@@ -2495,6 +2502,132 @@ object StreamOps {
           col("drift_at"), col("w_lag1"), col("w_lag2"), col("w_bias"))
         .orderBy("event_type", "segment")
     }, Some(MLOps.driftRetrainOracle)),
+    // ------------------------------------------------------------------
+    // STREAMING ADMISSION SCRUB (d28 at the ingest boundary): arriving
+    // documents (the deterministic doc_id % 5 == 3 slice, two triggers)
+    // are checked against the STATIC corpus's 40-char window index —
+    // any window already present in the existing corpus is a duplicated
+    // span at admission — and the covered spans are cut out BEFORE the
+    // doc enters the store: detect, coalesce to maximal islands, stitch
+    // the survivors (d28's shared positionsToSpans/stitchKept), all
+    // inside foreachBatch per trigger. Gate: the batch SQL replay of
+    // the same split must reproduce every kept-text digest — trigger
+    // boundaries cannot move a cut because each doc arrives whole. The
+    // fixture index carries exact window md5s for oracle parity; the
+    // 100 TB shape prefilters with the 8-byte rolling hash and bands
+    // the index (d23's candidate trick) so the per-trigger probe is a
+    // semi-join against a bounded bucket slice, never the raw corpus.
+    Op("st46_stream_admission_scrub", (s, d) => {
+      val docs = T.documents(s, d)
+      // static side: the existing corpus's window index — 16-byte binary
+      // md5 per 40-char window, persisted ONCE per fixture and shared
+      // across invocations (the coPurchaseEdges/quantCache shared-artifact
+      // pattern: in production this is the store's standing dedup index,
+      // maintained incrementally, not rebuilt per query)
+      val idxDir = winIdxCache.getOrElseUpdate(d, {
+        val p = Streaming.scratchDir("graft_st46_idx_")
+        docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
+          .select(col("text"),
+            explode(expr("sequence(1, cast(n_chars as int) - 39)")).as("pos"))
+          .select(expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val arriving = docs.filter(col("doc_id") % 5 === 3)
+      val dir = Streaming.scratchDir("graft_st46_src_")
+      arriving.filter(col("doc_id") < 2500).coalesce(1)
+        .write.mode("append").parquet(dir)
+      arriving.filter(col("doc_id") >= 2500).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val out = Streaming.scratchDir("graft_st46_out_")
+      val schema = arriving.schema
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = b.sparkSession
+            val idx = ss.read.parquet(idxDir)
+            val dp = b.filter(col("n_chars") >= 40)
+              .select(col("doc_id"), col("text"),
+                explode(expr("sequence(1, cast(n_chars as int) - 39)"))
+                  .as("pos"))
+              .select(col("doc_id"), col("pos"),
+                expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+              .join(idx, Seq("h"), "left_semi")
+              .select("doc_id", "pos")
+            val kept = Dedup.stitchKept(Dedup.positionsToSpans(dp), b)
+            b.join(kept, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                coalesce(col("kept_text"), col("text")).as("kept"),
+                col("n_chars"))
+              .write.mode("append").parquet(s"$out/adm")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/adm")
+        .select(col("doc_id"), col("n_spans"),
+          length(col("kept")).cast(LongType).as("kept_chars"),
+          (col("n_chars") - length(col("kept"))).cast(LongType)
+            .as("removed_chars"),
+          expr("cast(conv(substring(md5(kept), 1, 8), 16, 10) as bigint)")
+            .as("kept_md5p"))
+        .orderBy("doc_id")
+    }, Some("""WITH idx AS (
+      |  SELECT DISTINCT md5(substr(text, pos, 40)) AS h
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE doc_id % 5 <> 3 AND n_chars >= 40),
+      |arr AS (SELECT doc_id, text, n_chars FROM documents
+      |        WHERE doc_id % 5 = 3),
+      |g AS (
+      |  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h
+      |  FROM arr,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE n_chars >= 40),
+      |dp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM idx)),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER
+      |      (PARTITION BY doc_id ORDER BY pos) > 40
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM dp),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk),
+      |sp AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |ordered AS (
+      |  SELECT doc_id, s,
+      |    COALESCE(LAG(e + 39) OVER (PARTITION BY doc_id ORDER BY s), 0)
+      |      AS prev_end
+      |  FROM sp),
+      |tails AS (SELECT doc_id, MAX(e + 39) AS last_end FROM sp GROUP BY doc_id),
+      |keptt AS (
+      |  SELECT o.doc_id, COUNT(*) AS n_spans,
+      |    STRING_AGG(substr(a.text, CAST(o.prev_end + 1 AS INT),
+      |      CAST(o.s - o.prev_end - 1 AS INT)), '' ORDER BY o.s)
+      |    || substr(a.text, CAST(t.last_end + 1 AS INT)) AS kept
+      |  FROM ordered o JOIN arr a ON a.doc_id = o.doc_id
+      |  JOIN tails t ON t.doc_id = o.doc_id
+      |  GROUP BY o.doc_id, a.text, t.last_end)
+      |SELECT a.doc_id,
+      |  CAST(COALESCE(k.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(length(COALESCE(k.kept, a.text)) AS BIGINT) AS kept_chars,
+      |  CAST(a.n_chars - length(COALESCE(k.kept, a.text)) AS BIGINT)
+      |    AS removed_chars,
+      |  ('0x' || substr(md5(COALESCE(k.kept, a.text)), 1, 8))::BIGINT
+      |    AS kept_md5p
+      |FROM arr a LEFT JOIN keptt k ON k.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate
