@@ -60,6 +60,11 @@ object VectorOps {
     var i = 0
     while (i < n) {
       val v = math.abs(a.getFloat(i).toDouble)
+      // A NaN element poisons the scale: treat the vector as zero-norm and
+      // return the empty array (the defined degenerate case), instead of
+      // silently keeping the row with floor(NaN)->0 codes (ADVICE r10).
+      if (v != v) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
       if (v > maxabs) maxabs = v
       i += 1
     }
@@ -83,7 +88,12 @@ object VectorOps {
     * list_reduce form, without the per-pair intermediate array.
     */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // The zip_with+aggregate form this replaces null-pads ragged pairs and
+    // yields NULL; a silent min()-truncation would instead score a prefix.
+    // Fail loudly so a length regression surfaces as an error, not a wrong
+    // similarity (ADVICE r10).
+    require(n == b.numElements(), s"dot_ff: length mismatch $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -98,7 +108,8 @@ object VectorOps {
     * (x - y) * (x - y)), 0.0, +)` without the per-pair array.
     */
   def dist2DD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(), s"dist2_dd: length mismatch $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -116,7 +127,8 @@ object VectorOps {
     * PAIR.
     */
   def dotLL(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(), s"dot_ll: length mismatch $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -2524,7 +2524,22 @@ object StreamOps {
       // across invocations (the coPurchaseEdges/quantCache shared-artifact
       // pattern: in production this is the store's standing dedup index,
       // maintained incrementally, not rebuilt per query)
-      val idxDir = winIdxCache.getOrElseUpdate(d, {
+      // Cache key carries a content fingerprint (documents parquet mtimes),
+      // not just the dir path — regenerating a fixture in place within one
+      // JVM session invalidates the persisted index (ADVICE r10).
+      val docsFp = {
+        val p = java.nio.file.Paths.get(d, "documents.parquet")
+        val fp = new StringBuilder
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).sorted().forEach(f =>
+            fp.append(f.getFileName).append(':')
+              .append(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+              .append(';'))
+        else if (java.nio.file.Files.exists(p))
+          fp.append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        fp.toString
+      }
+      val idxDir = winIdxCache.getOrElseUpdate(s"$d#$docsFp", {
         val p = Streaming.scratchDir("graft_st46_idx_")
         docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
           .select(col("text"),

@@ -705,11 +705,15 @@ class PlanSuite extends AnyFunSuite {
     val exchanges = p.split("\n")
       .count(l => l.trim.matches("""\(\d+\) Exchange"""))
     // one hash exchange for the (event_type | ts, event_id) window chain
-    // + the final ORDER BY's range exchange over O(segments) rows
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" +
+    // + the final ORDER BY's range exchange over O(segments) rows; an upper
+    // bound, not exact equality — planner-neutral AQE/version changes may
+    // elide one, but a third exchange means a lost shared sort (ADVICE r10)
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Join"),
-      "p09 should be join-free — segmentation is a window, not a self-join")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j),
+        s"p09 should be join-free ($j found) — segmentation is a window, not a self-join")
   }
 
   test("p08 router: ONE scan of the wire stream feeds every envelope " +
