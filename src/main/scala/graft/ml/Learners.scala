@@ -609,12 +609,33 @@ class MLP(val hidden: Int, val classes: Int, val seed: Long, val lr: Double)
   }
 }
 
+/** EXTENSION (not in the reference catalog — documented delta per SURVEY
+  * §2.6): mini-batch K-means that is NOT SingleLearner-forced. Mechanics are
+  * [[OnlineKMeans]]'s (same MacQueen update, same count-weighted merge); the
+  * distinct NAME is what opts out of the reference's K-means→SingleLearner
+  * resolution rule (FlinkSpoke.scala:203-211) so the learner can run W
+  * parallel replicas under Synchronous — each round every partition
+  * MacQueen-updates a replica seeded from the shared global centroids and
+  * the hub folds them weighted by assignment counts. Semantic delta vs the
+  * reference's K-means: parallel replicas see interleaved slices instead of
+  * the single global point order, so trajectories differ BY DESIGN; the
+  * ml32 gate checks cluster-quality parity (inertia within tolerance of the
+  * sequential fit), not trajectory identity. Callers must hand Trainer.fit
+  * a SHARED seed model (see ml32) — without one, round-1 replicas seed
+  * their own buffers and cluster ids don't align across partitions.
+  */
+final class MiniBatchKMeans(k0: Int) extends OnlineKMeans(k0) {
+  override def name = "MiniBatchKMeans"
+}
+
 object Learners {
   /** Learner catalog; names as validated by the reference
-    * (PipelineMap.scala:66-69).
+    * (PipelineMap.scala:66-69), plus the documented MiniBatchKMeans
+    * extension (SURVEY §2.6 delta; see [[MiniBatchKMeans]]).
     */
   val names: Set[String] =
-    Set("PA", "RegressorPA", "ORR", "SVM", "MultiClassPA", "K-means", "NN", "HT")
+    Set("PA", "RegressorPA", "ORR", "SVM", "MultiClassPA", "K-means", "NN", "HT",
+      "MiniBatchKMeans")
 
   def create(name: String, hp: Map[String, Double] = Map.empty): OnlineLearner =
     name match {
@@ -626,6 +647,7 @@ object Learners {
       case "MultiClassPA" =>
         new MultiClassPA(hp.getOrElse("C", 0.01), hp.getOrElse("classes", 10.0).toInt)
       case "K-means" => new OnlineKMeans(hp.getOrElse("k", 8.0).toInt)
+      case "MiniBatchKMeans" => new MiniBatchKMeans(hp.getOrElse("k", 8.0).toInt)
       case "NN" => new MLP(hp.getOrElse("hidden", 16.0).toInt,
         hp.getOrElse("classes", 1.0).toInt, hp.getOrElse("seed", 42.0).toLong,
         hp.getOrElse("lr", 0.05))

@@ -220,7 +220,19 @@ object JobTopology {
           ()
         }
         .start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      // scale-probe telemetry (P08_TRACE): the spoke's keyed state must stay
+      // protocol-sized — O(pipelines x workers) rows, model-sized bytes —
+      // regardless of streamed volume; lastProgress carries the state
+      // operator's row/byte ledger for the final commit
+      if (sys.env.contains("P08_TRACE")) {
+        val p = q.lastProgress
+        if (p != null) p.stateOperators.foreach(so =>
+          println(s"P08 state rows=${so.numRowsTotal} " +
+            s"memBytes=${so.memoryUsedBytes} " +
+            s"commitMs=${so.commitTimeMs}"))
+      }
+      q.stop()
     }
   }
 

@@ -400,6 +400,56 @@ object Multimodal {
       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), d),
       |    (a, b) -> greatest(a, b)) AS BIGINT) AS max_delta
       |FROM dl ORDER BY doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // CLUSTER-VALUED pHash dedup — the production shape of mm07 (r10
+    // verdict #2): the mm07 100x probe proved pair emission is quadratic
+    // in clique size BY CONTRACT (a 100-member clique is 4,950 pairs;
+    // 131M pairs at 100x), so the shape a deployment runs is
+    // cluster-valued — band buckets -> hamming-verified pairs ->
+    // star-contraction connected components (d09's O(log n)-round
+    // machinery) -> ONE row per cluster: representative (the min member,
+    // which IS the CC label), member count, and the max hamming radius
+    // to the representative (members' phashes joined back once). Output
+    // is O(clusters); the only O(pairs) stage is the banded candidate
+    // join mm07 already bounds. The oracle recomputes the transitive
+    // closure of the unfiltered hamming<=7 pair graph with a recursive
+    // CTE — proving both the lossless banding AND the contraction.
+    Op("mm11_phash_clusters", (s, d) => {
+      val ph = phashOf(T.documents(s, d)).cache()
+      val pairs = phashNeardupPairs(phashBands(ph)).select("doc_a", "doc_b")
+      val labels = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      val members = labels.join(ph, col("node") === col("doc_id"))
+        .select(col("label"), col("node"), col("phash"))
+      // the CC label is the component's min node = the representative;
+      // its phash re-enters by one O(clusters)-row self-equi-join
+      val reps = members.filter(col("node") === col("label"))
+        .select(col("label"), col("phash").as("rep_phash"))
+      members.join(reps, "label")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          max(expr("bit_count(phash ^ rep_phash)")).cast(LongType)
+            .as("max_ham_to_rep"))
+        .orderBy("cluster_id")
+    },
+      Some(s"""WITH RECURSIVE $sqlPhashCtes,
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.t),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |mem AS (SELECT lab.node, lab.label, ph.phash
+        |        FROM lab JOIN ph ON ph.doc_id = lab.node),
+        |repp AS (SELECT label, phash AS rep_phash FROM mem WHERE node = label)
+        |SELECT m.label AS cluster_id, COUNT(*) AS size,
+        |  CAST(MAX(bit_count(xor(m.phash, r.rep_phash))) AS BIGINT) AS max_ham_to_rep
+        |FROM mem m JOIN repp r ON r.label = m.label
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
   )
 
   /** (bucket_id, p, q) standard aspect buckets; q divides 144. */

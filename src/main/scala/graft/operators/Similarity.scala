@@ -1599,6 +1599,65 @@ object Similarity {
       Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  true AS all_topk_complete, true AS recall_at_3_ge_090
         |FROM embeddings WHERE vec_id < 16""".stripMargin)),
+    // ------------------------------------------------------------------
+    // MIPS SERVING — s15's reduction on the deployment path (r10 verdict
+    // #6). s15 is the PARITY GATE: it must emit every row's rank under
+    // both orderings (inner product and augmented cosine) to prove the
+    // Shrivastava-Li reduction, which forces two corpus-wide rank windows
+    // per query (8.05 s at 2M vectors, SCALE.md r10). A deployment never
+    // re-proves the theorem per query: ranking by the augmented cosine IS
+    // ranking by raw inner product (per query, mips_cos = ip / const),
+    // so serving rides the s01/s16 bounded-heap shape — broadcast the
+    // ≤16-query set + the one-row corpus norm cap, ONE corpus scan with
+    // the codegen'd dot_ff kernel, per-partition top-5 heaps, O(q·k)
+    // merge, zero corpus shuffle and zero sort. The augmented-cosine
+    // score is still emitted (it's what a cosine-stack deployment
+    // stores); the oracle is s15's window-ranked arm restricted to the
+    // serving output — same rows, proving heap == window.
+    Op("s21_mips_serve", (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+            .as("n2"))
+      val maxN2 = e.agg(max("n2").as("m2"))
+      val q = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("n2").as("qn2"))
+      e.crossJoin(broadcast(q)).crossJoin(broadcast(maxN2))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ip", F.dotFF(col("q_emb"), col("embedding")))
+        // doubles negate losslessly: ascending (-ip, vec_id) == (ip DESC,
+        // vec_id ASC) — the s16 trick, no per-query candidate sort
+        .groupBy("q_id", "qn2", "m2")
+        .agg(F.topkStructs(
+          struct((-col("ip")).as("ni"), col("vec_id")), 5).as("tk"))
+        .select(col("q_id"), col("qn2"), col("m2"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rk"),
+          col("col.vec_id").as("vec_id"), (-col("col.ni")).as("ip"),
+          ((-col("col.ni")) / (sqrt(col("qn2")) * sqrt(col("m2"))))
+            .as("mips_cos"))
+        .orderBy("q_id", "rk")
+    }, Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${VecSql.dot("embedding", "embedding")} AS n2
+      |  FROM embeddings),
+      |m AS (SELECT MAX(n2) AS m2 FROM e),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+      |      FROM e WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    ${VecSql.dot("q.q_emb", "e.embedding")} AS ip, q.qn2, m.m2
+      |  FROM e CROSS JOIN q CROSS JOIN m
+      |  WHERE e.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, ip,
+      |    ip / (sqrt(qn2) * sqrt(m2)) AS mips_cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY ip DESC, vec_id) AS rk
+      |  FROM sc)
+      |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, ip, mips_cos
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
   )
 
   /** s18's two-stage oracle (int8 top-40 candidates, exact cosine top-5) —

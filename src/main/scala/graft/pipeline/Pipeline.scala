@@ -88,8 +88,14 @@ final class FittedPipeline(
   */
 object Trainer {
 
+  /** `init`: optional shared starting global model — round-1 replicas seed
+    * from it instead of `learner.init`. Required for MiniBatchKMeans
+    * (cluster-id alignment across replicas needs a common centroid seed);
+    * None for every reference learner, whose zero-init is already shared.
+    */
   def fit(spark: SparkSession, spec: PipelineSpec,
-      data: RDD[(Array[Double], Double)]): FittedPipeline = {
+      data: RDD[(Array[Double], Double)],
+      init: Option[ModelState] = None): FittedPipeline = {
     val sc = spark.sparkContext
     val learner = Learners.create(spec.learner, spec.learnerHp)
     val chain = Preprocess.fitChain(spec.preprocessors, data)
@@ -105,7 +111,7 @@ object Trainer {
       val dim = tdata.first()._1.length
       val testCap = spec.testCap
       val stats = ProtocolStats()
-      var global: Option[ModelState] = None
+      var global: Option[ModelState] = init
       var totalFitted = 0L
       var totalCumLoss = 0.0
       val curve = mutable.ArrayBuffer[Double]()
@@ -148,7 +154,7 @@ object Trainer {
       val histCap = sspS
         .map(s => math.min(s.toLong, (numParts - 1).toLong).toInt + 1)
         .getOrElse(1)
-      val recent = mutable.ArrayDeque[Option[ModelState]](None)
+      val recent = mutable.ArrayDeque[Option[ModelState]](init)
 
       for (r <- 1 to spec.rounds) {
         val bcSeeds = sc.broadcast(recent.toIndexedSeq)
@@ -313,7 +319,7 @@ object Trainer {
       val avgLoss = lossSum / n
       val score =
         if (learner.isClassifier) scoreSum / n
-        else if (learner.name == "K-means") -avgLossSafe(lossSum, n)
+        else if (learner.isInstanceOf[OnlineKMeans]) -avgLossSafe(lossSum, n)
         else -math.sqrt(scoreSum / n)
       (avgLoss, score)
     }

@@ -428,57 +428,98 @@ object Spoke {
   * (`spark.sql.streaming.stateStore.providerClass =
   * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`).
   *
-  * Deployment note (r10, measured): the ListState buffer's appendValue is a
-  * RocksDB merge, and with the provider default
-  * `trackTotalNumberOfRows=true` every merge also GETs the whole
-  * accumulated list to maintain the row-count metric — O(buffer) per
-  * append, quadratic across a large pre-Create buffer (a 50k-row buffer
-  * load sat minutes deep in RocksDB.get). Merge-heavy deployments must set
-  * `spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=false`;
-  * the R10 suite load test pins the tuned shape.
+  * Buffer shape (r10 verdict #5 — structural fix for a measured RocksDB
+  * trap): r10 stored the pre-Create buffer as one ListState and found that
+  * with the provider DEFAULT `trackTotalNumberOfRows=true` every
+  * appendValue (a RocksDB merge) also GETs the whole accumulated list to
+  * maintain the row-count metric — O(buffer) per append, quadratic across a
+  * large buffer (a 50k-row load sat >7 min in RocksDB.get until the flag
+  * was turned off). This binding is now IMMUNE to that flag: buffered rows
+  * live in fixed-size chunks ([[TwsSpoke.ChunkSize]] rows per entry) inside
+  * a MapState keyed by chunk index. MapState updates are plain point PUTs —
+  * no merge operator, so no row-count GET-the-world path exists — and each
+  * trigger touches ONE bounded tail chunk plus O(newRows/ChunkSize) closed
+  * chunks, with tracking ON or OFF (both pinned by the R10 suite load
+  * test). Appends within a trigger stage in task memory and flush once
+  * after the step, so per-row state-store work is amortized O(1).
   */
 class TwsSpokeProcessor(testMode: Boolean = false, testCap: Int = SpokeCore.TestCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Envelope, SpokeEvent] {
-  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var state: ValueState[SpokeState] = _
-  @transient private var buf: ListState[BufRow] = _
+  @transient private var bufChunks: MapState[Long, BufChunk] = _
+  @transient private var bufMeta: ValueState[Long] = _
 
   override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
     state = getHandle.getValueState[SpokeState]("spokeState",
       Encoders.product[SpokeState], TTLConfig.NONE)
-    // pre-Create buffer in its OWN ListState: appendValue is O(1) per row,
-    // vs rewriting a whole ValueState blob per buffered record — at the
-    // reference's 100k-row buffer cap that's the difference between O(1)
-    // and O(buffer) state-store work per trigger
-    buf = getHandle.getListState[BufRow]("preCreateBuffer",
-      Encoders.product[BufRow], TTLConfig.NONE)
+    bufChunks = getHandle.getMapState[Long, BufChunk]("preCreateChunks",
+      Encoders.scalaLong, Encoders.product[BufChunk], TTLConfig.NONE)
+    bufMeta = getHandle.getValueState[Long]("preCreateChunkCount",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Int, rows: Iterator[Envelope],
       timerValues: TimerValues): Iterator[SpokeEvent] = {
     val prev = if (state.exists()) Some(state.get()) else None
+    // appends stage here during the step; flushed to chunked state below
+    val pending = scala.collection.mutable.ArrayBuffer.empty[BufRow]
     val ext = new SpokeBuffer {
       override def append(features: Seq[Double], target: Option[Double]): Unit =
-        buf.appendValue(BufRow(features, target))
+        pending += BufRow(features, target)
       override def drain(): Seq[(Seq[Double], Option[Double])] = {
-        val all = buf.get().map(r => (r.features, r.target)).toSeq
-        buf.clear()
+        val nc = if (bufMeta.exists()) bufMeta.get() else 0L
+        val stored = (0L until nc).iterator
+          .flatMap(i => bufChunks.getValue(i).rows)
+          .map(r => (r.features, r.target)).toSeq
+        if (nc > 0) { bufChunks.clear(); bufMeta.clear() }
+        val all = stored ++ pending.map(r => (r.features, r.target))
+        pending.clear()
         all
       }
     }
     val (out, next) = SpokeCore.step(key, rows, prev, Some(ext), testMode, testCap)
+    if (pending.nonEmpty) {
+      var nc = if (bufMeta.exists()) bufMeta.get() else 0L
+      var tail =
+        if (nc > 0)
+          scala.collection.mutable.ArrayBuffer.from(bufChunks.getValue(nc - 1).rows)
+        else { nc = 1L; scala.collection.mutable.ArrayBuffer.empty[BufRow] }
+      pending.foreach { r =>
+        if (tail.length >= TwsSpoke.ChunkSize) {
+          bufChunks.updateValue(nc - 1, BufChunk(tail.toSeq)) // close full chunk
+          nc += 1
+          tail = scala.collection.mutable.ArrayBuffer.empty[BufRow]
+        }
+        tail += r
+      }
+      bufChunks.updateValue(nc - 1, BufChunk(tail.toSeq))
+      bufMeta.update(nc)
+    }
     next.foreach(state.update)
     out.iterator
   }
 }
 
-/** Row shape of the transformWithState pre-Create buffer ListState. */
+/** Row shape of the transformWithState pre-Create buffer. */
 case class BufRow(features: Seq[Double], target: Option[Double])
 
+/** One fixed-size chunk of buffered rows — the MapState value type (see
+  * [[TwsSpokeProcessor]]'s buffer-shape note).
+  */
+case class BufChunk(rows: Seq[BufRow])
+
 object TwsSpoke {
+  /** Rows per buffer chunk: bounds every per-trigger state GET/PUT to
+    * ChunkSize rows regardless of total buffer size. 512 rows x ~(8B x dim)
+    * keeps a chunk well under RocksDB's comfortable value size at the
+    * fixture dims while amortizing the per-entry overhead 512x.
+    */
+  val ChunkSize = 512
+
   def run(envelopes: Dataset[Envelope], testMode: Boolean = false,
       testCap: Int = SpokeCore.TestCap): Dataset[SpokeEvent] = {
     import envelopes.sparkSession.implicits._

@@ -35,9 +35,13 @@ object Scale100Probe {
     val sfDir = args(0)
     val names = args.tail
     val cpus = sys.env.getOrElse("TIMEQ_CPUS", "32")
+    // r11 g01 A/B: let the probe scale shuffle partitions independently of
+    // executor threads (the deployment rule under test — partitions scale
+    // with data volume, threads with the machine)
+    val shuf = sys.env.getOrElse("SCALE_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

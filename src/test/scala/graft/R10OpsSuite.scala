@@ -201,21 +201,24 @@ class R10OpsSuite extends AnyFunSuite {
         Envelope(1000001L, pid, "control", "Query", "", 9L, -1, Nil, None, "")))
       .toDS().coalesce(1).write.mode("append").parquet(s"$dir/data")
 
-    def run(label: String, tws: Boolean): (Seq[SpokeEvent], Long) = {
+    def run(label: String, tws: Boolean,
+        trackRows: Boolean = false): (Seq[SpokeEvent], Long) = {
       val s2 = spark.newSession()
       if (tws) {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         // MEASURED r10 finding: with the default
-        // trackTotalNumberOfRows=true, every ListState.appendValue does a
+        // trackTotalNumberOfRows=true, every ListState.appendValue did a
         // RocksDB GET of the whole merged list to maintain the row-count
         // metric — O(buffer) per append, quadratic over a 50k-row buffer
         // (the first run of this test sat >7 minutes in RocksDB.get).
-        // Disabling the count restores the O(1) merge-append the ListState
-        // design promises; any merge-heavy TwsSpoke deployment needs this.
+        // r11: the buffer moved to fixed-size chunks in a MapState (point
+        // PUTs, no merge operator), making the shape immune to the flag —
+        // this test now runs the TwsSpoke arm under BOTH settings and
+        // requires both to finish fast with identical answers.
         s2.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
-          "false")
+          trackRows.toString)
       }
       val src = s2.readStream
         .schema(implicitly[Encoder[Envelope]].schema)
@@ -238,14 +241,18 @@ class R10OpsSuite extends AnyFunSuite {
     }
 
     val (twsRows, twsMs) = run("tws", tws = true)
+    val (twsTrackedRows, twsTrackedMs) =
+      run("twstracked", tws = true, trackRows = true)
     val (fmRows, fmMs) = run("fm", tws = false)
-    info(s"50k-row pre-Create buffer: TwsSpoke/ListState ${twsMs}ms, " +
+    info(s"50k-row pre-Create buffer: TwsSpoke/chunked-MapState ${twsMs}ms " +
+      s"(tracking off) / ${twsTrackedMs}ms (tracking ON), " +
       s"fMGWS whole-state rewrite ${fmMs}ms")
     def gate(rows: Seq[SpokeEvent]) = rows
       .map(e => (e.pipelineId, e.kind, e.requestId, e.value, e.info))
       .sortBy(t => (t._1, t._2, t._3))
-    // both bindings drain all 50k rows per pipeline and answer identically
+    // all bindings drain all 50k rows per pipeline and answer identically
     assert(gate(twsRows) == gate(fmRows))
+    assert(gate(twsTrackedRows) == gate(fmRows))
     Seq(1, 2).foreach { pid =>
       val drain = twsRows.find(e => e.pipelineId == pid && e.kind == "log").get
       assert(drain.value == nRows.toDouble, drain.toString)

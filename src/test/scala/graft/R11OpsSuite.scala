@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.F
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the round-11 additions: the vector kernels' loud
+  * length guard (ragged inputs must error, never score a truncated prefix),
+  * i8_codes' defined NaN degenerate case, and the MiniBatchKMeans extension's
+  * protocol resolution (the whole point is NOT being SingleLearner-forced,
+  * while the reference's K-means rule stays intact).
+  */
+class R11OpsSuite extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("dot_ff / dot_ll / dist2_dd fail loudly on ragged vectors instead " +
+    "of silently scoring a truncated prefix (ADVICE r10)") {
+    import spark.implicits._
+    val ragged = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+    val err = intercept[Exception] {
+      ragged.select(F.dotFF(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage != null)
+    val raggedL = Seq((Seq(1L, 2L, 3L), Seq(1L))).toDF("a", "b")
+    intercept[Exception] {
+      raggedL.select(F.dotLL(col("a"), col("b"))).collect()
+    }
+    val raggedD = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    intercept[Exception] {
+      raggedD.select(F.dist2DD(col("a"), col("b"))).collect()
+    }
+    // equal lengths still compute (the guard is length-only)
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .select(F.dotFF(col("a"), col("b")).as("d")).head().getDouble(0)
+    assert(ok == 11.0)
+  }
+
+  test("i8_codes treats a NaN element as zero-norm (empty codes), the same " +
+    "degenerate case as the all-zero vector (ADVICE r10)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, Float.NaN, 3.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, -2.0f, 4.0f))).toDF("id", "v")
+    val out = df.select(col("id"), F.i8Codes(col("v")).as("q"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1).isEmpty, "NaN vector must yield empty codes")
+    assert(out(1).getSeq[Long](1).isEmpty, "zero vector must yield empty codes")
+    assert(out(2).getSeq[Long](1) == Seq(31L, -64L, 127L))
+  }
+
+  test("MiniBatchKMeans resolves under the requested parallel protocol; " +
+    "the reference's K-means/HT SingleLearner forcing is untouched") {
+    import graft.ml.Protocols
+    assert(Protocols.resolveName("Synchronous", "MiniBatchKMeans", 8)
+      == "Synchronous")
+    assert(Protocols.resolveName("Asynchronous", "K-means", 8)
+      == "SingleLearner")
+    assert(Protocols.resolveName("Asynchronous", "HT", 8) == "SingleLearner")
+    // parallelism 1 still forces CentralizedTraining for the extension too
+    assert(Protocols.resolveName("Synchronous", "MiniBatchKMeans", 1)
+      == "CentralizedTraining")
+  }
+
+  test("MiniBatchKMeans with a shared seed matches sequential K-means " +
+    "cluster quality (inertia parity) and actually runs 8 replicas") {
+    import graft.ml.{KMeansState, OnlineKMeans}
+    import graft.pipeline.{PipelineSpec, Trainer}
+    val sf = "/root/testdata/sf0.001"
+    val df = T.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("features"),
+        col("label").cast(DoubleType).as("target"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+    def rdd = df.select("features", "target").rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val seedPts = df.orderBy("id").limit(64)
+      .select("features").collect().map(_.getSeq[Double](0).toArray)
+    val seeder = new OnlineKMeans(8)
+    val seed = seeder.init(seedPts.head.length)
+    seedPts.foreach(p => seeder.fit(seed, p, 0.0))
+    seeder.finish(seed)
+    seed.n = 0L; seed.cumLoss = 0.0
+    val par = Trainer.fit(spark,
+      PipelineSpec(32, "MiniBatchKMeans", Map("k" -> 8.0), Nil, "Synchronous"),
+      rdd, Some(seed))
+    val seq = Trainer.fit(spark,
+      PipelineSpec(6, "K-means", Map("k" -> 8.0), Nil, "Asynchronous"), rdd)
+    assert(par.protocolName == "Synchronous")
+    assert(seq.protocolName == "SingleLearner")
+    assert(par.statistics.modelsShipped == 24L) // 8 replicas x 3 rounds
+    def inertia(m: graft.ml.ModelState): Double = {
+      val bc = spark.sparkContext.broadcast(m.asInstanceOf[KMeansState])
+      rdd.map { case (x, _) => bc.value.nearestDist(x) }.sum()
+    }
+    val r = inertia(par.model) / inertia(seq.model)
+    assert(r < 1.5 && r > 0.5, s"inertia ratio $r outside parity band")
+  }
+}
