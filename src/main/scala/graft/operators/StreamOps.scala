@@ -24,6 +24,30 @@ object StreamOps {
   private val winIdxCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st47's standing pHash band index (doc_id, phash, band, bits of the
+    * non-arriving corpus slice) — same shared-artifact pattern/cache rules
+    * as [[winIdxCache]].
+    */
+  private val phashIdxCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Content fingerprint of a fixture's documents table (file mtimes) —
+    * cache keys carry it so regenerating a fixture in place invalidates
+    * persisted shared artifacts (ADVICE r10).
+    */
+  private def docsFingerprint(d: String): String = {
+    val p = java.nio.file.Paths.get(d, "documents.parquet")
+    val fp = new StringBuilder
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).sorted().forEach(f =>
+        fp.append(f.getFileName).append(':')
+          .append(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .append(';'))
+    else if (java.nio.file.Files.exists(p))
+      fp.append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    fp.toString
+  }
+
   private def uniq(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
@@ -2527,19 +2551,7 @@ object StreamOps {
       // Cache key carries a content fingerprint (documents parquet mtimes),
       // not just the dir path — regenerating a fixture in place within one
       // JVM session invalidates the persisted index (ADVICE r10).
-      val docsFp = {
-        val p = java.nio.file.Paths.get(d, "documents.parquet")
-        val fp = new StringBuilder
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).sorted().forEach(f =>
-            fp.append(f.getFileName).append(':')
-              .append(java.nio.file.Files.getLastModifiedTime(f).toMillis)
-              .append(';'))
-        else if (java.nio.file.Files.exists(p))
-          fp.append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        fp.toString
-      }
-      val idxDir = winIdxCache.getOrElseUpdate(s"$d#$docsFp", {
+      val idxDir = winIdxCache.getOrElseUpdate(s"$d#${docsFingerprint(d)}", {
         val p = Streaming.scratchDir("graft_st46_idx_")
         docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
           .select(col("text"),
@@ -2643,6 +2655,87 @@ object StreamOps {
       |    AS kept_md5p
       |FROM arr a LEFT JOIN keptt k ON k.doc_id = a.doc_id
       |ORDER BY a.doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // STREAMING pHASH ADMISSION (mm11 at the ingest boundary — the
+    // multimodal twin of st46): arriving assets (the doc_id % 5 == 3
+    // slice, two triggers) are perceptual-hashed and checked against the
+    // STANDING corpus's pHash band index; an arrival within hamming 7 of
+    // any standing asset is a near-duplicate and gets ASSIGNED to that
+    // asset's cluster (rep = argmin by (hamming, standing id) — the
+    // deterministic tie rule shared with the oracle's window), otherwise
+    // it is admitted as new. All integer arithmetic — no float hazard
+    // anywhere. Trigger boundaries cannot move a decision (each asset
+    // scores against the static index only). Scale shape: the index is
+    // the store's standing artifact (maintained incrementally at ingest,
+    // like st46's window index); the per-trigger probe is a band-bucket
+    // equi-join — candidates only where >= 1 of 8 bands collides, which
+    // the pigeonhole makes LOSSLESS at hamming <= 7 (the oracle proves it
+    // with an unbanded full join) — and ONE map-side-combinable argmin
+    // per arrival; nothing corpus-sized shuffles per trigger.
+    Op("st47_stream_phash_admission", (s, d) => {
+      val docs = T.documents(s, d)
+      val idxDir = phashIdxCache.getOrElseUpdate(s"$d#${docsFingerprint(d)}", {
+        val p = Streaming.scratchDir("graft_st47_idx_")
+        Multimodal.phashBands(
+            Multimodal.phashOf(docs.filter(col("doc_id") % 5 =!= 3)))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val arriving = docs.filter(col("doc_id") % 5 === 3)
+      val dir = Streaming.scratchDir("graft_st47_src_")
+      arriving.filter(col("doc_id") < 2500).coalesce(1)
+        .write.mode("append").parquet(dir)
+      arriving.filter(col("doc_id") >= 2500).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val out = Streaming.scratchDir("graft_st47_out_")
+      val schema = arriving.schema
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = b.sparkSession
+            val idx = ss.read.parquet(idxDir)
+            // min(struct) is duplicate-insensitive, so band-collision
+            // multiplicity needs no distinct — one shuffle, the argmin's
+            val best = Multimodal.phashBands(Multimodal.phashOf(b)).as("x")
+              .join(idx.as("y"),
+                col("x.band") === col("y.band") &&
+                  col("x.bits") === col("y.bits"))
+              .select(col("x.doc_id").as("doc_id"),
+                col("y.doc_id").as("rep_doc"),
+                expr("bit_count(x.phash ^ y.phash)").cast(LongType)
+                  .as("hamming"))
+              .filter(col("hamming") <= 7)
+              .groupBy("doc_id")
+              .agg(min(struct(col("hamming"), col("rep_doc"))).as("m"))
+              .select(col("doc_id"), col("m.rep_doc").as("rep_doc"),
+                col("m.hamming").as("hamming"))
+            b.select("doc_id").join(best, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("rep_doc").isNull.as("admitted"),
+                col("rep_doc"), col("hamming"))
+              .write.mode("append").parquet(s"$out/adm")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/adm").orderBy("doc_id")
+    }, Some(s"""WITH ${Multimodal.sqlPhashCtes},
+      |arr AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 3),
+      |std AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 <> 3),
+      |mm AS (SELECT a.doc_id, s.doc_id AS rep_doc,
+      |  CAST(bit_count(xor(a.phash, s.phash)) AS BIGINT) AS hamming,
+      |  ROW_NUMBER() OVER (PARTITION BY a.doc_id
+      |    ORDER BY bit_count(xor(a.phash, s.phash)), s.doc_id) AS rk
+      |  FROM arr a JOIN std s ON bit_count(xor(a.phash, s.phash)) <= 7),
+      |best AS (SELECT doc_id, rep_doc, hamming FROM mm WHERE rk = 1)
+      |SELECT d.doc_id, best.rep_doc IS NULL AS admitted,
+      |  best.rep_doc, best.hamming
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 3) d
+      |LEFT JOIN best ON best.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate
