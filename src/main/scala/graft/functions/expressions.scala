@@ -283,6 +283,39 @@ object VectorOps {
       java.util.Arrays.copyOf(mins, out))
   }
 
+  /** The mm07/mm11/st47/p03 stripe-energy perceptual hash in ONE pass:
+    * stripe i (i = 0..63) sums the UTF-16 units at char positions ≡ i
+    * (mod 64); bit i is set iff stripe_i * 64 > total, with 1L<<63
+    * wrapping to the sign bit exactly like Spark's shiftleft. Value-
+    * identical to the declarative transform/aggregate/sequence chain it
+    * replaces (exact integer sums, same threshold), but O(n) instead of
+    * O(64·n) per document and with zero per-stripe array allocations —
+    * the HOF form cost ~30 min to index 2.5M documents at the r11 100x
+    * probe; see SCALE.md r11 (the mm07-tier analog of the r10 int8
+    * kernel lesson). ASCII fixtures: chars are UTF-16 units, matching
+    * the rollingHashes convention and the oracle's unicode()/ascii().
+    */
+  def phash64(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    val sums = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      sums(j & 63) += str.charAt(j)
+      j += 1
+    }
+    var tot = 0L
+    var i = 0
+    while (i < 64) { tot += sums(i); i += 1 }
+    var ph = 0L
+    i = 0
+    while (i < 64) {
+      if (sums(i) * 64 > tot) ph |= (1L << i)
+      i += 1
+    }
+    ph
+  }
+
   /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
     * token multiplicity; bit set iff the vote sum is positive.
     */
@@ -437,6 +470,18 @@ case class WinnowFps(child: Expression, k: Int, w: Int, useMd5: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `phash64(string) -> long`: one-pass stripe-energy perceptual hash,
+  * codegen'd. See [[VectorOps.phash64]].
+  */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.phash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.phash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -459,6 +504,7 @@ object F {
   def dotFF(a: Column, b: Column): Column = call_function("dot_ff", a, b)
   def dist2DD(a: Column, b: Column): Column = call_function("dist2_dd", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+  def phash64(text: Column): Column = call_function("phash64", text)
   /** Rabin–Karp rolling hash of every k-char window, one O(n) pass. */
   def rollingHashes(s: Column, k: Int): Column =
     call_function("rolling_hashes", s, org.apache.spark.sql.functions.lit(k))
@@ -491,6 +537,9 @@ object F {
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)),
+    (FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[PHash64].getName, "phash64"),
+      (es: Seq[Expression]) => PHash64(es.head)),
     (FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
       // optional second arg = window length k (foldable int), default 8

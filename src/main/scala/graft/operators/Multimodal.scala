@@ -461,19 +461,14 @@ object Multimodal {
     * with >= 64 payload units. Shared with the p03 pipeline.
     */
   private[operators] def phashOf(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), col("text"),
-      length(col("text")).cast(LongType).as("n"))
-    .filter(col("n") >= 64)
-    .withColumn("en", expr(
-      """transform(sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT)), i ->
-        |  aggregate(sequence(i, n, 64), CAST(0 AS BIGINT),
-        |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))""".stripMargin))
-    .withColumn("tot", expr("aggregate(en, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-    .withColumn("phash", expr(
-      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
-        |  a + IF(en[i] * 64 > tot,
-        |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
-    .select("doc_id", "phash")
+    .filter(length(col("text")) >= 64)
+    // the codegen'd one-pass kernel — value-identical to the declarative
+    // transform/aggregate stripe chain it replaced (exact integer sums,
+    // same 1<<63 sign-bit wrap), O(n) per doc instead of O(64·n): the HOF
+    // form cost ~30 min to index 2.5M docs at the r11 100x probe
+    // (R11OpsSuite pins bit-parity against the HOF form; the DuckDB
+    // oracle CTEs are unchanged)
+    .select(col("doc_id"), graft.functions.F.phash64(col("text")).as("phash"))
 
   /** 8 bands x 8 bits of a (doc_id, phash) frame — the lossless blocking
     * for hamming <= 7 (pigeonhole: <= 7 flips leave >= 1 band intact).

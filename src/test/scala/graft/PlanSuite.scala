@@ -698,6 +698,18 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("s21 MIPS serving: no corpus shuffle, no corpus sort — broadcast " +
+    "query/cap sides, bounded-heap aggregate only (the s15 gate arm keeps " +
+    "the rank windows; the serving path must NOT)") {
+    val p = plan("s21_mips_serve")
+    assert(!p.contains("SortMergeJoin"), "s21 shuffles a corpus-sized side")
+    assert(!p.contains("CartesianProduct"), "s21 went quadratic")
+    // the gate arm's signature is the corpus-wide rank Window — serving
+    // must carry none (its only Sort is the final O(q*k) ORDER BY)
+    assert(!p.contains(" Window"), "s21 reintroduced a rank window:\n" +
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("p09: detection, featurization and the in-plan solve ride ONE data " +
     "shuffle (all four windows share the sort exchange; the solve is " +
     "projection-only)") {

@@ -51,6 +51,31 @@ class R11OpsSuite extends AnyFunSuite {
     assert(out(2).getSeq[Long](1) == Seq(31L, -64L, 127L))
   }
 
+  test("phash64 kernel equals the declarative stripe-energy HOF chain " +
+    "bit-for-bit on real fixture text (the mm07/mm11/st47 hot loop)") {
+    val docs = T.documents(spark, "/root/testdata/sf0.01")
+    val hof = docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n"))
+      .filter(col("n") >= 64)
+      .withColumn("en", expr(
+        """transform(sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT)), i ->
+          |  aggregate(sequence(i, n, 64), CAST(0 AS BIGINT),
+          |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))""".stripMargin))
+      .withColumn("tot", expr("aggregate(en, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
+          |  a + IF(en[i] * 64 > tot,
+          |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("h"))
+    val kernel = docs.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), F.phash64(col("text")).as("k"))
+    val joined = hof.join(kernel, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("h") =!= col("k")).count() == 0,
+      "kernel diverges from the HOF stripe chain")
+  }
+
   test("MiniBatchKMeans resolves under the requested parallel protocol; " +
     "the reference's K-means/HT SingleLearner forcing is untouched") {
     import graft.ml.Protocols
