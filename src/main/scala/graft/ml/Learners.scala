@@ -119,10 +119,27 @@ final class KMeansState(val k: Int, val dim: Int, val centroids: Array[Double],
     o
   }
   def params: Array[Double] = centroids.clone()
-  /** Ships whole: the farthest-point init buffer is not flat-representable,
-    * and K-means is SingleLearner-forced (at most one replica ever ships).
+  /** Flat wire form once the state is past seeding — the only shape a
+    * MiniBatchKMeans replica ever ships (r11: the "at most one replica
+    * ships" SingleLearner invariant no longer holds, so K-means state now
+    * honors the maxMsgParams chunking contract like every other learner):
+    * centroids ++ counts-as-doubles (counts are exact in a double to 2^53,
+    * far past any corpus). A state still FILLING its farthest-first buffer
+    * (filled < k or pending buffer rows) has no flat form and ships whole —
+    * preserving the buffer across micro-batch boundaries for the
+    * SingleLearner streaming path.
     */
-  override def wireSupported: Boolean = false
+  override def wireSupported: Boolean =
+    filled == k && (buffer == null || buffer.isEmpty)
+  override def wireParams: Array[Double] =
+    Array.concat(centroids, counts.map(_.toDouble))
+  override def loadWire(ps: Array[Double]): ModelState = {
+    val m = new KMeansState(k, dim, ps.slice(0, k * dim),
+      ps.slice(k * dim, k * dim + k).map(_.toLong), k)
+    m.buffer = null
+    m
+  }
+  override def wireDim: Int = dim
   def nearest(x: Array[Double]): Int = {
     var best = -1; var bestD = Double.MaxValue; var c = 0
     while (c < filled) {
@@ -626,6 +643,35 @@ class MLP(val hidden: Int, val classes: Int, val seed: Long, val lr: Double)
   */
 final class MiniBatchKMeans(k0: Int) extends OnlineKMeans(k0) {
   override def name = "MiniBatchKMeans"
+}
+
+object MiniBatchKMeans {
+  /** The shared centroid seed the parallel fit requires (Trainer.fit
+    * enforces it): OnlineKMeans's own farthest-first rule applied ONCE over
+    * a small deterministic point prefix (a bounded driver-side set),
+    * counters zeroed so the Trainer's fitted/loss accounting starts clean.
+    * ml32, its probe and its suite test all build the seed here.
+    */
+  def sharedSeed(pts: Seq[Array[Double]], k: Int): ModelState = {
+    require(pts.nonEmpty, "sharedSeed needs at least one point")
+    val seeder = new OnlineKMeans(k)
+    val m = seeder.init(pts.head.length)
+    pts.foreach(p => seeder.fit(m, p, 0.0))
+    seeder.finish(m)
+    m.n = 0L
+    m.cumLoss = 0.0
+    m
+  }
+
+  /** Distributed inertia (sum of squared distance to the nearest centroid)
+    * of a fitted clustering — the quality metric the ml32 parity gate
+    * compares across the parallel and sequential fits.
+    */
+  def inertia(spark: org.apache.spark.sql.SparkSession, m: ModelState,
+      data: org.apache.spark.rdd.RDD[(Array[Double], Double)]): Double = {
+    val bc = spark.sparkContext.broadcast(m.asInstanceOf[KMeansState])
+    data.map { case (x, _) => bc.value.nearestDist(x) }.sum()
+  }
 }
 
 object Learners {

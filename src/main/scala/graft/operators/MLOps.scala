@@ -1073,15 +1073,11 @@ object MLOps {
       val k = 8
       // shared deterministic seed: OnlineKMeans's farthest-first rule
       // applied ONCE over the first 64 points by id (bounded O(64) driver
-      // set), instead of once per partition
+      // set), instead of once per partition — the alignment the
+      // count-weighted merge needs (Trainer.fit enforces it)
       val seedPts = df.orderBy("id").limit(64)
         .select("features").collect().map(_.getSeq[Double](0).toArray)
-      val dim = seedPts.head.length
-      val seeder = new graft.ml.OnlineKMeans(k)
-      val seedModel = seeder.init(dim)
-      seedPts.foreach(p => seeder.fit(seedModel, p, 0.0))
-      seeder.finish(seedModel)
-      seedModel.n = 0L; seedModel.cumLoss = 0.0
+      val seedModel = graft.ml.MiniBatchKMeans.sharedSeed(seedPts.toSeq, k)
       val fitted = Trainer.fit(s,
         PipelineSpec(32, "MiniBatchKMeans", Map("k" -> k.toDouble), Nil,
           "Synchronous"),
@@ -1090,12 +1086,8 @@ object MLOps {
       val seqFit = Trainer.fit(s,
         PipelineSpec(6, "K-means", Map("k" -> k.toDouble), Nil, "Asynchronous"),
         toRdd(df))
-      def inertia(m: graft.ml.ModelState): Double = {
-        val bc = s.sparkContext.broadcast(m.asInstanceOf[graft.ml.KMeansState])
-        toRdd(df).map { case (x, _) => bc.value.nearestDist(x) }.sum()
-      }
-      val iPar = inertia(fitted.model)
-      val iSeq = inertia(seqFit.model)
+      val iPar = graft.ml.MiniBatchKMeans.inertia(s, fitted.model, toRdd(df))
+      val iSeq = graft.ml.MiniBatchKMeans.inertia(s, seqFit.model, toRdd(df))
       val m = fitted.model.asInstanceOf[graft.ml.KMeansState]
       val n = df.count()
       val st = fitted.statistics

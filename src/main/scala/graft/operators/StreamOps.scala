@@ -38,12 +38,15 @@ object StreamOps {
   private def docsFingerprint(d: String): String = {
     val p = java.nio.file.Paths.get(d, "documents.parquet")
     val fp = new StringBuilder
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).sorted().forEach(f =>
+    if (java.nio.file.Files.isDirectory(p)) {
+      // Files.list holds an open DirectoryStream — close it deterministically
+      val s = java.nio.file.Files.list(p)
+      try s.sorted().forEach(f =>
         fp.append(f.getFileName).append(':')
           .append(java.nio.file.Files.getLastModifiedTime(f).toMillis)
           .append(';'))
-    else if (java.nio.file.Files.exists(p))
+      finally s.close()
+    } else if (java.nio.file.Files.exists(p))
       fp.append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
     fp.toString
   }

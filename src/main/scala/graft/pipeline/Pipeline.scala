@@ -106,6 +106,15 @@ object Trainer {
     protocol.maxParallelism.foreach { p =>
       if (tdata.getNumPartitions > p) tdata = tdata.coalesce(p)
     }
+    // the documented MiniBatchKMeans contract, enforced (r11 review): with
+    // no shared seed, round-1 replicas farthest-first-seed independently and
+    // the count-weighted merge averages MISALIGNED cluster ids — silently
+    // wrong centroids. Fail loudly instead; MiniBatchKMeans.sharedSeed
+    // builds the seed.
+    require(!(learner.isInstanceOf[MiniBatchKMeans] &&
+        tdata.getNumPartitions > 1 && init.isEmpty),
+      "MiniBatchKMeans under parallel training requires a shared seed model " +
+        "(Trainer.fit init param) — see MiniBatchKMeans.sharedSeed")
     tdata.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = tdata.first()._1.length

@@ -236,7 +236,9 @@ object SpokeCore {
     val avgLoss = ls / n
     val score =
       if (learner.isClassifier) sc / n
-      else if (learner.name == "K-means") -avgLoss
+      // type test, not name test: MiniBatchKMeans must score as clustering
+      // too (same contract as the batch Trainer, Pipeline.scala)
+      else if (learner.isInstanceOf[graft.ml.OnlineKMeans]) -avgLoss
       else -math.sqrt(sc / n)
     (avgLoss, score)
   }

@@ -35,11 +35,7 @@ object Ml32Probe {
       val k = 8
       val seedPts = df.orderBy("id").limit(64)
         .select("features").collect().map(_.getSeq[Double](0).toArray)
-      val seeder = new graft.ml.OnlineKMeans(k)
-      val seedModel = seeder.init(seedPts.head.length)
-      seedPts.foreach(p => seeder.fit(seedModel, p, 0.0))
-      seeder.finish(seedModel)
-      seedModel.n = 0L; seedModel.cumLoss = 0.0
+      val seedModel = graft.ml.MiniBatchKMeans.sharedSeed(seedPts.toSeq, k)
       val t0 = System.nanoTime()
       val fitted = Trainer.fit(spark,
         PipelineSpec(32, "MiniBatchKMeans", Map("k" -> k.toDouble), Nil,
@@ -50,13 +46,8 @@ object Ml32Probe {
         PipelineSpec(6, "K-means", Map("k" -> k.toDouble), Nil, "Asynchronous"),
         toRdd)
       val tSeq = (System.nanoTime() - t1) / 1e9
-      def inertia(m: graft.ml.ModelState): Double = {
-        val bc = spark.sparkContext.broadcast(
-          m.asInstanceOf[graft.ml.KMeansState])
-        toRdd.map { case (x, _) => bc.value.nearestDist(x) }.sum()
-      }
-      val iPar = inertia(fitted.model)
-      val iSeq = inertia(seqFit.model)
+      val iPar = graft.ml.MiniBatchKMeans.inertia(spark, fitted.model, toRdd)
+      val iSeq = graft.ml.MiniBatchKMeans.inertia(spark, seqFit.model, toRdd)
       println(f"PROBE $sf: iPar=$iPar%.3f iSeq=$iSeq%.3f ratio=${iPar / iSeq}%.4f " +
         f"proto=${fitted.protocolName} ships=${fitted.statistics.modelsShipped} " +
         f"blocks=${fitted.statistics.blocks} bytes=${fitted.statistics.bytesShipped} " +

@@ -152,6 +152,35 @@ class R11OpsSuite extends AnyFunSuite {
       == "CentralizedTraining")
   }
 
+  test("KMeansState flat wire: seeded states roundtrip exactly (centroids, " +
+    "counts, filled), unseeded states still ship whole; parallel " +
+    "MiniBatchKMeans without a shared seed fails loudly") {
+    import graft.ml.{KMeansState, OnlineKMeans}
+    import graft.pipeline.{PipelineSpec, Trainer}
+    val seeder = new OnlineKMeans(2)
+    val m0 = seeder.init(2).asInstanceOf[KMeansState]
+    Seq(Array(0.0, 0.0), Array(10.0, 10.0), Array(0.2, 0.1), Array(9.8, 10.2))
+      .foreach(p => seeder.fit(m0, p, 0.0))
+    seeder.finish(m0)
+    assert(m0.wireSupported, "post-seeding state must have a flat wire form")
+    val rt = seeder.init(2).loadWire(m0.wireParams).asInstanceOf[KMeansState]
+    assert(rt.centroids.toSeq == m0.centroids.toSeq)
+    assert(rt.counts.toSeq == m0.counts.toSeq)
+    assert(rt.filled == m0.filled)
+    val m1 = seeder.init(2).asInstanceOf[KMeansState]
+    seeder.fit(m1, Array(1.0, 2.0), 0.0) // buffer still filling
+    assert(!m1.wireSupported, "mid-seeding state must ship whole (buffer)")
+    // the documented shared-seed contract is enforced, not advisory
+    val rdd = spark.sparkContext
+      .parallelize(Seq.fill(40)((Array(1.0, 2.0), 1.0)), 4)
+    val err = intercept[IllegalArgumentException] {
+      Trainer.fit(spark,
+        PipelineSpec(33, "MiniBatchKMeans", Map("k" -> 2.0), Nil, "Synchronous"),
+        rdd)
+    }
+    assert(err.getMessage.contains("shared seed"))
+  }
+
   test("MiniBatchKMeans with a shared seed matches sequential K-means " +
     "cluster quality (inertia parity) and actually runs 8 replicas") {
     import graft.ml.{KMeansState, OnlineKMeans}
@@ -167,11 +196,7 @@ class R11OpsSuite extends AnyFunSuite {
       .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
     val seedPts = df.orderBy("id").limit(64)
       .select("features").collect().map(_.getSeq[Double](0).toArray)
-    val seeder = new OnlineKMeans(8)
-    val seed = seeder.init(seedPts.head.length)
-    seedPts.foreach(p => seeder.fit(seed, p, 0.0))
-    seeder.finish(seed)
-    seed.n = 0L; seed.cumLoss = 0.0
+    val seed = graft.ml.MiniBatchKMeans.sharedSeed(seedPts.toSeq, 8)
     val par = Trainer.fit(spark,
       PipelineSpec(32, "MiniBatchKMeans", Map("k" -> 8.0), Nil, "Synchronous"),
       rdd, Some(seed))
@@ -180,11 +205,8 @@ class R11OpsSuite extends AnyFunSuite {
     assert(par.protocolName == "Synchronous")
     assert(seq.protocolName == "SingleLearner")
     assert(par.statistics.modelsShipped == 24L) // 8 replicas x 3 rounds
-    def inertia(m: graft.ml.ModelState): Double = {
-      val bc = spark.sparkContext.broadcast(m.asInstanceOf[KMeansState])
-      rdd.map { case (x, _) => bc.value.nearestDist(x) }.sum()
-    }
-    val r = inertia(par.model) / inertia(seq.model)
+    val r = graft.ml.MiniBatchKMeans.inertia(spark, par.model, rdd) /
+      graft.ml.MiniBatchKMeans.inertia(spark, seq.model, rdd)
     assert(r < 1.5 && r > 0.5, s"inertia ratio $r outside parity band")
   }
 }
