@@ -292,17 +292,24 @@ object VectorOps {
     * O(64·n) per document and with zero per-stripe array allocations —
     * the HOF form cost ~30 min to index 2.5M documents at the r11 100x
     * probe; see SCALE.md r11 (the mm07-tier analog of the r10 int8
-    * kernel lesson). ASCII fixtures: chars are UTF-16 units, matching
-    * the rollingHashes convention and the oracle's unicode()/ascii().
+    * kernel lesson). Iterates by CODE POINT (surrogate-aware), not UTF-16
+    * unit: the HOF chain (`ascii(substring(text, p, 1))`), Spark's
+    * `length()` row filter, and the DuckDB oracle's
+    * `unicode(text[p:p])` all index code points, so this is the one
+    * convention under which all four agree on non-ASCII text too (r11
+    * advisor note — previously safe only because fixtures are ASCII).
     */
   def phash64(s: UTF8String): Long = {
     val str = s.toString
     val n = str.length
     val sums = new Array[Long](64)
-    var j = 0
+    var j = 0 // UTF-16 index
+    var p = 0 // code-point position
     while (j < n) {
-      sums(j & 63) += str.charAt(j)
-      j += 1
+      val cp = str.codePointAt(j)
+      sums(p & 63) += cp
+      j += Character.charCount(cp)
+      p += 1
     }
     var tot = 0L
     var i = 0

@@ -1110,7 +1110,12 @@ object MLOps {
         |  CAST(8 AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS n_points,
         |  CAST(24 AS BIGINT) AS models_shipped,
         |  CAST(24 * 8 * MAX(len(embedding)) * 8 AS BIGINT) AS bytes_shipped,
-        |  CAST(24 AS BIGINT) AS blocks, true AS clusters_nonempty,
+        |  -- blocks per ship = ceil(wire form / maxMsgParams): the KMeansState
+        |  -- wire form is k*d+k doubles (centroids ++ counts), so any
+        |  -- embedding dim >= 249 splits each of the 24 ships into 2+ blocks
+        |  -- — derived, not hardcoded (r11 advisor note)
+        |  CAST(24 * CEIL((8 * MAX(len(embedding)) + 8) / 2000.0) AS BIGINT)
+        |    AS blocks, true AS clusters_nonempty,
         |  true AS inertia_parity, true AS fitted_in_bounds,
         |  true AS loss_valid, true AS score_valid
         |FROM embeddings""".stripMargin)),

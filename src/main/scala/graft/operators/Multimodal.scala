@@ -204,7 +204,11 @@ object Multimodal {
     // 100 TB the band join shuffles O(corpus) signature rows — 16 bytes
     // each — never payloads.
     Op("mm07_phash_neardup", (s, d) => {
-      val ph = phashOf(T.documents(s, d)).cache()
+      // localCheckpoint, not cache(): one documents scan feeds both sides
+      // of the band self-join, and the blocks are ContextCleaner-freed when
+      // the plan is GC'd — a .cache() here lived in the CacheManager until
+      // an explicit unpersist that no non-bench driver issued (r11 advisor)
+      val ph = phashOf(T.documents(s, d)).localCheckpoint()
       phashNeardupPairs(phashBands(ph))
         .orderBy("doc_a", "doc_b")
     },
@@ -415,7 +419,10 @@ object Multimodal {
     // closure of the unfiltered hamming<=7 pair graph with a recursive
     // CTE — proving both the lossless banding AND the contraction.
     Op("mm11_phash_clusters", (s, d) => {
-      val ph = phashOf(T.documents(s, d)).cache()
+      // localCheckpoint (not cache) — see mm07: four consumers (band
+      // self-join x2, members, reps) read one materialized scan, and no
+      // CacheManager entry outlives the query (r11 advisor note).
+      val ph = phashOf(T.documents(s, d)).localCheckpoint()
       val pairs = phashNeardupPairs(phashBands(ph)).select("doc_a", "doc_b")
       val labels = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
       val members = labels.join(ph, col("node") === col("doc_id"))
@@ -435,6 +442,79 @@ object Multimodal {
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |          WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.t),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |mem AS (SELECT lab.node, lab.label, ph.phash
+        |        FROM lab JOIN ph ON ph.doc_id = lab.node),
+        |repp AS (SELECT label, phash AS rep_phash FROM mem WHERE node = label)
+        |SELECT m.label AS cluster_id, COUNT(*) AS size,
+        |  CAST(MAX(bit_count(xor(m.phash, r.rep_phash))) AS BIGINT) AS max_ham_to_rep
+        |FROM mem m JOIN repp r ON r.label = m.label
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // CAPPED-BUCKET cluster dedup — the bounding knob mm11 documents
+    // (r11 verdict #1, the d20 doc-frequency analog): mm11's only
+    // super-linear stage is the band-bucket pair join, O(sum of width^2)
+    // — a degenerate hot bucket (boilerplate corpus, adversarial dup
+    // farm) makes it quadratic no matter how the closure is computed
+    // (the r11 100x synthetic-clique probe: 131M pairs, 1062 s). mm12
+    // caps every (band, bits) bucket at width W=16, keeping the W
+    // SMALLEST doc_ids (deterministic, engine-independent), so pair
+    // emission is bounded by 8 * buckets * W^2 — linear in corpus size —
+    // at the cost of possibly splitting clusters whose only co-located
+    // band bucket overflowed (two docs stay joined if ANY shared band
+    // survives; at the hamming<=7 threshold near-dups share >=1 of 8
+    // bands, so a split needs all their shared bands hot). The trade is
+    // EXACT over the capped graph: the oracle applies the identical cap
+    // in its CTE and recomputes the transitive closure, so the gate
+    // still proves banding + contraction — recall loss shows up ONLY as
+    // a different (verified) cluster set, never as unchecked output.
+    // The dropped-pair count is reported by the 100x probe (SCALE.md),
+    // making the recall trade visible rather than silent.
+    Op("mm12_phash_clusters_capped", (s, d) => {
+      val W = 16
+      val ph = phashOf(T.documents(s, d)).localCheckpoint()
+      // per-bucket top-W by doc_id: a sort-based window over the
+      // (band, bits) shuffle — the hot bucket costs O(width log width)
+      // here instead of O(width^2) in the join it is being fenced from
+      val capped = phashBands(ph)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bits").orderBy("doc_id")))
+        .filter(col("rn") <= W).drop("rn")
+      val pairs = phashNeardupPairs(capped).select("doc_a", "doc_b")
+      val labels = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      val members = labels.join(ph, col("node") === col("doc_id"))
+        .select(col("label"), col("node"), col("phash"))
+      val reps = members.filter(col("node") === col("label"))
+        .select(col("label"), col("phash").as("rep_phash"))
+      members.join(reps, "label")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          max(expr("bit_count(phash ^ rep_phash)")).cast(LongType)
+            .as("max_ham_to_rep"))
+        .orderBy("cluster_id")
+    },
+      Some(s"""WITH RECURSIVE $sqlPhashCtes,
+        |bands AS (
+        |  SELECT doc_id, phash, band, (phash >> (band * 8)) & 255 AS bits
+        |  FROM ph, (SELECT unnest(generate_series(0, 7)) AS band) b),
+        |capped AS (
+        |  SELECT doc_id, phash, band, bits FROM (
+        |    SELECT doc_id, phash, band, bits,
+        |      ROW_NUMBER() OVER (PARTITION BY band, bits ORDER BY doc_id) AS rn
+        |    FROM bands) WHERE rn <= 16),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 7),
         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |nodes AS (SELECT DISTINCT s AS node FROM edges),

@@ -44,9 +44,10 @@ object StreamingTrainer {
     */
   def fitStream(spark: SparkSession, dir: String, schema: StructType,
       spec: PipelineSpec, partitionsPerBatch: Int = 0,
-      routed: Boolean = false): StreamFit = {
+      routed: Boolean = false,
+      init: Option[ModelState] = None): StreamFit = {
     val learner = Learners.create(spec.learner, spec.learnerHp)
-    var global: Option[ModelState] = None
+    var global: Option[ModelState] = init
     var protocolName = spec.protocol
     // One protocol instance per RESOLVED PROTOCOL, reused across
     // micro-batches: the resolution rules still apply per batch (a 1-
@@ -101,6 +102,17 @@ object StreamingTrainer {
           case Some(p) if rdd.getNumPartitions > p => rdd.coalesce(p)
           case _ => rdd
         }
+        // the batch Trainer's MiniBatchKMeans shared-seed contract, mirrored
+        // here (r11 advisor, medium): with no shared global, multi-partition
+        // round-1 replicas each farthest-first self-seed and the
+        // count-weighted merge averages MISALIGNED cluster ids — silently
+        // wrong centroids. Fail loudly; pass `init =
+        // MiniBatchKMeans.sharedSeed(...)` to fitStream instead.
+        require(!(learner.isInstanceOf[MiniBatchKMeans] &&
+            data.getNumPartitions > 1 && global.isEmpty),
+          "MiniBatchKMeans under parallel streaming training requires a " +
+            "shared seed model (fitStream init param) — see " +
+            "MiniBatchKMeans.sharedSeed")
         val bcGlobal = spark.sparkContext.broadcast(global)
         val maxP = spec.maxMsgParams
         // Per-partition replica training (seeded from the broadcast global,

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.F
+import graft.pipeline.PipelineSpec
+import graft.streaming.StreamingTrainer
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the round-12 fixes: phash64's code-point
+  * convention on non-ASCII text (r11 advisor), and the streaming-path
+  * MiniBatchKMeans shared-seed contract (r11 advisor, medium).
+  */
+class R12OpsSuite extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("phash64 matches the ascii(substring(...)) HOF chain on non-ASCII " +
+    "text, including astral code points (ADVICE r11: code-point iteration)") {
+    import spark.implicits._
+    // >=64 code points each; mixes ASCII, Latin-1, CJK, and a surrogate
+    // pair (U+1F600) so UTF-16-unit iteration would mis-stripe every
+    // position after it AND hash the surrogate halves separately
+    val mixed = Seq(
+      1L -> ("café " * 16),                    // 80 cps, 2-byte chars
+      2L -> ("水曹 ascii tail " * 8),       // CJK + ascii, 112 cps
+      3L -> ("😀 pad " * 16),             // astral + ascii, 96 cps
+      4L -> (("x" * 63) + "😀"),          // astral at stripe 63
+      5L -> ("plain ascii only " * 8)          // control: pure ASCII
+    ).toDF("doc_id", "text")
+    val hof = mixed
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n"))
+      .filter(col("n") >= 64)
+      .withColumn("en", expr(
+        """transform(sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT)), i ->
+          |  aggregate(sequence(i, n, 64), CAST(0 AS BIGINT),
+          |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))""".stripMargin))
+      .withColumn("tot", expr("aggregate(en, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
+          |  a + IF(en[i] * 64 > tot,
+          |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("h"))
+    val kernel = mixed.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), F.phash64(col("text")).as("k"))
+    val joined = hof.join(kernel, "doc_id")
+    assert(joined.count() == 5)
+    val bad = joined.filter(col("h") =!= col("k")).collect()
+    assert(bad.isEmpty,
+      s"kernel diverges from the code-point HOF chain on: ${bad.mkString(",")}")
+  }
+
+  test("fitStream fails loudly when MiniBatchKMeans trains multi-partition " +
+    "with no shared seed, and trains fine once seeded (ADVICE r11 medium)") {
+    val dir = java.nio.file.Files.createTempDirectory("r12_mbk_").toString
+    T.embeddings(spark, "/root/testdata/sf0.001").select(
+        col("vec_id"),
+        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+          .as("features"), lit(0.0).as("target"))
+      .repartitionByRange(2, col("vec_id"))
+      .select("features", "target")
+      .write.mode("append").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("features", ArrayType(DoubleType)),
+      StructField("target", DoubleType)))
+    val spec = PipelineSpec(120, "MiniBatchKMeans", Map("k" -> 4.0), Nil,
+      "Synchronous")
+    // unseeded: the guard must surface through the streaming query, not
+    // silently merge misaligned cluster ids
+    val err = intercept[Exception] {
+      StreamingTrainer.fitStream(spark, dir, schema, spec,
+        partitionsPerBatch = 4)
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootChain(err).exists(c =>
+        c.getMessage != null && c.getMessage.contains("shared seed model")),
+      s"wrong failure: $err")
+    // seeded: same spec trains, replicas align on the shared centroids
+    val seedPts = T.embeddings(spark, "/root/testdata/sf0.001")
+      .orderBy("vec_id").limit(32)
+      .select(expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val seed = graft.ml.MiniBatchKMeans.sharedSeed(seedPts.toSeq, 4)
+    val fit = StreamingTrainer.fitStream(spark, dir, schema, spec,
+      partitionsPerBatch = 4, init = Some(seed))
+    assert(fit.model.isInstanceOf[graft.ml.KMeansState])
+    assert(fit.model.n > 0L, "seeded streaming fit trained zero points")
+    assert(fit.protocolName == "Synchronous")
+  }
+}
