@@ -1119,6 +1119,66 @@ object MLOps {
         |  true AS inertia_parity, true AS fitted_in_bounds,
         |  true AS loss_valid, true AS score_valid
         |FROM embeddings""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ml32 UNDER A SECOND PROTOCOL (r11 verdict #5): the parallel
+    // mini-batch K-means extension is protocol-generic by construction —
+    // the count-weighted merge doesn't care whether replicas arrive
+    // synchronously or boundedly stale — so the same inertia-parity gate
+    // must hold under SSP(staleness=2). Staleness mechanics are REAL
+    // here, not vacuous: with 8 partitions and s=2 the Trainer seeds
+    // partition pid from the global of round r-1-(pid mod 3), so rounds
+    // 2-3 train two-thirds of the replicas on stale centroids (round 2's
+    // lag-2 workers re-read the ORIGINAL shared seed), yet every replica
+    // stays inside the bound (lag <= 2 = s), every update is admitted,
+    // and the merged centroids must still land within the same 1.5x
+    // inertia envelope of the sequential ml06-path fit. Ship accounting
+    // is identical to ml32 (24 admitted ships, derived block count) —
+    // the SSP skip-merge path stays cold by design, which IS the
+    // documented-delta claim: bounded staleness changes the trajectory,
+    // not the quality tier or the wire bill.
+    Op("ml33_minibatch_kmeans_ssp", (s, d) => {
+      import s.implicits._
+      val df = features(s, d)
+      val k = 8
+      val seedPts = df.orderBy("id").limit(64)
+        .select("features").collect().map(_.getSeq[Double](0).toArray)
+      val seedModel = graft.ml.MiniBatchKMeans.sharedSeed(seedPts.toSeq, k)
+      val fitted = Trainer.fit(s,
+        PipelineSpec(33, "MiniBatchKMeans", Map("k" -> k.toDouble), Nil,
+          "SSP", protocolHp = Map("staleness" -> 2.0)),
+        toRdd(df), Some(seedModel))
+      val seqFit = Trainer.fit(s,
+        PipelineSpec(6, "K-means", Map("k" -> k.toDouble), Nil, "Asynchronous"),
+        toRdd(df))
+      val iPar = graft.ml.MiniBatchKMeans.inertia(s, fitted.model, toRdd(df))
+      val iSeq = graft.ml.MiniBatchKMeans.inertia(s, seqFit.model, toRdd(df))
+      val m = fitted.model.asInstanceOf[graft.ml.KMeansState]
+      val n = df.count()
+      val st = fitted.statistics
+      val fittedOk = fitted.model.n >= math.max(1L, 3L * (n - 8L * 256L)) &&
+        fitted.model.n <= 3L * n
+      val cl = fitted.model.cumLoss
+      val lossOk = !cl.isNaN && !cl.isInfinite && cl >= 0.0
+      val scoreOk = !fitted.score.isNaN && fitted.score <= 0.0
+      Seq((33, "MiniBatchKMeans", fitted.protocolName, k,
+        n, st.modelsShipped, st.bytesShipped, st.blocks,
+        m.filled == k && m.counts.forall(_ > 0L),
+        iPar <= 1.5 * iSeq,
+        fittedOk, lossOk, scoreOk))
+        .toDF("pipeline_id", "learner", "protocol", "k", "n_points",
+          "models_shipped", "bytes_shipped", "blocks", "clusters_nonempty",
+          "inertia_parity", "fitted_in_bounds", "loss_valid", "score_valid")
+    },
+      Some("""SELECT CAST(33 AS INTEGER) AS pipeline_id,
+        |  'MiniBatchKMeans' AS learner, 'SSP' AS protocol,
+        |  CAST(8 AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(24 AS BIGINT) AS models_shipped,
+        |  CAST(24 * 8 * MAX(len(embedding)) * 8 AS BIGINT) AS bytes_shipped,
+        |  CAST(24 * CEIL((8 * MAX(len(embedding)) + 8) / 2000.0) AS BIGINT)
+        |    AS blocks, true AS clusters_nonempty,
+        |  true AS inertia_parity, true AS fitted_in_bounds,
+        |  true AS loss_valid, true AS score_valid
+        |FROM embeddings""".stripMargin)),
   )
 
   /** p09's in-plan ridge solve, shared with the streaming twin (st45): the

@@ -2739,6 +2739,170 @@ object StreamOps {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 3) d
       |LEFT JOIN best ON best.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // ADMISSION + SCRUB COMPOSED (r11 verdict #6) — the two halves of a
+    // production ingest scrub, st47 and the d28/st46 span surgery, run in
+    // the SAME trigger: every arrival is pHash-checked against the
+    // standing band index (st47's admission), and an arrival REJECTED as
+    // a near-dup is not dropped — its exactly-duplicated 40-char spans
+    // (vs the standing corpus's window index) are cut out and the novel
+    // remainder stitched and emitted, so rejected docs contribute their
+    // new content in the same trigger that rejected them. Admitted docs
+    // pass through whole (n_spans = 0, kept = full text). Both standing
+    // indexes are the SAME shared artifacts st46/st47 maintain (one
+    // store, many consumers — the production shape); per trigger the
+    // pHash probe is O(arrivals) band lookups and the scrub probe runs
+    // over the REJECTED SUBSET only — strictly less than st46's bill.
+    // Nothing corpus-sized shuffles per trigger, and trigger boundaries
+    // cannot move a decision (both probes hit static indexes).
+    Op("st48_stream_admit_scrub_composed", (s, d) => {
+      val docs = T.documents(s, d)
+      val fp = docsFingerprint(d)
+      val phIdxDir = phashIdxCache.getOrElseUpdate(s"$d#$fp", {
+        val p = Streaming.scratchDir("graft_st47_idx_")
+        Multimodal.phashBands(
+            Multimodal.phashOf(docs.filter(col("doc_id") % 5 =!= 3)))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val winIdxDir = winIdxCache.getOrElseUpdate(s"$d#$fp", {
+        val p = Streaming.scratchDir("graft_st46_idx_")
+        docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
+          .select(col("text"),
+            explode(expr("sequence(1, cast(n_chars as int) - 39)")).as("pos"))
+          .select(expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val arriving = docs.filter(col("doc_id") % 5 === 3)
+      val dir = Streaming.scratchDir("graft_st48_src_")
+      arriving.filter(col("doc_id") < 2500).coalesce(1)
+        .write.mode("append").parquet(dir)
+      arriving.filter(col("doc_id") >= 2500).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val out = Streaming.scratchDir("graft_st48_out_")
+      val schema = arriving.schema
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = b.sparkSession
+            val phIdx = ss.read.parquet(phIdxDir)
+            val winIdx = ss.read.parquet(winIdxDir)
+            val best = Multimodal.phashBands(Multimodal.phashOf(b)).as("x")
+              .join(phIdx.as("y"),
+                col("x.band") === col("y.band") &&
+                  col("x.bits") === col("y.bits"))
+              .select(col("x.doc_id").as("doc_id"),
+                col("y.doc_id").as("rep_doc"),
+                expr("bit_count(x.phash ^ y.phash)").cast(LongType)
+                  .as("hamming"))
+              .filter(col("hamming") <= 7)
+              .groupBy("doc_id")
+              .agg(min(struct(col("hamming"), col("rep_doc"))).as("m"))
+              .select(col("doc_id"), col("m.rep_doc").as("rep_doc"),
+                col("m.hamming").as("hamming"))
+            val adm = b.join(best, Seq("doc_id"), "left")
+            // span surgery over the rejected subset ONLY — admitted docs
+            // never pay the window probe
+            val rejected = adm.filter(col("rep_doc").isNotNull)
+            val dp = rejected.filter(col("n_chars") >= 40)
+              .select(col("doc_id"), col("text"),
+                explode(expr("sequence(1, cast(n_chars as int) - 39)"))
+                  .as("pos"))
+              .select(col("doc_id"), col("pos"),
+                expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+              .join(winIdx, Seq("h"), "left_semi")
+              .select("doc_id", "pos")
+            val kept = Dedup.stitchKept(Dedup.positionsToSpans(dp), rejected)
+            adm.join(kept, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("rep_doc").isNull.as("admitted"),
+                col("rep_doc"), col("hamming"),
+                coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                coalesce(col("kept_text"), col("text")).as("kept"),
+                col("n_chars"))
+              .write.mode("append").parquet(s"$out/adm")
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/adm")
+        .select(col("doc_id"), col("admitted"), col("rep_doc"), col("hamming"),
+          col("n_spans"),
+          length(col("kept")).cast(LongType).as("kept_chars"),
+          (col("n_chars") - length(col("kept"))).cast(LongType)
+            .as("removed_chars"),
+          expr("cast(conv(substring(md5(kept), 1, 8), 16, 10) as bigint)")
+            .as("kept_md5p"))
+        .orderBy("doc_id")
+    }, Some(s"""WITH ${Multimodal.sqlPhashCtes},
+      |arrp AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 3),
+      |stdp AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 <> 3),
+      |mm AS (SELECT a.doc_id, s.doc_id AS rep_doc,
+      |  CAST(bit_count(xor(a.phash, s.phash)) AS BIGINT) AS hamming,
+      |  ROW_NUMBER() OVER (PARTITION BY a.doc_id
+      |    ORDER BY bit_count(xor(a.phash, s.phash)), s.doc_id) AS rk
+      |  FROM arrp a JOIN stdp s ON bit_count(xor(a.phash, s.phash)) <= 7),
+      |best AS (SELECT doc_id, rep_doc, hamming FROM mm WHERE rk = 1),
+      |arr AS (SELECT doc_id, text, n_chars FROM documents
+      |        WHERE doc_id % 5 = 3),
+      |adm AS (SELECT a.doc_id, a.text, a.n_chars, best.rep_doc, best.hamming
+      |        FROM arr a LEFT JOIN best ON best.doc_id = a.doc_id),
+      |rej AS (SELECT doc_id, text, n_chars FROM adm
+      |        WHERE rep_doc IS NOT NULL),
+      |idx AS (
+      |  SELECT DISTINCT md5(substr(text, pos, 40)) AS h
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE doc_id % 5 <> 3 AND n_chars >= 40),
+      |g AS (
+      |  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h
+      |  FROM rej,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE n_chars >= 40),
+      |dp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM idx)),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER
+      |      (PARTITION BY doc_id ORDER BY pos) > 40
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM dp),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk),
+      |sp AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |ordered AS (
+      |  SELECT doc_id, s,
+      |    COALESCE(LAG(e + 39) OVER (PARTITION BY doc_id ORDER BY s), 0)
+      |      AS prev_end
+      |  FROM sp),
+      |tails AS (SELECT doc_id, MAX(e + 39) AS last_end FROM sp GROUP BY doc_id),
+      |keptt AS (
+      |  SELECT o.doc_id, COUNT(*) AS n_spans,
+      |    STRING_AGG(substr(r.text, CAST(o.prev_end + 1 AS INT),
+      |      CAST(o.s - o.prev_end - 1 AS INT)), '' ORDER BY o.s)
+      |    || substr(r.text, CAST(t.last_end + 1 AS INT)) AS kept
+      |  FROM ordered o JOIN rej r ON r.doc_id = o.doc_id
+      |  JOIN tails t ON t.doc_id = o.doc_id
+      |  GROUP BY o.doc_id, r.text, t.last_end)
+      |SELECT adm.doc_id, adm.rep_doc IS NULL AS admitted,
+      |  adm.rep_doc, adm.hamming,
+      |  CAST(COALESCE(k.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(length(COALESCE(k.kept, adm.text)) AS BIGINT) AS kept_chars,
+      |  CAST(adm.n_chars - length(COALESCE(k.kept, adm.text)) AS BIGINT)
+      |    AS removed_chars,
+      |  ('0x' || substr(md5(COALESCE(k.kept, adm.text)), 1, 8))::BIGINT
+      |    AS kept_md5p
+      |FROM adm LEFT JOIN keptt k ON k.doc_id = adm.doc_id
+      |ORDER BY adm.doc_id""".stripMargin)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate

@@ -36,22 +36,28 @@ object Ml32Probe {
       val seedPts = df.orderBy("id").limit(64)
         .select("features").collect().map(_.getSeq[Double](0).toArray)
       val seedModel = graft.ml.MiniBatchKMeans.sharedSeed(seedPts.toSeq, k)
-      val t0 = System.nanoTime()
-      val fitted = Trainer.fit(spark,
-        PipelineSpec(32, "MiniBatchKMeans", Map("k" -> k.toDouble), Nil,
-          "Synchronous"), toRdd, Some(seedModel))
-      val tPar = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val seqFit = Trainer.fit(spark,
         PipelineSpec(6, "K-means", Map("k" -> k.toDouble), Nil, "Asynchronous"),
         toRdd)
       val tSeq = (System.nanoTime() - t1) / 1e9
-      val iPar = graft.ml.MiniBatchKMeans.inertia(spark, fitted.model, toRdd)
       val iSeq = graft.ml.MiniBatchKMeans.inertia(spark, seqFit.model, toRdd)
-      println(f"PROBE $sf: iPar=$iPar%.3f iSeq=$iSeq%.3f ratio=${iPar / iSeq}%.4f " +
-        f"proto=${fitted.protocolName} ships=${fitted.statistics.modelsShipped} " +
-        f"blocks=${fitted.statistics.blocks} bytes=${fitted.statistics.bytesShipped} " +
-        f"tPar=$tPar%.2f tSeq=$tSeq%.2f")
+      // both parallel arms: ml32's Synchronous and ml33's bounded-stale SSP
+      for ((proto, php) <- Seq(
+          ("Synchronous", Map.empty[String, Double]),
+          ("SSP", Map("staleness" -> 2.0)))) {
+        val t0 = System.nanoTime()
+        val fitted = Trainer.fit(spark,
+          PipelineSpec(32, "MiniBatchKMeans", Map("k" -> k.toDouble), Nil,
+            proto, protocolHp = php), toRdd, Some(seedModel))
+        val tPar = (System.nanoTime() - t0) / 1e9
+        val iPar = graft.ml.MiniBatchKMeans.inertia(spark, fitted.model, toRdd)
+        println(f"PROBE $sf [$proto]: iPar=$iPar%.3f iSeq=$iSeq%.3f " +
+          f"ratio=${iPar / iSeq}%.4f " +
+          f"proto=${fitted.protocolName} ships=${fitted.statistics.modelsShipped} " +
+          f"blocks=${fitted.statistics.blocks} bytes=${fitted.statistics.bytesShipped} " +
+          f"tPar=$tPar%.2f tSeq=$tSeq%.2f")
+      }
     }
     spark.stop()
   }
