@@ -323,6 +323,33 @@ object VectorOps {
     ph
   }
 
+  /** Per-100-codepoint frame energies: sums(f) = sum of code points at
+    * positions [f*100, (f+1)*100) — the mm10 shot-detection chain's
+    * `transform(sequence(frames), f -> aggregate(sequence(f*100+1, ...),
+    * ascii(substring(text, p, 1))))` collapsed to ONE surrogate-aware
+    * pass. The HOF form was quadratic at runtime: `substring(text, p, 1)`
+    * has no random access on UTF8String (an O(p) seek per position —
+    * O(n^2/2) per document, the same class as the r11 pHash chain the
+    * 100x probe caught at 42 min). Empty text yields one zero-energy
+    * frame, matching `greatest(length(text), 1)` framing in both engines.
+    */
+  def frameEnergies(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val nCp = str.codePointCount(0, n)
+    val frames = (math.max(nCp, 1) - 1) / 100 + 1
+    val sums = new Array[Long](frames)
+    var j = 0 // UTF-16 index
+    var p = 0 // code-point position
+    while (j < n) {
+      val cp = str.codePointAt(j)
+      sums(p / 100) += cp
+      j += Character.charCount(cp)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sums)
+  }
+
   /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
     * token multiplicity; bit set iff the vote sum is positive.
     */
@@ -489,6 +516,18 @@ case class PHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `frame_energies(string) -> array<long>`: per-100-codepoint frame
+  * energy sums, one pass, codegen'd. See [[VectorOps.frameEnergies]].
+  */
+case class FrameEnergies(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.frameEnergies(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.frameEnergies($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -512,6 +551,7 @@ object F {
   def dist2DD(a: Column, b: Column): Column = call_function("dist2_dd", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def phash64(text: Column): Column = call_function("phash64", text)
+  def frameEnergies(text: Column): Column = call_function("frame_energies", text)
   /** Rabin–Karp rolling hash of every k-char window, one O(n) pass. */
   def rollingHashes(s: Column, k: Int): Column =
     call_function("rolling_hashes", s, org.apache.spark.sql.functions.lit(k))
@@ -547,6 +587,9 @@ object F {
     (FunctionIdentifier("phash64"),
       new ExpressionInfo(classOf[PHash64].getName, "phash64"),
       (es: Seq[Expression]) => PHash64(es.head)),
+    (FunctionIdentifier("frame_energies"),
+      new ExpressionInfo(classOf[FrameEnergies].getName, "frame_energies"),
+      (es: Seq[Expression]) => FrameEnergies(es.head)),
     (FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
       // optional second arg = window length k (foldable int), default 8

@@ -182,17 +182,17 @@ object Curation {
           .select(col("vec_b").as("vec_id"))
           .distinct()
         val kept = e.join(broadcast(removed), Seq("vec_id"), "left_anti")
-        // s05 int8 quantization over survivors, in-range gate
+        // s16's int8 quantization kernel over survivors, in-range gate.
+        // The kernel, NOT the declarative hoist (maxabs column + transform):
+        // the hoist is not planner-proof — CollapseProject inlines the
+        // maxabs alias back into the transform lambda, re-running the O(d)
+        // fold per ELEMENT, O(d^2) per row at runtime (the r12 HOF
+        // hot-loop guard caught it in the OPTIMIZED plan). Degenerate rows
+        // (all-zero / NaN embeddings) yield EMPTY codes per the kernel's
+        // defined semantics (R11OpsSuite); the range gate's fold inits
+        // (127 / -128) leave the verdict unchanged for empty arrays.
         val quant = kept
-          .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .withColumn("maxabs", expr(
-            "aggregate(xd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-          // greatest(maxabs, 1e-30) guards the all-zero embedding: without
-          // it the divide yields NaN codes that cast to NULL, and the
-          // null-skipping least/greatest gates below would report the
-          // degenerate row as in-range
-          .withColumn("q", expr(
-            "transform(xd, x -> CAST(floor(x * 127.0D / greatest(maxabs, 1e-30D)) AS BIGINT))"))
+          .withColumn("q", graft.functions.F.i8Codes(col("embedding")))
           .withColumn("qmin", expr(
             "aggregate(q, CAST(127 AS BIGINT), (a, v) -> least(a, v))"))
           .withColumn("qmax", expr(

@@ -354,15 +354,13 @@ object Multimodal {
     Op("mm10_shot_boundaries", (s, d) => {
       T.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .withColumn("e", expr(
-          """transform(
-            |  sequence(CAST(0 AS BIGINT),
-            |    CAST((greatest(length(text), 1) - 1) div 100 AS BIGINT)),
-            |  f -> aggregate(
-            |    sequence(f * 100 + 1, least(CAST(length(text) AS BIGINT), (f + 1) * 100)),
-            |    CAST(0 AS BIGINT),
-            |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))"""
-            .stripMargin))
+        // frame_energies: the codegen'd one-pass kernel — value-identical
+        // to the transform(sequence)/aggregate(sequence) chain it replaced
+        // (R12OpsSuite pins parity incl. empty text), but O(n) per doc:
+        // the HOF form's ascii(substring(text, p, 1)) was an O(p) seek per
+        // position (UTF8String has no random access) — O(n^2/2) per doc,
+        // the r11 pHash lesson repeating; caught by the r12 HOF guard.
+        .withColumn("e", graft.functions.F.frameEnergies(col("text")))
         .withColumn("dl", expr(
           "zip_with(slice(e, 2, size(e) - 1), slice(e, 1, size(e) - 1), " +
             "(a, b) -> abs(a - b))"))

@@ -1346,9 +1346,13 @@ object TextAnalysis {
     // INTEGER domain: per-doc distinct/hapax counts are exact, the decile
     // is integer arithmetic ((10*distinct) DIV tokens, capped), and the
     // single double (corpus TTR per decile) is one divide of two exact
-    // integer sums. The hapax count is an array-domain lambda over the
-    // per-doc token list (docs are chunk-bounded, so the d*n per-doc cost
-    // is a constant at any corpus size) — shuffle-free like the winnowing
+    // integer sums. The hapax count is a SORTED-RUN FOLD: sort the token
+    // list once, then one aggregate pass whose struct accumulator
+    // (prev, run, h) counts runs of length 1 — O(n log n) per doc and
+    // planner-proof (no alias referenced inside a lambda, so
+    // CollapseProject can't inline a recompute; the r12 HOF guard
+    // retired the previous filter-inside-filter form, which was
+    // O(distinct x tokens) per doc). Shuffle-free like the winnowing
     // family; only the O(10)-row aggregate exchanges.
     Op(
       "t31_lexical_diversity",
@@ -1358,8 +1362,17 @@ object TextAnalysis {
           .select(
             expr("cast(size(t) as bigint)").as("n_tok"),
             expr("cast(size(array_distinct(t)) as bigint)").as("n_dis"),
-            expr("cast(size(filter(array_distinct(t), " +
-              "x -> size(filter(t, y -> y = x)) = 1)) as bigint)").as("hapax"))
+            expr("""cast(aggregate(
+              |  array_sort(t),
+              |  named_struct('prev', CAST(NULL AS STRING),
+              |               'run', CAST(0 AS BIGINT),
+              |               'h', CAST(0 AS BIGINT)),
+              |  (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+              |    named_struct('prev', x, 'run', acc.run + 1L, 'h', acc.h),
+              |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+              |      'h', acc.h + IF(acc.run = 1L, 1L, 0L))),
+              |  acc -> acc.h + IF(acc.run = 1L, 1L, 0L)) as bigint)"""
+              .stripMargin).as("hapax"))
           .select(expr("least((10 * n_dis) DIV n_tok, 9)").as("ttr_decile"),
             col("n_tok"), col("n_dis"), col("hapax"))
           .groupBy("ttr_decile")

@@ -754,4 +754,92 @@ class PlanSuite extends AnyFunSuite {
     assert(rows.count(_.kind == "data") == 2 &&
       rows.count(_.kind == "control") == 4 && rows.length == 6)
   }
+
+  test("HOF hot-loop guard: no nested or per-pair higher-order function " +
+    "over a corpus-sized scan (r11 verdict #4 — the dot_ll/phash64 lesson)") {
+    // Twice a Catalyst HOF chain in a hot loop cost 15-60x until a 100x
+    // probe caught it: r10's per-PAIR aggregate(zip_with(...)) in the int8
+    // rerank (one fresh array per candidate pair) and r11's per-row
+    // transform(sequence) -> aggregate(sequence) pHash chain (64 re-scans
+    // of each document). Both share a machine-checkable shape, enforced
+    // here over every registered batch query's OPTIMIZED plan:
+    //   (a) a HOF inside another HOF's LAMBDA body — the inner traversal
+    //       re-runs once per outer element, so per-row cost MULTIPLIES
+    //       (O(outer x inner)); HOFs composed in ARGUMENT position
+    //       (aggregate(transform(xs, ...), ...)) are sequential passes and
+    //       stay linear — the bread-and-butter declarative form, or
+    //   (b) any HOF evaluated at JOIN-OUTPUT cardinality (both join sides
+    //       reach a corpus-sized scan -> per-pair allocation),
+    // in either case with no Aggregate between the expression and a
+    // corpus-sized leaf (an Aggregate collapses cardinality, so HOFs above
+    // one — e.g. d28's transform(array_sort(collect_list(...))) stitch —
+    // run O(groups) times and are cold by construction).
+    // Streaming (st) and training (ml, p07-p09) entries are excluded: their
+    // op functions RUN work and return sink reads, so the hot path is not
+    // visible in the returned DataFrame's plan. Their guards are the
+    // kernel-parity suites + the per-family 100x probes (SCALE.md).
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    val big = Seq("documents", "embeddings", "lineitem", "orders", "events")
+    def bigLeaf(p: LogicalPlan): Boolean = p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths
+          .exists(rp => big.exists(b => rp.toString.contains(b)))
+        case _ => false
+      }
+      case _ => false
+    }
+    def rawBig(p: LogicalPlan): Boolean =
+      !p.isInstanceOf[Aggregate] && (bigLeaf(p) || p.children.exists(rawBig))
+    def perPair(p: LogicalPlan): Boolean =
+      !p.isInstanceOf[Aggregate] && (p match {
+        case j: Join => (rawBig(j.left) && rawBig(j.right)) ||
+          j.children.exists(perPair)
+        case _ => p.children.exists(perPair)
+      })
+    def nested(h: HigherOrderFunction): Boolean =
+      h.functions.exists(_.exists {
+        case _: HigherOrderFunction => true
+        case _ => false
+      })
+    // Known-cold paths, each with its reason — additions need the same
+    // justification or a kernel replacement (the phash64 route).
+    val allow: Map[String, String] = Map(
+      "s06_random_projection" -> ("outer transform runs over the LITERAL " +
+        "32-hyperplane matrix: the multiplier is a compile-time constant " +
+        "(O(32d) per row, one pass over the embedding per plane), pinned " +
+        "scan-cost by its own plan test; kernel replacement is the upgrade " +
+        "path if a probe ever disagrees"),
+      "s10_maxsim" -> ("per-pair flag only: the join's query side is the " +
+        "16-row benchmark slice, broadcast (pinned by the s10 plan test), " +
+        "so 'pair' cardinality is 16 x corpus — the zip_with runs at scan " +
+        "cost with a constant multiplier"))
+    val sweep = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      val fam = n.takeWhile(_.isLetter)
+      Set("q", "w", "t", "d", "s", "g", "mm").contains(fam) ||
+        Set("p01", "p02", "p03", "p04", "p05", "p06").exists(n.startsWith)
+    }
+    assert(sweep.size > 150, s"sweep shrank to ${sweep.size} — selector broke?")
+    val offenders = scala.collection.mutable.LinkedHashSet[String]()
+    for (name <- sweep if !allow.contains(name)) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.foreach { node =>
+        val hs = node.expressions.flatMap(_.collect {
+          case h: HigherOrderFunction => h
+        })
+        if (hs.nonEmpty && node.children.exists(rawBig)) {
+          hs.filter(nested).take(1).foreach(h =>
+            offenders += s"$name: NESTED HOF ${h.sql.take(140)}")
+          if (node.children.exists(perPair))
+            offenders += s"$name: PER-PAIR HOF ${hs.head.sql.take(140)}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"HOF hot-loop candidates (replace with a codegen'd kernel or " +
+        s"allowlist with a cold-path justification):\n" +
+        offenders.mkString("\n"))
+  }
 }

@@ -50,6 +50,36 @@ class R12OpsSuite extends AnyFunSuite {
       s"kernel diverges from the code-point HOF chain on: ${bad.mkString(",")}")
   }
 
+  test("frame_energies kernel equals the transform/aggregate HOF chain " +
+    "element-for-element on fixture text plus edge cases (mm10 hot loop)") {
+    import spark.implicits._
+    val fixture = T.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (1000001L, ""),                       // one zero-energy frame
+      (1000002L, "x"),                      // single char
+      (1000003L, "a" * 100),                // exact frame boundary
+      (1000004L, "b" * 101),                // boundary + 1
+      (1000005L, "café😀" * 50)             // non-ASCII + astral
+    ).toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+    val hof = docs.withColumn("e", expr(
+      """transform(
+        |  sequence(CAST(0 AS BIGINT),
+        |    CAST((greatest(length(text), 1) - 1) div 100 AS BIGINT)),
+        |  f -> aggregate(
+        |    sequence(f * 100 + 1, least(CAST(length(text) AS BIGINT), (f + 1) * 100)),
+        |    CAST(0 AS BIGINT),
+        |    (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1))))"""
+        .stripMargin)).select(col("doc_id"), col("e"))
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.F.frameEnergies(col("text")).as("k"))
+    val joined = hof.join(kernel, "doc_id")
+    assert(joined.count() > 5)
+    assert(joined.filter(col("e") =!= col("k")).count() == 0,
+      "frame_energies diverges from the HOF chain")
+  }
+
   test("fitStream fails loudly when MiniBatchKMeans trains multi-partition " +
     "with no shared seed, and trains fine once seeded (ADVICE r11 medium)") {
     val dir = java.nio.file.Files.createTempDirectory("r12_mbk_").toString
