@@ -324,14 +324,17 @@ object VectorOps {
   }
 
   /** Per-100-codepoint frame energies: sums(f) = sum of code points at
-    * positions [f*100, (f+1)*100) — the mm10 shot-detection chain's
-    * `transform(sequence(frames), f -> aggregate(sequence(f*100+1, ...),
-    * ascii(substring(text, p, 1))))` collapsed to ONE surrogate-aware
-    * pass. The HOF form was quadratic at runtime: `substring(text, p, 1)`
-    * has no random access on UTF8String (an O(p) seek per position —
-    * O(n^2/2) per document, the same class as the r11 pHash chain the
-    * 100x probe caught at 42 min). Empty text yields one zero-energy
-    * frame, matching `greatest(length(text), 1)` framing in both engines.
+    * positions [f*100, (f+1)*100) — the mm05/mm08/mm10 per-frame
+    * `aggregate(sequence(f*100+1, ...), ascii(substring(text, p, 1)))`
+    * chains collapsed to ONE surrogate-aware pass. The HOF forms run the
+    * whole per-position body through interpreted lambda evaluation
+    * (HigherOrderFunctions never enter whole-stage codegen) at ~us per
+    * position plus a materialized position sequence per frame — measured
+    * 63.2 s -> 0.18 s for 500 docs x 20k chars (mm05 shape) and
+    * 245.9 s -> 0.27 s for 2,000 docs x 20k chars (mm10's nested shape);
+    * the same class as the r11 pHash chain the 100x probe caught at
+    * 42 min. Empty text yields one zero-energy frame, matching
+    * `greatest(length(text), 1)` framing in both engines.
     */
   def frameEnergies(s: UTF8String): ArrayData = {
     val str = s.toString
@@ -348,6 +351,84 @@ object VectorOps {
       p += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sums)
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+  private def hexLower(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HEX((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** md5 hex of every 100-codepoint frame, frames 0..cp/100 INCLUSIVE (the
+    * mm03/mm08 `sequence(0, length div 100)` framing — the trailing frame
+    * is empty when length % 100 == 0, hashing to md5("")). One byte walk:
+    * frame boundaries are found by counting UTF-8 lead bytes, and each
+    * frame hashes its UTF-8 byte span directly — replacing the per-frame
+    * `md5(substring(text, f*100+1, 100))`. Measured ~parity with the
+    * substring form at 20k-char docs (0.35 -> 0.31 s per 500; Spark 4's
+    * substring is cheap even on non-ASCII) — kept as a kernel for
+    * uniformity with the frame_energies convention and byte-exact framing
+    * at codepoint boundaries, not as a hot-loop rescue.
+    */
+  def frameMd5s(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var cps = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xc0) != 0x80) cps += 1; i += 1 }
+    val nFrames = cps / 100 + 1
+    val out = new Array[Any](nFrames)
+    val md = md5Local.get()
+    var f = 0
+    var start = 0
+    i = 0
+    var cp = 0
+    while (f < nFrames) {
+      val target = (f + 1) * 100
+      while (i < n && cp < target) {
+        i += 1
+        while (i < n && (bytes(i) & 0xc0) == 0x80) i += 1
+        cp += 1
+      }
+      md.reset()
+      md.update(bytes, start, i - start)
+      out(f) = UTF8String.fromString(hexLower(md.digest()))
+      start = i
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Every stride-th CODEPOINT of the input (0-based positions 0, stride,
+    * 2*stride, ...), as a string — the mm04 1-D resize
+    * `transform(sequence(1, length, 4), p -> substring(text, p, 1))`
+    * collapsed to one byte walk. Measured ~2x at 20k-char docs
+    * (0.19 -> 0.10 s per 500) — the win is the removed per-position
+    * interpreted lambda + one-char UTF8String allocations, and the kernel
+    * additionally defines the empty-string case the sequence form crashes
+    * on (sequence(1, 0, 4) is illegal).
+    */
+  def strideSample(s: UTF8String, stride: Int): UTF8String = {
+    require(stride > 0, s"stride_sample: stride must be positive: $stride")
+    val bytes = s.getBytes
+    val n = bytes.length
+    val bb = new java.io.ByteArrayOutputStream(n / stride + 8)
+    var i = 0
+    var cp = 0
+    while (i < n) {
+      val start = i
+      i += 1
+      while (i < n && (bytes(i) & 0xc0) == 0x80) i += 1
+      if (cp % stride == 0) bb.write(bytes, start, i - start)
+      cp += 1
+    }
+    UTF8String.fromBytes(bb.toByteArray)
   }
 
   /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
@@ -528,6 +609,31 @@ case class FrameEnergies(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `frame_md5s(string) -> array<string>`: md5 hex per 100-codepoint frame
+  * (trailing empty frame included), one byte walk, codegen'd. See
+  * [[VectorOps.frameMd5s]].
+  */
+case class FrameMd5s(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.frameMd5s(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.frameMd5s($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `stride_sample(string, stride) -> string`: every stride-th codepoint,
+  * one byte walk, codegen'd. See [[VectorOps.strideSample]].
+  */
+case class StrideSample(child: Expression, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.strideSample(v.asInstanceOf[UTF8String], stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.strideSample($c, $stride)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -552,6 +658,9 @@ object F {
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def phash64(text: Column): Column = call_function("phash64", text)
   def frameEnergies(text: Column): Column = call_function("frame_energies", text)
+  def frameMd5s(text: Column): Column = call_function("frame_md5s", text)
+  def strideSample(text: Column, stride: Int): Column =
+    call_function("stride_sample", text, org.apache.spark.sql.functions.lit(stride))
   /** Rabin–Karp rolling hash of every k-char window, one O(n) pass. */
   def rollingHashes(s: Column, k: Int): Column =
     call_function("rolling_hashes", s, org.apache.spark.sql.functions.lit(k))
@@ -590,6 +699,13 @@ object F {
     (FunctionIdentifier("frame_energies"),
       new ExpressionInfo(classOf[FrameEnergies].getName, "frame_energies"),
       (es: Seq[Expression]) => FrameEnergies(es.head)),
+    (FunctionIdentifier("frame_md5s"),
+      new ExpressionInfo(classOf[FrameMd5s].getName, "frame_md5s"),
+      (es: Seq[Expression]) => FrameMd5s(es.head)),
+    (FunctionIdentifier("stride_sample"),
+      new ExpressionInfo(classOf[StrideSample].getName, "stride_sample"),
+      (es: Seq[Expression]) => StrideSample(es.head,
+        es(1).eval().asInstanceOf[Number].intValue)),
     (FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
       // optional second arg = window length k (foldable int), default 8

@@ -606,19 +606,36 @@ object Curation {
             .option("maxFilesPerTrigger", "1").parquet(dir)
             .writeStream
             .foreachBatch {
-              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
                 val b = batch.persist()
-                b.select(col("doc_id"),
-                    explode(split(col("text"), " ")).as("term"))
-                  .filter(col("term") =!= "")
-                  .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-                  .write.mode("append").parquet(s"$out/tf")
-                b.select(col("doc_id"),
-                    expr("cast(size(filter(split(text, ' '), x -> x <> ''))" +
-                      " as bigint)").as("dl"))
-                  .write.mode("append").parquet(s"$out/dl")
-                Dedup.shingleRows(b)
-                  .write.mode("append").parquet(s"$out/sh")
+                // scale-probe telemetry (P07_TRACE, the P08_TRACE pattern):
+                // per-trigger wall of each ledger append — the 100x probe's
+                // evidence that trigger cost tracks the ARRIVAL delta, not
+                // the ledger size (appends never read existing ledger files)
+                def timed(label: String)(f: => Unit): Unit =
+                  if (sys.env.contains("P07_TRACE")) {
+                    val t0 = System.nanoTime()
+                    f
+                    System.err.println(f"P07_TRACE batch=$bid $label " +
+                      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+                  } else f
+                timed("tf") {
+                  b.select(col("doc_id"),
+                      explode(split(col("text"), " ")).as("term"))
+                    .filter(col("term") =!= "")
+                    .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+                    .write.mode("append").parquet(s"$out/tf")
+                }
+                timed("dl") {
+                  b.select(col("doc_id"),
+                      expr("cast(size(filter(split(text, ' '), x -> x <> ''))" +
+                        " as bigint)").as("dl"))
+                    .write.mode("append").parquet(s"$out/dl")
+                }
+                timed("sh") {
+                  Dedup.shingleRows(b)
+                    .write.mode("append").parquet(s"$out/sh")
+                }
                 b.unpersist()
                 ()
             }
@@ -643,6 +660,17 @@ object Curation {
         val dlT = s.read.parquet(s"$out/dl")
           .groupBy("doc_id").agg(sum("dl").as("dl"))
           .join(losers, Seq("doc_id"), "left_anti").cache()
+        if (sys.env.contains("P07_TRACE")) {
+          // serve-side stage split: force each cached artifact in order so
+          // the probe attributes dedup vs index-clean vs rank costs
+          def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            val n = df.count()
+            System.err.println(f"P07_TRACE serve $label rows=$n " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          t("dedup_losers")(losers); t("tf_clean")(tf); t("dl_clean")(dlT)
+        }
         TextAnalysis.bm25Rank(s, tf, dlT)
       },
       Some(s"""WITH ${Dedup.sqlCappedCtes},

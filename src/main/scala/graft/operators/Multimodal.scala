@@ -105,13 +105,19 @@ object Multimodal {
     // a frame decode; the explode/slice plumbing is the real operator and is
     // fully parallel per document.
     Op("mm03_frame_sample", (s, d) => {
+      // frame_md5s kernel: one byte walk hashes every frame's UTF-8 span
+      // (R12OpsSuite pins parity with the md5(substring) form incl. the
+      // empty trailing frame; measured ~parity at 20k-char docs — this is
+      // a convention/uniformity kernelization, unlike mm05/mm10's
+      // interpreted-HOF rescues). Stride-2 selection happens on the small
+      // frames array (pos % 2), cost O(frames).
       T.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          expr("CAST(length(text) AS BIGINT) div 100").as("max_frame"))
-        .withColumn("f",
-          explode(expr("sequence(CAST(0 AS BIGINT), max_frame, CAST(2 AS BIGINT))")))
-        .select(col("doc_id"), col("f").as("frame_idx"),
-          md5(expr("substring(text, f * 100 + 1, 100)")).as("frame_md5"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.F.frameMd5s(col("text")))
+            .as(Seq("pos", "m")))
+        .filter(col("pos") % 2 === 0)
+        .select(col("doc_id"), col("pos").cast(LongType).as("frame_idx"),
+          col("m").as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     },
       Some("""SELECT doc_id, f AS frame_idx,
@@ -124,10 +130,14 @@ object Multimodal {
     // stand-in for image downscaling — a real kernel would swap in here);
     // output checksummed. Pure per-row expressions, shuffle-free.
     Op("mm04_resize", (s, d) => {
+      // stride_sample kernel: one byte walk — ~2x over the
+      // transform(sequence)/substring form at 20k-char docs (per-position
+      // interpreted lambda + one-char allocations removed), and it defines
+      // the empty-text case the sequence form crashes on. R12OpsSuite pins
+      // parity incl. astral chars.
       T.documents(s, d)
         .select(col("doc_id"),
-          expr("concat_ws('', transform(sequence(1, length(text), 4), p -> substring(text, p, 1)))")
-            .as("resized"))
+          graft.functions.F.strideSample(col("text"), 4).as("resized"))
         .select(col("doc_id"), md5(col("resized")).as("resized_md5"),
           length(col("resized")).cast(LongType).as("n_px"))
         .orderBy("doc_id")
@@ -141,16 +151,18 @@ object Multimodal {
     // values (code points as the deterministic stand-in for PCM samples).
     // The per-frame fold runs inside the row — no per-sample explode.
     Op("mm05_audio_energy", (s, d) => {
+      // frame_energies kernel (mm10's): one codepoint pass computes every
+      // frame's sum — the per-frame aggregate(sequence, ascii(substring))
+      // it replaces ran every position through interpreted lambda
+      // evaluation (HOFs never enter codegen): measured 63.2 s -> 0.18 s
+      // at 500 docs x 20k chars (351x), explode-shaped so the HOF guard
+      // couldn't see it.
       T.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(CAST(0 AS BIGINT), CAST((length(text) - 1) div 100 AS BIGINT))"))
-            .as("frame"))
-        .select(col("doc_id"), col("frame"),
-          expr("""aggregate(
-            |  sequence(frame * 100 + 1, least(CAST(length(text) AS BIGINT), (frame + 1) * 100)),
-            |  CAST(0 AS BIGINT),
-            |  (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1)))""".stripMargin)
-            .as("energy"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.F.frameEnergies(col("text")))
+            .as(Seq("pos", "energy")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("frame"),
+          col("energy"))
         .orderBy("doc_id", "frame")
     },
       Some("""SELECT doc_id, (p - 1) // 100 AS frame,
@@ -232,24 +244,25 @@ object Multimodal {
     // partition-by-asset sort — co-partitioned by doc_id, no cross-asset
     // traffic, the same plan that aligns a billion-asset corpus.
     Op("mm08_av_align", (s, d) => {
-      val base = T.documents(s, d).select(col("doc_id"), col("text"),
-        expr("CAST(length(text) AS BIGINT) div 100").as("maxf"))
+      // both modality streams now derive from one-pass kernels (mm03's
+      // frame_md5s, mm05's frame_energies — the audio side's replaced
+      // per-frame interpreted aggregate measured 351x slower at 20k-char
+      // payloads; see mm05)
+      val base = T.documents(s, d).select(col("doc_id"), col("text"))
       val frames = base
-        .withColumn("v",
-          explode(expr("sequence(CAST(0 AS BIGINT), maxf, CAST(2 AS BIGINT))")))
-        .select(col("doc_id"), col("v"),
-          md5(expr("substring(text, v * 100 + 1, 100)")).as("frame_md5"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.F.frameMd5s(col("text")))
+            .as(Seq("pos", "m")))
+        .filter(col("pos") % 2 === 0)
+        .select(col("doc_id"), col("pos").cast(LongType).as("v"),
+          col("m").as("frame_md5"))
       val audio = base
-        .withColumn("a",
-          explode(expr(
-            "sequence(CAST(0 AS BIGINT), CAST((length(text) - 1) div 100 AS BIGINT))")))
-        .filter(col("a") % 7 =!= 0)
-        .select(col("doc_id"), col("a"),
-          expr("""aggregate(
-            |  sequence(a * 100 + 1, least(CAST(length(text) AS BIGINT), (a + 1) * 100)),
-            |  CAST(0 AS BIGINT),
-            |  (acc, p) -> acc + ascii(substring(text, CAST(p AS INT), 1)))""".stripMargin)
-            .as("energy"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.F.frameEnergies(col("text")))
+            .as(Seq("pos", "energy")))
+        .filter(col("pos") % 7 =!= 0)
+        .select(col("doc_id"), col("pos").cast(LongType).as("a"),
+          col("energy"))
       AsOf.asofJoin(frames, audio, "doc_id", "doc_id", col("v"), col("a"),
           Seq("a", "energy"), "a")
         .select(col("doc_id"), col("v").as("frame_idx"), col("frame_md5"),
@@ -356,10 +369,12 @@ object Multimodal {
         .select(col("doc_id"), col("text"))
         // frame_energies: the codegen'd one-pass kernel — value-identical
         // to the transform(sequence)/aggregate(sequence) chain it replaced
-        // (R12OpsSuite pins parity incl. empty text), but O(n) per doc:
-        // the HOF form's ascii(substring(text, p, 1)) was an O(p) seek per
-        // position (UTF8String has no random access) — O(n^2/2) per doc,
-        // the r11 pHash lesson repeating; caught by the r12 HOF guard.
+        // (R12OpsSuite pins parity incl. empty text). The nested HOF form
+        // ran every position through interpreted lambda evaluation with a
+        // materialized sequence per frame: measured 245.9 s -> 0.27 s at
+        // 2,000 docs x 20k chars (907x) — the r11 pHash lesson repeating;
+        // caught by the r12 HOF guard, which flags exactly this
+        // HOF-inside-a-lambda shape.
         .withColumn("e", graft.functions.F.frameEnergies(col("text")))
         .withColumn("dl", expr(
           "zip_with(slice(e, 2, size(e) - 1), slice(e, 1, size(e) - 1), " +
@@ -538,7 +553,7 @@ object Multimodal {
   /** The mm07 stripe-energy perceptual hash: (doc_id, phash) for every doc
     * with >= 64 payload units. Shared with the p03 pipeline.
     */
-  private[operators] def phashOf(docs: DataFrame): DataFrame = docs
+  private[graft] def phashOf(docs: DataFrame): DataFrame = docs
     .filter(length(col("text")) >= 64)
     // the codegen'd one-pass kernel — value-identical to the declarative
     // transform/aggregate stripe chain it replaced (exact integer sums,
@@ -551,7 +566,7 @@ object Multimodal {
   /** 8 bands x 8 bits of a (doc_id, phash) frame — the lossless blocking
     * for hamming <= 7 (pigeonhole: <= 7 flips leave >= 1 band intact).
     */
-  private[operators] def phashBands(ph: DataFrame): DataFrame = ph
+  private[graft] def phashBands(ph: DataFrame): DataFrame = ph
     .select(col("doc_id"), col("phash"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -566,7 +581,7 @@ object Multimodal {
     * `extraKeys` adds equality columns to the band join (p03: modality, so
     * cohorts block within modality only).
     */
-  private[operators] def phashNeardupPairs(
+  private[graft] def phashNeardupPairs(
       bands: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
     val cond = (Seq("band", "bits") ++ extraKeys)
       .map(k => col(s"x.$k") === col(s"y.$k"))

@@ -25,12 +25,17 @@ object R12HotLoopProbe {
 
     val nDocs = if (args.nonEmpty) args(0).toInt else 2000
     val docLen = if (args.length > 1) args(1).toInt else 20000
+    // `nonascii` arg: salt the text with 2-byte chars — UTF8String's
+    // substring ASCII fast path no longer applies, so the O(p)-seek
+    // asymptotics of the retired substring forms become visible
+    val salt = if (args.length > 2 && args(2) == "nonascii")
+      "IF((id + p) % 11 = 0, 'é', char(97 + CAST((id * 131 + p * 17) % 23 AS INT)))"
+    else "char(97 + CAST((id * 131 + p * 17) % 23 AS INT))"
     // deterministic pseudo-text: verse-varied chars + spaces every ~7
     val docs = spark.range(nDocs.toLong)
       .select(col("id").as("doc_id"),
         expr(s"""array_join(transform(sequence(1, $docLen),
-          |  p -> IF((id * 31 + p) % 7 = 0, ' ',
-          |    char(97 + CAST((id * 131 + p * 17) % 23 AS INT)))), '')"""
+          |  p -> IF((id * 31 + p) % 7 = 0, ' ', $salt)), '')"""
           .stripMargin).as("text"))
       .localCheckpoint() // materialize so generation is outside every timer
 
@@ -56,6 +61,52 @@ object R12HotLoopProbe {
     time(s"mm10 kernel      n=$nDocs len=$docLen") {
       docs.withColumn("e", graft.functions.F.frameEnergies(col("text")))
         .select(sum(expr("aggregate(e, 0L, (a, b) -> a + b)"))).collect()
+      nDocs.toLong
+    }
+    time(s"mm03 md5(substr) n=$nDocs len=$docLen") {
+      docs.select(col("doc_id"), col("text"),
+          expr("CAST(length(text) AS BIGINT) div 100").as("maxf"))
+        .withColumn("f", explode(expr(
+          "sequence(CAST(0 AS BIGINT), maxf, CAST(2 AS BIGINT))")))
+        .select(md5(expr("substring(text, f * 100 + 1, 100)")).as("m"))
+        .agg(count("m")).collect()
+      nDocs.toLong
+    }
+    time(s"mm03 kernel      n=$nDocs len=$docLen") {
+      docs.select(posexplode(graft.functions.F.frameMd5s(col("text")))
+          .as(Seq("pos", "m")))
+        .filter(col("pos") % 2 === 0)
+        .agg(count("m")).collect()
+      nDocs.toLong
+    }
+    time(s"mm05 old agg     n=$nDocs len=$docLen") {
+      docs.select(col("doc_id"), col("text"),
+          explode(expr("sequence(CAST(0 AS BIGINT), " +
+            "CAST((length(text) - 1) div 100 AS BIGINT))")).as("frame"))
+        .select(expr("""aggregate(
+          |  sequence(frame * 100 + 1, least(CAST(length(text) AS BIGINT), (frame + 1) * 100)),
+          |  CAST(0 AS BIGINT),
+          |  (a, p) -> a + ascii(substring(text, CAST(p AS INT), 1)))""".stripMargin)
+          .as("energy"))
+        .agg(sum("energy")).collect()
+      nDocs.toLong
+    }
+    time(s"mm05 kernel      n=$nDocs len=$docLen") {
+      docs.select(posexplode(graft.functions.F.frameEnergies(col("text")))
+          .as(Seq("pos", "energy")))
+        .agg(sum("energy")).collect()
+      nDocs.toLong
+    }
+    time(s"mm04 transform   n=$nDocs len=$docLen") {
+      docs.select(md5(expr(
+          "concat_ws('', transform(sequence(1, length(text), 4), " +
+            "p -> substring(text, p, 1)))")).as("r"))
+        .agg(count("r")).collect()
+      nDocs.toLong
+    }
+    time(s"mm04 kernel      n=$nDocs len=$docLen") {
+      docs.select(md5(graft.functions.F.strideSample(col("text"), 4)).as("r"))
+        .agg(count("r")).collect()
       nDocs.toLong
     }
     time(s"t31 quad hapax   n=$nDocs len=$docLen") {

@@ -80,6 +80,48 @@ class R12OpsSuite extends AnyFunSuite {
       "frame_energies diverges from the HOF chain")
   }
 
+  test("frame_md5s / stride_sample kernels equal the substring forms they " +
+    "replaced, on fixture text plus edge cases (mm03/mm04/mm08 hot loops)") {
+    import spark.implicits._
+    val fixture = T.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (1000001L, ""),                       // single empty frame / sample
+      (1000002L, "x"),
+      (1000003L, "a" * 100),                // exact boundary: trailing empty frame
+      (1000004L, "b" * 101),
+      (1000005L, "café😀" * 50)             // non-ASCII + astral
+    ).toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+    // frame_md5s vs md5(substring) over ALL frames 0..len div 100
+    val oldF = docs
+      .select(col("doc_id"), col("text"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("maxf"))
+      .withColumn("f", explode(expr(
+        "sequence(CAST(0 AS BIGINT), maxf)")))
+      .select(col("doc_id"), col("f"),
+        md5(expr("substring(text, f * 100 + 1, 100)")).as("m"))
+    val newF = docs.select(col("doc_id"),
+        posexplode(F.frameMd5s(col("text"))).as(Seq("pos", "k")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("f"), col("k"))
+    assert(oldF.join(newF, Seq("doc_id", "f"), "full_outer")
+      .filter(col("m").isNull || col("k").isNull || col("m") =!= col("k"))
+      .count() == 0, "frame_md5s diverges from the md5(substring) form")
+    // stride_sample vs transform(sequence)/substring concat — the OLD form
+    // crashes on empty text (sequence(1, 0, 4) is illegal), so the empty
+    // row is excluded here and checked standalone below (the kernel's ""
+    // is strictly better than the crash it replaces)
+    val oldS = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), expr(
+        "concat_ws('', transform(sequence(1, length(text), 4), " +
+          "p -> substring(text, p, 1)))").as("r"))
+    val newS = docs.select(col("doc_id"),
+      F.strideSample(col("text"), 4).as("k"))
+    assert(oldS.join(newS, "doc_id").filter(col("r") =!= col("k")).count() == 0,
+      "stride_sample diverges from the transform/substring form")
+    assert(newS.filter(col("doc_id") === 1000001L).head().getString(1) == "")
+  }
+
   test("fitStream fails loudly when MiniBatchKMeans trains multi-partition " +
     "with no shared seed, and trains fine once seeded (ADVICE r11 medium)") {
     val dir = java.nio.file.Files.createTempDirectory("r12_mbk_").toString
