@@ -769,8 +769,14 @@ class PlanSuite extends AnyFunSuite {
     //       (aggregate(transform(xs, ...), ...)) are sequential passes and
     //       stay linear — the bread-and-butter declarative form, or
     //   (b) any HOF evaluated at JOIN-OUTPUT cardinality (both join sides
-    //       reach a corpus-sized scan -> per-pair allocation),
-    // in either case with no Aggregate between the expression and a
+    //       reach a corpus-sized scan -> per-pair allocation), or
+    //   (c) a HOF lambda that references an OUTER String-typed column —
+    //       the mm05 shape (aggregate(sequence(...), (a, p) -> ... +
+    //       ascii(substring(text, p, 1)))): every element re-enters the
+    //       payload through interpreted evaluation at ~us per position
+    //       (measured 351x at 20k-char docs, SCALE.md r12). Lambdas that
+    //       touch only their own variables and accumulators pass.
+    // In each case with no Aggregate between the expression and a
     // corpus-sized leaf (an Aggregate collapses cardinality, so HOFs above
     // one — e.g. d28's transform(array_sort(collect_list(...))) stitch —
     // run O(groups) times and are cold by construction).
@@ -778,7 +784,7 @@ class PlanSuite extends AnyFunSuite {
     // op functions RUN work and return sink reads, so the hot path is not
     // visible in the returned DataFrame's plan. Their guards are the
     // kernel-parity suites + the per-family 100x probes (SCALE.md).
-    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, HigherOrderFunction, LambdaFunction}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -804,6 +810,15 @@ class PlanSuite extends AnyFunSuite {
         case _: HigherOrderFunction => true
         case _ => false
       })
+    def lambdaOuterString(h: HigherOrderFunction): Boolean =
+      h.functions.exists {
+        case lf: LambdaFunction => lf.function.exists {
+          case a: AttributeReference =>
+            a.dataType == org.apache.spark.sql.types.StringType
+          case _ => false
+        }
+        case _ => false
+      }
     // Known-cold paths, each with its reason — additions need the same
     // justification or a kernel replacement (the phash64 route).
     val allow: Map[String, String] = Map(
@@ -834,6 +849,8 @@ class PlanSuite extends AnyFunSuite {
             offenders += s"$name: NESTED HOF ${h.sql.take(140)}")
           if (node.children.exists(perPair))
             offenders += s"$name: PER-PAIR HOF ${hs.head.sql.take(140)}"
+          hs.filter(lambdaOuterString).take(1).foreach(h =>
+            offenders += s"$name: PAYLOAD-IN-LAMBDA HOF ${h.sql.take(140)}")
         }
       }
     }
