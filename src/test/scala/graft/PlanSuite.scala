@@ -859,4 +859,31 @@ class PlanSuite extends AnyFunSuite {
         s"allowlist with a cold-path justification):\n" +
         offenders.mkString("\n"))
   }
+
+  test("st46/st48 standing window index is a bucketed table: the " +
+    "per-trigger semi join exchanges ONLY the arrival side (r12 100x fix)") {
+    import org.apache.spark.sql.functions._
+    val docs = T.documents(spark, sf)
+    val tbl = graft.operators.StreamOps.standingWinIndex(spark, sf, docs)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the pin is the non-broadcast shape: at real scale neither side fits
+    // in a broadcast, and the claim under test is that the corpus-sized
+    // index side never exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dp = docs.filter(col("doc_id") % 5 === 3 && col("n_chars") >= 40)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, cast(n_chars as int) - 39)")).as("pos"),
+          col("text"))
+        .select(col("doc_id"), col("pos"),
+          expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+      val j = dp.join(spark.table(tbl), Seq("h"), "left_semi")
+      val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("Bucketed: true"), p.take(4000))
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"expected exactly 1 exchange (arrival windows only), got $exchanges:\n$p")
+      assert(j.count() > 0, "probe produced no duplicate windows at sf0.001")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
