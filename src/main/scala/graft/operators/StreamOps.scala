@@ -30,47 +30,55 @@ object StreamOps {
     * only the arrival side — per-trigger shuffle is O(arrival windows),
     * which is the claim these ops make in their Scaladoc.
     */
-  private val winIdxCache =
+  private val artifactCache =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   private val WinIdxBuckets = 32
 
-  /** Build-or-reuse the standing window index table for fixture `d`.
-    * Returns the table name. The cache survives the session that built the
-    * table dying (value carries the external-table path), so a later
-    * session in the same JVM re-registers the same files — but sessions
-    * over one SparkContext share the external catalog, so the DDL branch
-    * only fires on a fresh SparkContext.
+  /** Build-or-reuse a hash-bucketed standing-artifact table. Returns the
+    * table name. The cache survives the session that built the table dying
+    * (value carries the external-table path), so a later session in the
+    * same JVM re-registers the same files — but sessions over one
+    * SparkContext share the external catalog, so the DDL branch only fires
+    * on a fresh SparkContext. `schemaDdl` must match what `build` emits
+    * (used only by the re-register DDL).
     */
-  private[graft] def standingWinIndex(s: org.apache.spark.sql.SparkSession,
-      d: String, docs: org.apache.spark.sql.DataFrame): String = {
-    val fp = docsFingerprint(d)
-    val (tbl, path) = winIdxCache.getOrElseUpdate(s"$d#$fp", {
-      val p = Streaming.scratchDir("graft_st46_idx_")
-      val t = s"graft_winidx_${(d + "#" + fp).hashCode.toHexString}"
-      docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
-        .select(col("text"),
-          explode(expr("sequence(1, cast(n_chars as int) - 39)")).as("pos"))
-        .select(expr("unhex(md5(substring(text, pos, 40)))").as("h"))
-        // pre-partition on the bucket key: each task holds exactly one
-        // bucket (repartition and bucketBy share murmur3 partitioning), so
-        // the write emits one file per bucket instead of tasks x buckets
-        .repartition(WinIdxBuckets, col("h"))
+  private[graft] def bucketedArtifact(s: org.apache.spark.sql.SparkSession,
+      cacheKey: String, prefix: String, bucketCol: String, schemaDdl: String)(
+      build: => org.apache.spark.sql.DataFrame): String = {
+    val (tbl, path) = artifactCache.getOrElseUpdate(cacheKey, {
+      val p = Streaming.scratchDir(s"graft_${prefix}_")
+      val t = s"graft_${prefix}_${cacheKey.hashCode.toHexString}"
+      // pre-partition on the bucket key: each task holds exactly one
+      // bucket (repartition and bucketBy share murmur3 partitioning), so
+      // the write emits one file per bucket instead of tasks x buckets
+      build.repartition(WinIdxBuckets, col(bucketCol))
         .write.mode("overwrite")
-        .bucketBy(WinIdxBuckets, "h").sortBy("h")
+        .bucketBy(WinIdxBuckets, bucketCol).sortBy(bucketCol)
         .option("path", p).saveAsTable(t)
       (t, p)
     })
     if (!s.catalog.tableExists(tbl))
-      s.sql(s"CREATE TABLE $tbl (h BINARY) USING PARQUET " +
-        s"CLUSTERED BY (h) SORTED BY (h) INTO $WinIdxBuckets BUCKETS " +
-        s"LOCATION '$path'")
+      s.sql(s"CREATE TABLE $tbl ($schemaDdl) USING PARQUET " +
+        s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+        s"INTO $WinIdxBuckets BUCKETS LOCATION '$path'")
     tbl
   }
 
+  /** The st46/st48 standing window index as a bucketed table on `h`. */
+  private[graft] def standingWinIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, docs: org.apache.spark.sql.DataFrame): String =
+    bucketedArtifact(s, s"winidx#$d#${docsFingerprint(d)}", "st46_idx",
+      "h", "h BINARY") {
+      docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
+        .select(col("text"),
+          explode(expr("sequence(1, cast(n_chars as int) - 39)")).as("pos"))
+        .select(expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+    }
+
   /** st47's standing pHash band index (doc_id, phash, band, bits of the
     * non-arriving corpus slice) — same shared-artifact pattern/cache rules
-    * as [[winIdxCache]].
+    * as [[artifactCache]].
     */
   private val phashIdxCache =
     scala.collection.concurrent.TrieMap[String, String]()
@@ -79,8 +87,11 @@ object StreamOps {
     * cache keys carry it so regenerating a fixture in place invalidates
     * persisted shared artifacts (ADVICE r10).
     */
-  private def docsFingerprint(d: String): String = {
-    val p = java.nio.file.Paths.get(d, "documents.parquet")
+  private def docsFingerprint(d: String): String =
+    tableFingerprint(d, "documents.parquet")
+
+  private def tableFingerprint(d: String, table: String): String = {
+    val p = java.nio.file.Paths.get(d, table)
     val fp = new StringBuilder
     if (java.nio.file.Files.isDirectory(p)) {
       // Files.list holds an open DirectoryStream — close it deterministically
@@ -1264,14 +1275,30 @@ object StreamOps {
     // is unchanged.
     Op("st22_stream_ann_serve", (s, d) => {
       import s.implicits._
-      val e = T.embeddings(s, d)
-      val planes = (0 until 6).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
-      val buckets = e.crossJoin(broadcast(planes))
-        .withColumn("dp", F.dotFD(col("embedding"), col("r")))
-        .withColumn("bit",
-          when(col("dp") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
-        .groupBy("vec_id").agg(sum("bit").as("bucket"))
-      val eb = e.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+      // The serving index (corpus + LSH bucket per vector) is a PERSISTED
+      // bucketed table, not a live DataFrame: a stream-static join
+      // re-executes the static side's plan EVERY trigger, so the original
+      // in-session `eb` re-ran the corpus-wide bucket groupBy per trigger —
+      // 1,034 MiB of shuffle for 48 result rows at 2M vectors (measured,
+      // r12). Bucketed on the join key, per-trigger cost is the probe
+      // side's exchange plus a pruned index scan; production maintains
+      // this table incrementally at ingest (the d15 amortization story).
+      val ebTbl = bucketedArtifact(s,
+        s"annserve#$d#${tableFingerprint(d, "embeddings.parquet")}",
+        "st22_idx", "bucket",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT") {
+        val e = T.embeddings(s, d)
+        val planes =
+          (0 until 6).map(p => (p, Similarity.planeVec(p))).toDF("p", "r")
+        val buckets = e.crossJoin(broadcast(planes))
+          .withColumn("dp", F.dotFD(col("embedding"), col("r")))
+          .withColumn("bit",
+            when(col("dp") > 0, expr("shiftleft(cast(1 as bigint), p)"))
+              .otherwise(0L))
+          .groupBy("vec_id").agg(sum("bit").as("bucket"))
+        e.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+      }
+      val eb = s.table(ebTbl)
       val q = eb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("bucket"))
