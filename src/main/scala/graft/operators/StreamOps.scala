@@ -2958,6 +2958,148 @@ object StreamOps {
       |    AS kept_md5p
       |FROM adm LEFT JOIN keptt k ON k.doc_id = adm.doc_id
       |ORDER BY adm.doc_id""".stripMargin)),
+    // ------------------------------------------------------------------
+    // INCREMENTAL INDEX MAINTENANCE (r12): the st22/st46/st48 Scaladocs
+    // all claim "production maintains this index incrementally at
+    // ingest" — this op EXERCISES that claim instead of asserting it.
+    // Per trigger, arrivals are span-scrubbed against corpus-index ∪
+    // delta (the windows of every EARLIER arrival batch), then append
+    // their own windows to the delta — so batch 2's duplicates of
+    // batch-1 text are cut even though batch 1 was never in the standing
+    // corpus. Plan shape: the standing side stays the bucketed table
+    // (probed separately, no corpus exchange); the delta side is
+    // O(arrivals-so-far) and joins as its own small probe; matched
+    // positions union+distinct before span coalescing. Trigger order is
+    // pinned by back-dating batch 1's file (the file source orders by
+    // mod time — the st04 staging idiom). The scrub decision is
+    // order-DEPENDENT by design (batch 1 scrubs only against the corpus;
+    // batch 2 also against batch 1), which is exactly what the oracle
+    // replays with its two-index union.
+    Op("st49_stream_incremental_scrub", (s, d) => {
+      val docs = T.documents(s, d)
+      val idxTbl = standingWinIndex(s, d, docs)
+      val arriving = docs.filter(col("doc_id") % 5 === 3)
+      val dir = Streaming.scratchDir("graft_st49_src_")
+      arriving.filter(col("doc_id") % 10 === 3).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, past))
+      arriving.filter(col("doc_id") % 10 === 8).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val delta = Streaming.scratchDir("graft_st49_delta_")
+      val out = Streaming.scratchDir("graft_st49_out_")
+      // seed the delta dir so trigger 1's schema-bearing read resolves
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("h", BinaryType))))
+        .write.mode("overwrite").parquet(delta)
+      val schema = arriving.schema
+      Streaming.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = b.sparkSession
+            def winsOf(df: org.apache.spark.sql.DataFrame) =
+              df.filter(col("n_chars") >= 40)
+                .select(col("doc_id"), col("text"),
+                  explode(expr("sequence(1, cast(n_chars as int) - 39)"))
+                    .as("pos"))
+                .select(col("doc_id"), col("pos"),
+                  expr("unhex(md5(substring(text, pos, 40)))").as("h"))
+            val wins = winsOf(b)
+            // two separate probes: the corpus side keeps its bucketed
+            // zero-exchange scan (a union would erase the partitioning
+            // and re-shuffle the corpus), the delta side broadcasts
+            val dp = wins.join(ss.table(idxTbl), Seq("h"), "left_semi")
+              .unionByName(wins.join(
+                ss.read.schema("h BINARY").parquet(delta),
+                Seq("h"), "left_semi"))
+              .select("doc_id", "pos").distinct()
+            val kept = Dedup.stitchKept(Dedup.positionsToSpans(dp), b)
+            b.join(kept, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                coalesce(col("kept_text"), col("text")).as("kept"),
+                col("n_chars"))
+              .write.mode("append").parquet(s"$out/adm")
+            // maintenance: THIS batch's windows join the index for later
+            // triggers (appended only after the scrub above materialized)
+            wins.select("h").write.mode("append").parquet(delta)
+            ()
+          }
+          .option("checkpointLocation", s"$out/_ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$out/adm")
+        .select(col("doc_id"), col("n_spans"),
+          length(col("kept")).cast(LongType).as("kept_chars"),
+          (col("n_chars") - length(col("kept"))).cast(LongType)
+            .as("removed_chars"),
+          expr("cast(conv(substring(md5(kept), 1, 8), 16, 10) as bigint)")
+            .as("kept_md5p"))
+        .orderBy("doc_id")
+    }, Some("""WITH idx0 AS (
+      |  SELECT DISTINCT md5(substr(text, pos, 40)) AS h
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE doc_id % 5 <> 3 AND n_chars >= 40),
+      |idx1 AS (
+      |  SELECT DISTINCT md5(substr(text, pos, 40)) AS h
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE doc_id % 10 = 3 AND n_chars >= 40),
+      |arr AS (SELECT doc_id, text, n_chars FROM documents
+      |        WHERE doc_id % 5 = 3),
+      |g AS (
+      |  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h
+      |  FROM arr,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      CAST(n_chars AS INT) - 39)) AS pos)
+      |  WHERE n_chars >= 40),
+      |dp AS (SELECT doc_id, pos FROM g
+      |       WHERE h IN (SELECT h FROM idx0)
+      |          OR (doc_id % 10 = 8 AND h IN (SELECT h FROM idx1))),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER
+      |      (PARTITION BY doc_id ORDER BY pos) > 40
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM dp),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk),
+      |sp AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |ordered AS (
+      |  SELECT doc_id, s,
+      |    COALESCE(LAG(e + 39) OVER (PARTITION BY doc_id ORDER BY s), 0)
+      |      AS prev_end
+      |  FROM sp),
+      |tails AS (SELECT doc_id, MAX(e + 39) AS last_end FROM sp GROUP BY doc_id),
+      |keptt AS (
+      |  SELECT o.doc_id, COUNT(*) AS n_spans,
+      |    STRING_AGG(substr(a.text, CAST(o.prev_end + 1 AS INT),
+      |      CAST(o.s - o.prev_end - 1 AS INT)), '' ORDER BY o.s)
+      |    || substr(a.text, CAST(t.last_end + 1 AS INT)) AS kept
+      |  FROM ordered o JOIN arr a ON a.doc_id = o.doc_id
+      |  JOIN tails t ON t.doc_id = o.doc_id
+      |  GROUP BY o.doc_id, a.text, t.last_end)
+      |SELECT a.doc_id,
+      |  CAST(COALESCE(k.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(length(COALESCE(k.kept, a.text)) AS BIGINT) AS kept_chars,
+      |  CAST(a.n_chars - length(COALESCE(k.kept, a.text)) AS BIGINT)
+      |    AS removed_chars,
+      |  ('0x' || substr(md5(COALESCE(k.kept, a.text)), 1, 8))::BIGINT
+      |    AS kept_md5p
+      |FROM arr a LEFT JOIN keptt k ON k.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin)),
   )
 
   /** st40's engine, shared with StreamingSuite: run the windowed-aggregate
