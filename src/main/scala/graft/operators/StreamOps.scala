@@ -48,7 +48,12 @@ object StreamOps {
       build: => org.apache.spark.sql.DataFrame): String = {
     val (tbl, path) = artifactCache.getOrElseUpdate(cacheKey, {
       val p = Streaming.scratchDir(s"graft_${prefix}_")
-      val t = s"graft_${prefix}_${cacheKey.hashCode.toHexString}"
+      // 128-bit digest, not String.hashCode: a 32-bit collision between two
+      // live cache keys would silently repoint the shared table name at the
+      // other artifact's data (review r12)
+      val t = s"graft_${prefix}_" + java.security.MessageDigest
+        .getInstance("MD5").digest(cacheKey.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
       // pre-partition on the bucket key: each task holds exactly one
       // bucket (repartition and bucketBy share murmur3 partitioning), so
       // the write emits one file per bucket instead of tasks x buckets
@@ -68,7 +73,7 @@ object StreamOps {
   /** The st46/st48 standing window index as a bucketed table on `h`. */
   private[graft] def standingWinIndex(s: org.apache.spark.sql.SparkSession,
       d: String, docs: org.apache.spark.sql.DataFrame): String =
-    bucketedArtifact(s, s"winidx#$d#${docsFingerprint(d)}", "st46_idx",
+    bucketedArtifact(s, s"winidx@v1#$d#${docsFingerprint(d)}", "st46_idx",
       "h", "h BINARY") {
       docs.filter(col("doc_id") % 5 =!= 3 && col("n_chars") >= 40)
         .select(col("text"),
@@ -1284,7 +1289,7 @@ object StreamOps {
       // side's exchange plus a pruned index scan; production maintains
       // this table incrementally at ingest (the d15 amortization story).
       val ebTbl = bucketedArtifact(s,
-        s"annserve#$d#${tableFingerprint(d, "embeddings.parquet")}",
+        s"annserve@v1#$d#${tableFingerprint(d, "embeddings.parquet")}",
         "st22_idx", "bucket",
         "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT") {
         val e = T.embeddings(s, d)
@@ -3008,7 +3013,10 @@ object StreamOps {
                     .as("pos"))
                 .select(col("doc_id"), col("pos"),
                   expr("unhex(md5(substring(text, pos, 40)))").as("h"))
-            val wins = winsOf(b)
+            // persist: wins feeds three actions (two semi-join branches +
+            // the delta append) and Spark re-executes the explode+md5
+            // subtree per action otherwise (review r12)
+            val wins = winsOf(b).persist()
             // two separate probes: the corpus side keeps its bucketed
             // zero-exchange scan (a union would erase the partitioning
             // and re-shuffle the corpus), the delta side broadcasts
@@ -3027,6 +3035,7 @@ object StreamOps {
             // maintenance: THIS batch's windows join the index for later
             // triggers (appended only after the scrub above materialized)
             wins.select("h").write.mode("append").parquet(delta)
+            wins.unpersist()
             ()
           }
           .option("checkpointLocation", s"$out/_ckpt")

@@ -15,8 +15,8 @@ import graft.functions.F
   * FAIR pools), or the batch job's TASK LENGTH?
   *
   * Design: corpus = 2M cached embedding vectors (the s16/s21 1000x tier).
-  * Background thread loops a heavy job (128-query brute-force MIPS agg over
-  * the corpus) pinned at either 32 coarse or 256 fine partitions — same
+  * Background thread loops a heavy job (1024-query brute-force MIPS agg over
+  * the corpus, ~131 GFLOP/job) pinned at either 32 coarse or 256 fine partitions — same
   * total work, 8x shorter tasks. Foreground runs 16 sequential serve
   * requests (16-query top-5, s21's shape) and records the latency
   * distribution. Arms: {FIFO, FAIR-with-pools} x {no background, coarse

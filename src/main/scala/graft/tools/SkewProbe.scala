@@ -70,11 +70,13 @@ object SkewProbe {
     // already hash-partitioned, so the join's dim side has no shuffle stage
     // and OptimizeSkewedJoin's pattern (join over two shuffle stages) never
     // matches — the realistic shape is also the one the rule handles
+    // rebuilt unconditionally: an exists-guard would serve a stale dim after
+    // a fixture regeneration, and the cross-arm checksum cannot catch it
+    // because all arms share the dim (review r12)
     val dimPath = s"$factDir/skew_dim.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dimPath)))
-      fact.select(col("k")).distinct()
-        .select(col("k"), (col("k") % 97).cast("double").as("rate"))
-        .write.mode("overwrite").parquet(dimPath)
+    fact.select(col("k")).distinct()
+      .select(col("k"), (col("k") % 97).cast("double").as("rate"))
+      .write.mode("overwrite").parquet(dimPath)
     val dim = spark.read.parquet(dimPath)
 
     def joined(f: DataFrame, d: DataFrame): DataFrame =
