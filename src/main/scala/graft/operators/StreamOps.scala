@@ -2863,6 +2863,13 @@ object StreamOps {
               .agg(min(struct(col("hamming"), col("rep_doc"))).as("m"))
               .select(col("doc_id"), col("m.rep_doc").as("rep_doc"),
                 col("m.hamming").as("hamming"))
+            // adm feeds three branches of the single write plan, but its
+            // expensive subtree (the band-join argmin) ends in an exchange
+            // and ReuseExchange shares identical exchanges within one plan —
+            // persisting adm was A/B'd at 100x (40.1 vs 39.1 s): no win,
+            // so no cache. Contrast st49, where the duplicated subtree is a
+            // pure projection spanning SEPARATE actions (no reuse possible)
+            // and the per-batch persist halved the probe.
             val adm = b.join(best, Seq("doc_id"), "left")
             // span surgery over the rejected subset ONLY — admitted docs
             // never pay the window probe
