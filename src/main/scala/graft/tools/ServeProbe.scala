@@ -81,6 +81,7 @@ object ServeProbe {
       // same heavy workload at two task granularities, both cached
       val coarse = base.repartition(32).cache(); coarse.count()
       val fine = base.repartition(256).cache(); fine.count()
+      val dust = base.repartition(1024).cache(); dust.count()
       // aggressive warm: the serve and heavy kernels share dotFF, so a cold
       // JIT makes whichever arm runs first look slower — warm until C2 has
       // seen both shapes many times (the r11 ingest-band lesson)
@@ -92,7 +93,8 @@ object ServeProbe {
       for (round <- 1 to 2;
           (bg, bgName) <- Seq(
             (None: Option[DataFrame], "none"),
-            (Some(coarse), "bg32"), (Some(fine), "bg256"))) {
+            (Some(coarse), "bg32"), (Some(fine), "bg256"),
+            (Some(dust), "bg1024"))) {
         val done = new AtomicBoolean(false)
         val heavyJobs = new AtomicLong(0)
         val bgThread = bg.map { corpus =>
