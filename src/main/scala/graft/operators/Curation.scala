@@ -619,23 +619,35 @@ object Curation {
                     System.err.println(f"P07_TRACE batch=$bid $label " +
                       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
                   } else f
+                // ONE tokenize pass per trigger (r12 optimization, guide
+                // §1.2 "don't compute things you throw away"): dl(doc) ==
+                // SUM(tf) over the doc's terms — both exclude empty tokens —
+                // so the doc-length partial derives from the tf partial
+                // instead of re-splitting every text. The left join from the
+                // batch's doc_ids keeps the dl=0 row for an all-separator
+                // text (the shape the old filter(split(..)) form emitted),
+                // so both ledgers are bit-identical to the two-pass form.
+                val tfb = b.select(col("doc_id"),
+                    explode(split(col("text"), " ")).as("term"))
+                  .filter(col("term") =!= "")
+                  .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+                  .persist()
                 timed("tf") {
-                  b.select(col("doc_id"),
-                      explode(split(col("text"), " ")).as("term"))
-                    .filter(col("term") =!= "")
-                    .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-                    .write.mode("append").parquet(s"$out/tf")
+                  tfb.write.mode("append").parquet(s"$out/tf")
                 }
                 timed("dl") {
-                  b.select(col("doc_id"),
-                      expr("cast(size(filter(split(text, ' '), x -> x <> ''))" +
-                        " as bigint)").as("dl"))
+                  b.select("doc_id")
+                    .join(tfb.groupBy("doc_id").agg(sum("tf").as("dl")),
+                      Seq("doc_id"), "left")
+                    .select(col("doc_id"),
+                      coalesce(col("dl"), lit(0L)).as("dl"))
                     .write.mode("append").parquet(s"$out/dl")
                 }
                 timed("sh") {
                   Dedup.shingleRows(b)
                     .write.mode("append").parquet(s"$out/sh")
                 }
+                tfb.unpersist()
                 b.unpersist()
                 ()
             }

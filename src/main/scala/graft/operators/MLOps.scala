@@ -388,24 +388,41 @@ object MLOps {
         .withColumn("fold", expr(
           "CAST(conv(substring(md5(CAST(CAST(id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 5"))
         .cache()
-      val rows = (0 until 5).map { f =>
-        val train = df.filter(col("fold") =!= f.toLong)
-        val test = df.filter(col("fold") === f.toLong)
-        val fitted = Trainer.fit(s,
-          PipelineSpec(100 + f, "PA", Map("C" -> 0.01),
-            Seq("StandardScaler"), "Synchronous", rounds = 1), toRdd(train))
-        val nTrain = train.count()
-        val nTest = test.count()
-        // the trainer parks ≤256 ring slots per partition (8 partitions)
-        val fitOk = fitted.model.n <= nTrain &&
-          fitted.model.n >= math.max(0L, nTrain - 8L * 256L)
-        val acc = fitted.predict(s, test)
-          .join(test.select(col("id"), col("target")), "id")
-          .agg(avg(when(col("prediction") === col("target"), 1.0)
-            .otherwise(0.0)).as("acc"))
-          .head().getDouble(0)
-        (f.toLong, nTrain, nTest, fitOk, acc >= 0.0 && acc <= 1.0)
-      }
+      // fold sizes in ONE aggregation pass (was train.count + test.count per
+      // fold = 10 jobs over the cached table); values identical by definition
+      val foldN: Map[Long, Long] = df.groupBy("fold").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = foldN.values.sum
+      // the 5 folds are fully independent (disjoint specs, own RDD lineage):
+      // fit/score them concurrently so each fold's stage tail back-fills the
+      // others' idle cores (guide §2.6 overlap-independent-jobs); per-fold
+      // results are computed exactly as before, so the output is unchanged
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val rows = try {
+        val futs = (0 until 5).map { f =>
+          scala.concurrent.Future {
+            val train = df.filter(col("fold") =!= f.toLong)
+            val test = df.filter(col("fold") === f.toLong)
+            val fitted = Trainer.fit(s,
+              PipelineSpec(100 + f, "PA", Map("C" -> 0.01),
+                Seq("StandardScaler"), "Synchronous", rounds = 1), toRdd(train))
+            val nTest = foldN.getOrElse(f.toLong, 0L)
+            val nTrain = total - nTest
+            // the trainer parks ≤256 ring slots per partition (8 partitions)
+            val fitOk = fitted.model.n <= nTrain &&
+              fitted.model.n >= math.max(0L, nTrain - 8L * 256L)
+            val acc = fitted.predict(s, test)
+              .join(test.select(col("id"), col("target")), "id")
+              .agg(avg(when(col("prediction") === col("target"), 1.0)
+                .otherwise(0.0)).as("acc"))
+              .head().getDouble(0)
+            (f.toLong, nTrain, nTest, fitOk, acc >= 0.0 && acc <= 1.0)
+          }(ec)
+        }
+        futs.map(fu => scala.concurrent.Await.result(fu,
+          scala.concurrent.duration.Duration(600, "s")))
+      } finally pool.shutdown()
       rows.toDF("fold", "n_train", "n_test", "fit_bounded", "acc_in_range")
         .orderBy("fold")
     },

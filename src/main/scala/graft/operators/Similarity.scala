@@ -319,7 +319,15 @@ object Similarity {
     listed(base).write.partitionBy("bucket").mode("overwrite").parquet(idxDir)
     listed(newb).write.partitionBy("bucket").mode("append").parquet(idxDir)
     val index = s.read.parquet(idxDir)
-    val nBase = base.count(); val nNew = newb.count()
+    // ONE lightweight aggregation for both slice sizes (was two counts, each
+    // re-executing the repartitionByRange+sort staging pipeline) — computed
+    // from the raw table, bypassing the sort entirely (guide §1.2)
+    val sliceN: Map[Boolean, Long] = T.embeddings(s, d)
+      .groupBy(expr(
+        "CAST(conv(substring(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100 >= 90")
+        .as("ingest"))
+      .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nBase = sliceN.getOrElse(false, 0L); val nNew = sliceN.getOrElse(true, 0L)
     val appendComplete = index.count() == nBase + nNew
     // full probe over the appended index vs brute force over the corpus
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -331,11 +339,15 @@ object Similarity {
       .withColumn("cos", F.cosineSim(col("q_emb"), col("embedding")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("q_id"), col("rk"), col("vec_id"))
-    val viaIndex = top3(index.select("vec_id", "embedding"))
+    // persist the index-probe top3: it is consumed twice (the match join and
+    // its own cardinality check) and each uncached run re-scans the index +
+    // re-sorts the rank window (guide §5 reuse rule)
+    val viaIndex = top3(index.select("vec_id", "embedding")).persist()
     val exact = top3(T.embeddings(s, d).select("vec_id", "embedding"))
     val nq = qe.count()
     val matched = viaIndex.join(exact, Seq("q_id", "rk", "vec_id")).count()
     val probeExact = matched == 3L * nq && viaIndex.count() == 3L * nq
+    viaIndex.unpersist()
     Seq((nBase, nNew, appendComplete, probeExact))
       .toDF("n_base", "n_new", "append_complete", "probe_equals_bruteforce")
   },

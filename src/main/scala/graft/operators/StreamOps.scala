@@ -2292,8 +2292,22 @@ object StreamOps {
     // appeared (the orphans alone would not change the count).
     Op("st40_crash_recovery", (s, d) => {
       val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
-      crashRecoveryRun(s, dir, schema, "hdfs")
-        .unionByName(crashRecoveryRun(s, dir, schema, "rocksdb"))
+      // The two provider runs are fully independent (own child sessions, own
+      // scratch/checkpoint/sink dirs) but each is a long chain of tiny
+      // single-trigger jobs with commit-protocol gaps between them — run
+      // them CONCURRENTLY so one run's triggers back-fill the other's idle
+      // gaps (guide §2.6 overlap-independent-jobs). Each run's computation
+      // and its crash/restart protocol are untouched, so the unioned output
+      // is unchanged.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val Seq(hdfsRun, rocksRun): Seq[org.apache.spark.sql.DataFrame] = try {
+        val futs = Seq("hdfs", "rocksdb").map(p =>
+          scala.concurrent.Future(crashRecoveryRun(s, dir, schema, p))(ec))
+        futs.map(fu => scala.concurrent.Await.result(fu,
+          scala.concurrent.duration.Duration(600, "s")))
+      } finally pool.shutdown()
+      hdfsRun.unionByName(rocksRun)
         .select(col("provider"), col("event_type"), col("day_us"), col("n"),
           col("sum_value"), col("recovered_commit"), col("reexecuted"))
         .orderBy("provider", "event_type", "day_us")
@@ -2336,15 +2350,26 @@ object StreamOps {
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.select(col("doc_id"),
+            // ONE tokenize pass per trigger (r12 optimization, same change
+            // as p07): dl(doc) == SUM(tf) — both exclude empty tokens — so
+            // the doc-length partial derives from the tf partial instead of
+            // re-splitting every text; the batch-doc_id left join keeps the
+            // dl=0 row for an all-separator text, so both ledgers stay
+            // bit-identical to the two-pass form.
+            val b = batch.persist()
+            val tfb = b.select(col("doc_id"),
                 explode(split(col("text"), " ")).as("term"))
               .filter(col("term") =!= "")
               .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-              .write.mode("append").parquet(s"$out/tf")
-            batch.select(col("doc_id"),
-                expr("cast(size(filter(split(text, ' '), x -> x <> ''))" +
-                  " as bigint)").as("dl"))
+              .persist()
+            tfb.write.mode("append").parquet(s"$out/tf")
+            b.select("doc_id")
+              .join(tfb.groupBy("doc_id").agg(sum("tf").as("dl")),
+                Seq("doc_id"), "left")
+              .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
               .write.mode("append").parquet(s"$out/dl")
+            tfb.unpersist()
+            b.unpersist()
             ()
           }
           .option("checkpointLocation", s"$out/_ckpt")
