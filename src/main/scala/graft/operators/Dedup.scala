@@ -186,13 +186,16 @@ object Dedup {
     }
 
     var converged = false
+    // signature: edge count + sum of endpoints (monotone toward the fixed
+    // star forest). Carried across rounds (r12): round k's `prev` IS round
+    // k-1's `sig`, so recomputing it was one redundant aggregate job per
+    // round per CC consumer (mm11/mm12/d06/d09/g06 all iterate this loop).
+    var prevSig = edges.agg(count(lit(1)), sum(col("u") + col("v"))).head()
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // signature: edge count + sum of endpoints (monotone toward the fixed
-      // star forest)
       val sig = next.agg(count(lit(1)), sum(col("u") + col("v"))).head()
-      val prev = edges.agg(count(lit(1)), sum(col("u") + col("v"))).head()
-      converged = sig == prev
+      converged = sig == prevSig
+      prevSig = sig
       edges = next
     }
     // star forest: every (u, v) has v = root(u); add roots' self rows

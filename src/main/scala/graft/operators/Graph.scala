@@ -306,15 +306,26 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-    val wedges = ed.as("e1")
-      .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-        col("e2.dst").as("z"))
-    val tri = wedges.join(ed.as("e3"),
-      col("x") === col("e3.src") && col("z") === col("e3.dst"))
+    // r12 optimization: the old form computed the wedge join TWICE (once
+    // under the n_wedges aggregate, once under the triangle join) and the
+    // oriented edge list three times. Persist `ed` (O(sampled edges), the
+    // same tier as the already-persisted `und`) and fold both counts into
+    // ONE pass over the wedge join: `ed` is unique on (src,dst) — distinct
+    // undirected edges, deterministic orientation — so a LEFT join against
+    // e3 matches at most once per wedge and count(e3.src) equals the old
+    // inner-join count. Values unchanged; one wedge materialization
+    // instead of two (guide §1.2/§2.4).
+    val edP = ed.persist()
+    val wt = edP.as("e1")
+      .join(edP.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("x"), col("e2.dst").as("z"))
+      .join(edP.as("e3"),
+        col("x") === col("e3.src") && col("z") === col("e3.dst"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        count(col("e3.src")).as("n_triangles"))
     und.agg(count(lit(1)).as("n_edges_sampled"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(wt)
+      .select("n_edges_sampled", "n_wedges", "n_triangles")
   }
 
   val ops: Seq[Op] = Seq(
