@@ -199,9 +199,16 @@ object Curation {
             "aggregate(q, CAST(-128 AS BIGINT), (a, v) -> greatest(a, v))"))
           .withColumn("q_has_null", expr("exists(q, v -> v IS NULL)"))
         // index layout: band-0 bucket key per survivor
+        // persist a NARROW projection (bucket + the three gate booleans):
+        // layout is consumed by two separate aggregates (bucket census +
+        // final gate), and uncached each re-ran the i8Codes kernel and the
+        // anti-join over every survivor (r12, guide §5 — 4 narrow columns,
+        // not the embedding payload)
         val layout = quant
           .join(bands.filter(col("band") === 0)
             .select(col("vec_id"), col("bkey").as("bucket")), "vec_id")
+          .select("bucket", "qmin", "qmax", "q_has_null")
+          .persist()
         val buckets = layout.groupBy("bucket").agg(count(lit(1)).as("bn"))
         layout.agg(
           count(lit(1)).as("n_kept"),

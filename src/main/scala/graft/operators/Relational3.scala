@@ -338,12 +338,17 @@ object Relational3 {
       (s, d) => {
         val fo = T.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
+        // persist: l (a 3-narrow-column projection of the lineitem⋈orders
+        // join) is consumed twice — the per-order distinct-supplier rollup
+        // and the late-row probe — and uncached each consumer re-ran the
+        // join (r12, guide §5; disk-spillable, columns already pruned)
         val l = T.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(fo, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_suppkey"),
             when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1)
               .otherwise(0).as("late"))
+          .persist()
         val per = l.groupBy("l_orderkey")
           .agg(countDistinct("l_suppkey").as("nsupp"),
             countDistinct(when(col("late") === 1, col("l_suppkey")))

@@ -265,11 +265,16 @@ object Relational4 {
     Op(
       "q75_important_stock",
       (s, d) => {
+        // persist: v (the aggregated (nation, part) table — output-sized,
+        // far smaller than the lineitem join feeding it) is consumed twice
+        // (the threshold scalar + the main filter); uncached, the broadcast
+        // subquery re-ran the whole join+aggregate (r12, guide §5)
         val v = T.lineitem(s, d)
           .join(T.supplier(s, d).select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey"), col("l_partkey"))
           .agg(sum(Num.dec2(col("l_extendedprice"))).as("val"))
+          .persist()
         val tot = v.agg(sum("val").as("t"), count(lit(1)).as("g"))
         v.crossJoin(broadcast(tot))
           .filter(col("val").cast(DoubleType) >
