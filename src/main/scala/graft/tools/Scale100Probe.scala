@@ -39,7 +39,16 @@ object Scale100Probe {
     // executor threads (the deployment rule under test — partitions scale
     // with data volume, threads with the machine)
     val shuf = sys.env.getOrElse("SCALE_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
+    // r12 codec A/B: core confs like spark.io.compression.codec are read at
+    // SparkEnv creation, so they must land in the builder, not on a live
+    // session — SCALE_CONF="k=v,k=v" injects them here (guide §2.3: "there
+    // is no universal answer — measure shuffle bytes and stage time with
+    // each").
+    val extraConfs: Seq[(String, String)] = sys.env.get("SCALE_CONF")
+      .map(_.split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }).getOrElse(Nil)
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,7 +56,11 @@ object Scale100Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    val spark = extraConfs.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    extraConfs.foreach { case (k, v) =>
+      println(s"PROBE100 conf $k=$v")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
