@@ -203,7 +203,10 @@ object Curation {
         // layout is consumed by two separate aggregates (bucket census +
         // final gate), and uncached each re-ran the i8Codes kernel and the
         // anti-join over every survivor (r12, guide §5 — 4 narrow columns,
-        // not the embedding payload)
+        // not the embedding payload). Lifecycle (ADVICE r12): both consumers
+        // live in the returned lazy plan, so no in-body unpersist is
+        // possible; callers own post-action release (Bench/Verify
+        // clearCache() between queries).
         val layout = quant
           .join(bands.filter(col("band") === 0)
             .select(col("vec_id"), col("bkey").as("bucket")), "vec_id")
@@ -633,7 +636,12 @@ object Curation {
                 // instead of re-splitting every text. The left join from the
                 // batch's doc_ids keeps the dl=0 row for an all-separator
                 // text (the shape the old filter(split(..)) form emitted),
-                // so both ledgers are bit-identical to the two-pass form.
+                // so both ledgers are bit-identical to the two-pass form —
+                // GIVEN the invariant that doc_id is unique within a trigger
+                // batch (ADVICE r12: tf groups across duplicate doc_ids, so
+                // a dupe would get the cross-row total once per input row
+                // instead of its own length; the staged fixture assigns each
+                // doc to exactly one file slice, so the invariant holds).
                 val tfb = b.select(col("doc_id"),
                     explode(split(col("text"), " ")).as("term"))
                   .filter(col("term") =!= "")

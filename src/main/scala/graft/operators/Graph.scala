@@ -314,7 +314,10 @@ object Graph {
     // undirected edges, deterministic orientation — so a LEFT join against
     // e3 matches at most once per wedge and count(e3.src) equals the old
     // inner-join count. Values unchanged; one wedge materialization
-    // instead of two (guide §1.2/§2.4).
+    // instead of two (guide §1.2/§2.4). Lifecycle (ADVICE r12): the wedge
+    // join consuming edP is the returned lazy plan, so no in-body unpersist
+    // is possible; callers own post-action release (Bench/Verify
+    // clearCache() between queries), same contract as the und persist.
     val edP = ed.persist()
     val wt = edP.as("e1")
       .join(edP.as("e2"), col("e1.dst") === col("e2.src"))

@@ -420,8 +420,15 @@ object MLOps {
             (f.toLong, nTrain, nTest, fitOk, acc >= 0.0 && acc <= 1.0)
           }(ec)
         }
-        futs.map(fu => scala.concurrent.Await.result(fu,
-          scala.concurrent.duration.Duration(600, "s")))
+        // Duration.Inf, not a wall-clock deadline (ADVICE r12): each future
+        // is bounded by its own Spark jobs — the old sequential form had no
+        // deadline, and a fixed bound turns a legitimately slow fold at
+        // 100 TB into a failed query. A failed fold propagates through
+        // Await.result; shutdownNow interrupts the siblings so they don't
+        // keep submitting jobs behind a dead query.
+        try futs.map(fu => scala.concurrent.Await.result(fu,
+          scala.concurrent.duration.Duration.Inf))
+        catch { case e: Throwable => pool.shutdownNow(); throw e }
       } finally pool.shutdown()
       rows.toDF("fold", "n_train", "n_test", "fit_bounded", "acc_in_range")
         .orderBy("fold")

@@ -338,24 +338,30 @@ object Relational3 {
       (s, d) => {
         val fo = T.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        // persist: l (a 3-narrow-column projection of the lineitem⋈orders
-        // join) is consumed twice — the per-order distinct-supplier rollup
-        // and the late-row probe — and uncached each consumer re-ran the
-        // join (r12, guide §5; disk-spillable, columns already pruned)
         val l = T.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(fo, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_suppkey"),
             when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1)
               .otherwise(0).as("late"))
-          .persist()
-        val per = l.groupBy("l_orderkey")
-          .agg(countDistinct("l_suppkey").as("nsupp"),
-            countDistinct(when(col("late") === 1, col("l_suppkey")))
-              .as("nlate"))
-        val waits = l.filter(col("late") === 1)
-          .join(per.filter(col("nsupp") >= 2 && col("nlate") === 1),
-            Seq("l_orderkey"))
+        // r13 (guide §2.4 "window partitioned by the same key as a preceding
+        // aggregation needs no second shuffle"): the r12 form persisted `l`
+        // and consumed it twice — a per-order distinct-supplier aggregate
+        // joined back to the late rows, i.e. TWO l_orderkey exchanges over
+        // the fact plus a pinned cache with no post-action unpersist hook
+        // (ADVICE r12). One window pass over a single l_orderkey exchange
+        // computes the same per-order values on every row: size(collect_set)
+        // ≡ countDistinct (both ignore the NULL the when() emits for on-time
+        // rows), so the filtered row set — and therefore numwait — is
+        // unchanged.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey")
+        val waits = l
+          .withColumn("nsupp", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("nlate", size(collect_set(
+            when(col("late") === 1, col("l_suppkey"))).over(w)))
+          .filter(col("late") === 1 && col("nsupp") >= 2 &&
+            col("nlate") === 1)
           .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
         waits
           .join(T.supplier(s, d),

@@ -268,7 +268,13 @@ object Relational4 {
         // persist: v (the aggregated (nation, part) table — output-sized,
         // far smaller than the lineitem join feeding it) is consumed twice
         // (the threshold scalar + the main filter); uncached, the broadcast
-        // subquery re-ran the whole join+aggregate (r12, guide §5)
+        // subquery re-ran the whole join+aggregate (r12, guide §5).
+        // Lifecycle (ADVICE r12): no in-body unpersist is possible — the
+        // last consumer IS the returned lazy plan, so the cache must outlive
+        // this function (s08's in-body unpersist works only because its
+        // consumers are internal actions). Callers own post-action cache
+        // release: Bench/Verify clearCache() between queries; a library
+        // caller should do the same after its final action.
         val v = T.lineitem(s, d)
           .join(T.supplier(s, d).select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))

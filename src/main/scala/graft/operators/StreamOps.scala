@@ -2304,8 +2304,13 @@ object StreamOps {
       val Seq(hdfsRun, rocksRun): Seq[org.apache.spark.sql.DataFrame] = try {
         val futs = Seq("hdfs", "rocksdb").map(p =>
           scala.concurrent.Future(crashRecoveryRun(s, dir, schema, p))(ec))
-        futs.map(fu => scala.concurrent.Await.result(fu,
-          scala.concurrent.duration.Duration(600, "s")))
+        // Duration.Inf, not a wall-clock deadline (ADVICE r12): each run is
+        // bounded by its own Spark jobs, and a fixed bound turns a
+        // legitimately slow recovery at 100 TB into a failed query. On
+        // failure shutdownNow interrupts the sibling run.
+        try futs.map(fu => scala.concurrent.Await.result(fu,
+          scala.concurrent.duration.Duration.Inf))
+        catch { case e: Throwable => pool.shutdownNow(); throw e }
       } finally pool.shutdown()
       hdfsRun.unionByName(rocksRun)
         .select(col("provider"), col("event_type"), col("day_us"), col("n"),
@@ -2354,8 +2359,15 @@ object StreamOps {
             // as p07): dl(doc) == SUM(tf) — both exclude empty tokens — so
             // the doc-length partial derives from the tf partial instead of
             // re-splitting every text; the batch-doc_id left join keeps the
-            // dl=0 row for an all-separator text, so both ledgers stay
-            // bit-identical to the two-pass form.
+            // dl=0 row for an all-separator text. INVARIANT (ADVICE r12):
+            // bit-identity with the two-pass form requires doc_id UNIQUE
+            // within a trigger batch — tf groups across duplicate doc_ids,
+            // so a duplicated doc_id would get the cross-row total written
+            // once per input row instead of each row's own length. The
+            // staged fixture splits each doc into exactly one file slice
+            // (no doc spans or repeats across batches), and the downstream
+            // serve re-aggregates by doc_id anyway, but a new source must
+            // re-check this invariant before reusing the derivation.
             val b = batch.persist()
             val tfb = b.select(col("doc_id"),
                 explode(split(col("text"), " ")).as("term"))
