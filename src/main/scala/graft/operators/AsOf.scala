@@ -32,6 +32,20 @@ object AsOf {
       s"as-of join: null $what — as-of keys and times must be non-null")))
       .otherwise(c)
 
+  /** Row-level form of [[nonNullGuard]] for the native path's KEY columns
+    * (r13): wrapping the key in the CASE expression made `__asof_rk` a
+    * computed column, which breaks alias-aware partitioning propagation —
+    * a static side pre-bucketed on the raw key (st30's standing orders
+    * table) could never satisfy the merge's ClusteredDistribution and was
+    * re-shuffled every trigger. A guard FILTER raises the identical error
+    * on the first null row while the key column itself stays a direct
+    * alias, so HashPartitioning(raw key) propagates through to the node.
+    */
+  private def nonNullRowGuard(df: DataFrame, c: Column, what: String): DataFrame =
+    df.filter(when(c.isNull, raise_error(lit(
+      s"as-of join: null $what — as-of keys and times must be non-null")))
+      .otherwise(lit(true)))
+
   /** Left as-of join: for each left row, attach the right row with the
     * greatest `rightTime <= leftTime` within the same key; ties on
     * `rightTime` resolved by the greatest `tieBreak` column.
@@ -89,14 +103,14 @@ object AsOf {
     // order-preserving, so semantics coincide). Keys and times run through
     // the non-null guard so this path fails identically to the fallback on
     // null input instead of NPE-ing inside the interpreted ordering.
-    val lDf = left
+    val lDf = nonNullRowGuard(left, col(leftKey), s"left key $leftKey")
       .withColumn("__asof_lt",
         nonNullGuard(leftTime.cast(TimestampType), "left time"))
-      .withColumn("__asof_lk", nonNullGuard(col(leftKey), s"left key $leftKey"))
-    val rDf = right
+      .withColumn("__asof_lk", col(leftKey))
+    val rDf = nonNullRowGuard(right, col(rightKey), s"right key $rightKey")
       .withColumn("__asof_rt",
         nonNullGuard(rightTime.cast(TimestampType), "right time"))
-      .withColumn("__asof_rk", nonNullGuard(col(rightKey), s"right key $rightKey"))
+      .withColumn("__asof_rk", col(rightKey))
     val lp = lDf.queryExecution.analyzed
     // self-joins (both sides derived from one table) share exprIds across
     // children; the analyzer's relation dedup would then rewrite the right

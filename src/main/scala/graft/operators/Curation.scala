@@ -658,10 +658,18 @@ object Curation {
                       coalesce(col("dl"), lit(0L)).as("dl"))
                     .write.mode("append").parquet(s"$out/dl")
                 }
+                val shb = Dedup.shingleRows(b).persist()
                 timed("sh") {
-                  Dedup.shingleRows(b)
-                    .write.mode("append").parquet(s"$out/sh")
+                  shb.write.mode("append").parquet(s"$out/sh")
                 }
+                // incremental banded candidate-pair ledger (r13): band THIS
+                // batch's docs and append the pair delta, so the serve no
+                // longer re-bands and band-self-joins the accumulated corpus
+                // (Dedup.pairLedgerAppend — equivalence argument there)
+                timed("pairs") {
+                  Dedup.pairLedgerAppend(shb, out)
+                }
+                shb.unpersist()
                 tfb.unpersist()
                 b.unpersist()
                 ()
@@ -677,9 +685,12 @@ object Curation {
         // showed the shingle scan replicated under 4 SortMergeJoin
         // LeftAnti probes. Cached, d03 runs once and the clean index is
         // exactly the artifact a live serving system persists.
-        val losers = Dedup.d03Report(Dedup.scoredCandidatePairsFromShingles(
-            Dedup.capShingleDf(s.read.parquet(s"$out/sh"),
-              Dedup.ShingleDfCap)))
+        // r13: the d03-over-ledger report now reads the maintained pair
+        // ledger (pair-delta scan + one df-cap aggregate over the shingle
+        // ledger) instead of re-running cap + minhash + band-self-join over
+        // the whole corpus at every serve — result identical by the
+        // pairLedgerServe equivalence argument, pinned in R13OpsSuite
+        val losers = Dedup.d03Report(Dedup.pairLedgerServe(s, out))
           .select(col("doc_b").as("doc_id")).distinct().cache()
         val tf = s.read.parquet(s"$out/tf")
           .groupBy("doc_id", "term").agg(sum("tf").as("tf"))

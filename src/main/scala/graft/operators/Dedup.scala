@@ -320,7 +320,16 @@ object Dedup {
   private[operators] def scoredCandidatePairsFromShingles(
       shIn: DataFrame): DataFrame = {
     val sh = shIn.cache()
-    val cand = bandCandidates(minhashBands(sh))
+    scorePairs(bandCandidates(minhashBands(sh)), sh)
+  }
+
+  /** The exact-Jaccard scoring tail of [[scoredCandidatePairsFromShingles]]
+    * over an externally supplied (doc_a, doc_b) candidate set — shared with
+    * the incremental pair ledger ([[pairLedgerServe]]) so both score with
+    * the identical expressions. `sh` is consumed three times (sa, sb, sz);
+    * callers pass a cached or suitably restricted frame.
+    */
+  private[operators] def scorePairs(cand: DataFrame, sh: DataFrame): DataFrame = {
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
@@ -333,6 +342,131 @@ object Dedup {
       .withColumn("jaccard",
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter"))).cast(DoubleType))
+  }
+
+  /** INCREMENTAL BANDED CANDIDATE-PAIR LEDGER (r13 — p07's serve path;
+    * guide §1.2/§6/§8, the st22/st46 maintained-artifact pattern).
+    *
+    * Ingest ([[pairLedgerAppend]], once per trigger, AFTER the batch's
+    * shingle rows were appended to `out/sh`): appends (a) the batch docs'
+    * 16-perm minhash bands over their FULL (uncapped) shingle sets to
+    * `out/bands`, and (b) the pair delta — bands of THIS batch band-joined
+    * against the whole bands ledger — to `out/pairs` as (doc_a, doc_b).
+    * Per-trigger cost is O(arrival shingles) for the banding aggregate plus
+    * one narrow-row join against the bands ledger; the heavy shingle
+    * strings never move.
+    *
+    * Serve ([[pairLedgerServe]]): returns a frame equal to
+    * `scoredCandidatePairsFromShingles(capShingleDf(sh-ledger, cap))` — the
+    * batch d03 pipeline — without re-banding or band-self-joining the
+    * corpus at read time.
+    *
+    * EQUIVALENCE. Preconditions: doc_id unique across the stream, and each
+    * doc's shingles whole within one trigger ([[shingleRows]] is row-local,
+    * so this is structural). Let HOT = shingles with ledger-wide df > cap
+    * and A = docs containing a HOT shingle.
+    * - For d ∉ A the cap removes nothing from d's shingle set, so d's
+    *   stored (uncapped) signature equals its capped signature, and any
+    *   Jaccard score against another non-A doc over raw sets equals the
+    *   capped score.
+    * - A pair (a, b), a < b, with a, b ∉ A band-collides under stored
+    *   signatures iff it collides under capped signatures, and the ingest
+    *   discovers each such pair EXACTLY once: at the later doc's trigger
+    *   (the earlier doc's bands are then in the ledger; at the earlier
+    *   doc's own trigger the later doc was absent). Same-trigger pairs
+    *   appear symmetrically in the band join and are collapsed by the
+    *   least/greatest + distinct.
+    * - Pairs touching A are recomputed from scratch: stored pairs with an
+    *   endpoint in A are dropped, A's signatures re-derived over CAPPED
+    *   shingles, re-collided against the final band table (stored bands for
+    *   non-A docs + recomputed bands for A), and the union is scored over
+    *   the capped shingle frame. A doc whose every shingle is HOT drops out
+    *   of the capped frame, so it produces no bands and no pairs — exactly
+    *   the batch pipeline's behaviour.
+    * - When HOT is empty (one aggregate over the sh ledger decides — the
+    *   fixture corpus and any boilerplate-capped corpus), A is empty and
+    *   the stored pair set IS the batch candidate set; scoring restricts
+    *   the shingle ledger to the pair docs first (semi join — §8: decide
+    *   with small rows) which is sound because [[scorePairs]] only probes
+    *   sa/sb/sz at pair docs.
+    * Both branches are pinned against the batch pipeline in R13OpsSuite,
+    * including a synthetic corpus whose hot shingle crosses the cap only
+    * once the triggers are unioned.
+    */
+  private[graft] def pairLedgerAppend(shb: DataFrame, out: String): Unit = {
+    val ss = shb.sparkSession
+    val nb = minhashBands(shb).persist()
+    try {
+      nb.write.mode("append").parquet(s"$out/bands")
+      val all = ss.read.parquet(s"$out/bands")
+      nb.as("x")
+        .join(all.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+        .write.mode("append").parquet(s"$out/pairs")
+    } finally nb.unpersist()
+  }
+
+  /** Empty-safe ledger read: a corpus with no candidates never creates the
+    * pairs directory (and a corpus with no >=5-token doc never creates the
+    * bands directory) — fall back to an empty frame of the right schema.
+    */
+  private def ledgerOr(ss: SparkSession, path: String, ddl: String): DataFrame =
+    if (new java.io.File(path).exists()) ss.read.parquet(path)
+    else ss.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType.fromDDL(ddl))
+
+  /** Serve side of the incremental pair ledger — see [[pairLedgerAppend]]
+    * for the construction and the equivalence argument. Returns the same
+    * (doc_a, doc_b, inter, na, nb, jaccard) frame the batch pipeline
+    * produces over the compacted `out/sh` ledger.
+    */
+  private[graft] def pairLedgerServe(ss: SparkSession, out: String): DataFrame = {
+    val shAll = ss.read.parquet(s"$out/sh")
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("sh")
+    val stored = ledgerOr(ss, s"$out/pairs", "doc_a BIGINT, doc_b BIGINT")
+    // restrict the shingle ledger to the pair docs BEFORE the scoring
+    // joins (sound: scorePairs only probes sa/sb/sz at pair docs), then
+    // cache — scorePairs consumes it three times, same convention as the
+    // batch pipeline's cache of the capped frame
+    def scoreOver(cand: DataFrame, sh: DataFrame): DataFrame = {
+      val c = cand.cache()
+      val pairDocs = c.select(col("doc_a").as("doc_id"))
+        .unionByName(c.select(col("doc_b").as("doc_id"))).distinct()
+      scorePairs(c, sh.join(pairDocs, Seq("doc_id"), "left_semi").cache())
+    }
+    // driver-side branch on a data property, not a semantics change: both
+    // branches compute the batch pipeline's result (the general branch for
+    // any input, the fast branch exactly when no shingle exceeds the cap —
+    // then the correction subtrees would all be empty and the branch saves
+    // their 3-4 full ledger scans)
+    if (hot.isEmpty) scoreOver(stored, shAll)
+    else {
+      val hotP = hot.persist()
+      val affected = shAll.join(hotP, Seq("sh"), "left_semi")
+        .select("doc_id").distinct().persist()
+      val capped = shAll.join(hotP, Seq("sh"), "left_anti").cache()
+      val affBands = minhashBands(
+        capped.join(affected, Seq("doc_id"), "left_semi")).persist()
+      val keepBands = ledgerOr(ss, s"$out/bands",
+        "doc_id BIGINT, band INT, sig STRING")
+        .join(affected, Seq("doc_id"), "left_anti")
+      val affCand = affBands.as("x")
+        .join(keepBands.unionByName(affBands).as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+      val kept = stored
+        .join(affected.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(affected.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      scoreOver(kept.unionByName(affCand), capped)
+    }
   }
 
   /** Band-collision candidate pairs (doc_a < doc_b) from a (doc_id, band,

@@ -1983,7 +1983,28 @@ object StreamOps {
     // the partial log stays O(event types x triggers).
     Op("st30_stream_pit_enrich", (s, d) => {
       val (dir, schema, _) = Streaming.stageEventsCached(s, d, 2)
-      val orders = T.orders(s, d)
+      // r13 (verdict #3; guide §3/§6 — the st22/st46 standing-artifact
+      // rule): the per-trigger as-of merge requires
+      // ClusteredDistribution(o_custkey) + a (key, time, tie) sort on the
+      // static side, and with a plain parquet read EnsureRequirements
+      // exchanged and re-sorted the WHOLE orders dimension EVERY trigger —
+      // the same defect class st22 measured at 1 GiB/trigger. A standing
+      // hash-bucketed table on o_custkey reports HashPartitioning through
+      // the as-of projection (the key stays a direct alias after the r13
+      // AsOf.nonNullRowGuard change), so only the O(batch) arrival side
+      // exchanges per trigger. Projected to the 4 columns the enrichment
+      // reads (§2.3); o_orderdate pre-cast to TIMESTAMP is exactly the
+      // cast the as-of operator applied per trigger anyway.
+      val ordersTbl = bucketedArtifact(s,
+        s"pitorders@v1#$d#${tableFingerprint(d, "orders.parquet")}",
+        "st30_orders", "o_custkey",
+        "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE") {
+        T.orders(s, d).select(col("o_custkey"),
+          col("o_orderdate").cast(TimestampType).as("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      }
+      val orders = s.table(ordersTbl)
       val out = Streaming.scratchDir("graft_pit_")
       Streaming.withStreamShuffle(s) {
         val q = s.readStream.schema(schema)

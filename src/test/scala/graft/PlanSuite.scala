@@ -886,4 +886,32 @@ class PlanSuite extends AnyFunSuite {
       assert(j.count() > 0, "probe produced no duplicate windows at sf0.001")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("st30: the as-of merge against the bucketed standing orders table " +
+    "exchanges ONLY the arrival side (r13)") {
+    import org.apache.spark.sql.functions._
+    val tbl = graft.operators.StreamOps.bucketedArtifact(spark,
+      s"plansuite_pitorders@r13#$sf", "st30_orders", "o_custkey",
+      "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE") {
+      T.orders(spark, sf).select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    }
+    // the shape st30 plans per trigger: arrival batch as-of'd against the
+    // standing dimension. The bucketed scan must satisfy the merge's
+    // ClusteredDistribution (requires the key to stay a direct alias —
+    // AsOf.nonNullRowGuard), so only the arrival side exchanges.
+    val j = graft.operators.AsOf.asofJoin(
+      T.events(spark, sf).select("event_id", "user_id", "ts", "event_type"),
+      spark.table(tbl), "user_id", "o_custkey",
+      col("ts"), col("o_orderdate"),
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Bucketed: true"), p.take(4000))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange (arrival side only), got $exchanges:\n$p")
+    assert(j.count() > 0)
+  }
 }
