@@ -431,6 +431,60 @@ object VectorOps {
     UTF8String.fromBytes(bb.toByteArray)
   }
 
+  /** Distinct word 5-gram shingles of a single-space-tokenized text, one
+    * byte pass (r13 — the shingle family's `distinct()` removal). Replaces
+    *   split(text,' ') -> filter(size>=5) -> explode(sequence) ->
+    *   concat_ws(' ', slice(t,p,5)) -> distinct()
+    * whose `distinct()` shuffled the FULL (doc_id, shingle-string) table —
+    * the single heaviest exchange in d02/d03/d08/d19/d27/st42 and p07's
+    * per-trigger `sh` append. Per-doc dedup is row-local, so given the
+    * pipeline-wide doc_id-uniqueness invariant (T.documents PK; one row
+    * per doc per trigger in p07/st42) the global distinct equals the
+    * per-doc distinct and no shuffle is needed at all.
+    *
+    * Byte-exactness: `split` on the single-space regex makes tokens the
+    * maximal non-space runs (empty runs included) between single spaces,
+    * so joining 5 CONSECUTIVE tokens with ' ' (concat_ws never skips empty
+    * strings, and split never yields nulls) reproduces exactly the
+    * original bytes from the start of token p to the end of token p+4 —
+    * each shingle is a contiguous byte slice of the input, ASCII-space
+    * boundaries are unambiguous in UTF-8, and UTF8String equality is byte
+    * equality, matching the DF distinct. Fewer than 5 tokens -> empty
+    * array (the caller's explode then drops the row, the old
+    * filter(size(t) >= 5) shape).
+    */
+  def wordShingles5(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token start offsets: 0, and i+1 for every space byte at i
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    if (nTok < 5)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](nTok * 2)
+    var p = 0
+    while (p <= nTok - 5) {
+      val start = starts(p)
+      val end = if (p + 5 < nTok) starts(p + 5) - 1 else n
+      seen.add(UTF8String.fromBytes(bytes, start, end - start))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over a token array: per bit, +1/-1 votes weighted by
     * token multiplicity; bit set iff the vote sum is positive.
     */
@@ -634,6 +688,18 @@ case class StrideSample(child: Expression, stride: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `word_shingles5(string) -> array<string>`: distinct word 5-gram
+  * shingles, one byte pass, codegen'd. See [[VectorOps.wordShingles5]].
+  */
+case class WordShingles5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.wordShingles5(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.wordShingles5($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash32(array<string>) -> long`, codegen'd. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -659,6 +725,7 @@ object F {
   def phash64(text: Column): Column = call_function("phash64", text)
   def frameEnergies(text: Column): Column = call_function("frame_energies", text)
   def frameMd5s(text: Column): Column = call_function("frame_md5s", text)
+  def wordShingles5(text: Column): Column = call_function("word_shingles5", text)
   def strideSample(text: Column, stride: Int): Column =
     call_function("stride_sample", text, org.apache.spark.sql.functions.lit(stride))
   /** Rabin–Karp rolling hash of every k-char window, one O(n) pass. */
@@ -702,6 +769,9 @@ object F {
     (FunctionIdentifier("frame_md5s"),
       new ExpressionInfo(classOf[FrameMd5s].getName, "frame_md5s"),
       (es: Seq[Expression]) => FrameMd5s(es.head)),
+    (FunctionIdentifier("word_shingles5"),
+      new ExpressionInfo(classOf[WordShingles5].getName, "word_shingles5"),
+      (es: Seq[Expression]) => WordShingles5(es.head)),
     (FunctionIdentifier("stride_sample"),
       new ExpressionInfo(classOf[StrideSample].getName, "stride_sample"),
       (es: Seq[Expression]) => StrideSample(es.head,

@@ -25,12 +25,13 @@ import org.apache.spark.sql.types._
   */
 object Curation {
 
+  // r13: row-local distinct-shingle kernel — the global distinct() this
+  // pipeline carried shuffled the full shingle-string table; per-doc
+  // distinct equals it because doc_id is unique in every caller's frame
+  // (equivalence argument at graft.functions.VectorOps.wordShingles5)
   private def shingleSet(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), split(col("text"), " ").as("t"))
-    .filter(size(col("t")) >= 5)
-    .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
-    .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
-    .distinct()
+    .select(col("doc_id"),
+      explode(graft.functions.F.wordShingles5(col("text"))).as("sh"))
 
   val ops: Seq[Op] = Seq(
     Op(

@@ -236,14 +236,22 @@ object Dedup {
 
   /** The per-document shingle transform over any (doc_id, text) frame —
     * row-local per doc, so a streaming trigger can run it on its batch
-    * alone and the union over triggers equals the batch table (st42). */
+    * alone and the union over triggers equals the batch table (st42).
+    *
+    * r13 (guide §2.4 remove shuffles outright): previously
+    * split -> explode(sequence) -> concat_ws(slice) -> `distinct()`, whose
+    * distinct hash-exchanged the FULL (doc_id, shingle-string) table — the
+    * heaviest single shuffle in every shingle consumer (d02/d03/d08/d19/
+    * d27/st42, and 25-30 s of every p07 ingest trigger at the 100x probe).
+    * Since doc_id is unique per input frame (T.documents PK; one row per
+    * doc per trigger in the streaming ledgers), the global distinct IS the
+    * per-doc distinct, and [[VectorOps.wordShingles5]] computes it inside
+    * the row — byte-exact equivalence argument there, pinned against the
+    * old pipeline in R13OpsSuite. The transform is now shuffle-free.
+    */
   private[operators] def shingleRows(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
-      .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(graft.functions.F.wordShingles5(col("text"))).as("sh"))
 
   /** Join-side shingles: DF-capped (see [[ShingleDfCap]]). */
   private def cappedShingles(s: SparkSession, d: String): DataFrame =
@@ -521,13 +529,7 @@ object Dedup {
     val bk = docs.select(col("doc_id"), expr(
       "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100")
       .as("bucket"))
-    val sh = capShingleDf(
-      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
-        .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
-        .distinct(),
-      ShingleDfCap).cache()
+    val sh = capShingleDf(shingleRows(docs), ShingleDfCap).cache()
     val bands = minhashBands(sh).join(bk, "doc_id")
     val newBands = bands.filter(col("bucket") >= 90)
       .select(col("doc_id").as("new_id"), col("band"), col("sig"))
@@ -564,11 +566,7 @@ object Dedup {
     expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100")
 
   private[operators] def rawShinglesOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
-      .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
-      .distinct()
+    shingleRows(docs)
 
   private[operators] def bandsOf(sh: DataFrame): DataFrame = minhashBands(sh)
 
@@ -604,13 +602,7 @@ object Dedup {
   def fuzzyDecontam(docs: DataFrame, benchSource: String,
       threshold: Double): DataFrame = {
     val srcs = docs.select(col("doc_id"), col("source"))
-    val sh = capShingleDf(
-      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
-        .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
-        .distinct(),
-      ShingleDfCap).cache()
+    val sh = capShingleDf(shingleRows(docs), ShingleDfCap).cache()
     val bands = minhashBands(sh).join(srcs, "doc_id")
     val benchBands = bands.filter(col("source") === benchSource)
       .select(col("doc_id").as("bench_id"), col("band"), col("sig"))

@@ -1391,17 +1391,17 @@ object StreamOps {
             StructField("text", StringType))))
           .option("maxFilesPerTrigger", "1").parquet(dir)
         val banded = src
-          // tokenize ONCE per row into a column: referencing split(text)
-          // inside the position lambda would re-split the document at every
-          // position — O(n^2) string work per doc (measured: 3ms/doc, the
-          // bulk of st23's per-trigger addBatch time)
-          .withColumn("toks", split(col("text"), " "))
-          // sequence(1, n) with n < 1 would generate a DESCENDING range —
-          // short docs must be dropped before the shingle expression
-          .filter(expr("size(toks) >= 5"))
-          .withColumn("shd", expr(
-            "array_distinct(transform(sequence(1, size(toks) - 4), " +
-              "p -> concat_ws(' ', slice(toks, p, 5))))"))
+          // r13: the distinct-shingle array in one codegen'd byte pass
+          // (word_shingles5) instead of the split + interpreted
+          // array_distinct(transform(sequence...)) HOF chain — same
+          // first-occurrence order, byte-exact equivalence at
+          // graft.functions.VectorOps.wordShingles5. Short docs (<5
+          // tokens) yield an empty array and must still be dropped BEFORE
+          // the mh fold: aggregate over an empty hs would emit the init
+          // value as a signature where the old filter(size(toks) >= 5)
+          // emitted no row at all.
+          .withColumn("shd", F.wordShingles5(col("text")))
+          .filter(size(col("shd")) > 0)
           .withColumn("hs", expr(
             "transform(shd, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
           .withColumn("mh", expr(

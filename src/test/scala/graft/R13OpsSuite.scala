@@ -110,6 +110,41 @@ class R13OpsSuite extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("wordShingles5 shingleRows == the split/explode/concat_ws/distinct " +
+    "pipeline on adversarial texts") {
+    // the shapes that distinguish the byte-slice kernel from a naive
+    // whitespace tokenizer: consecutive/leading/trailing spaces (split
+    // keeps the empty runs, concat_ws keeps empty strings, so shingles
+    // reproduce the original spacing), exactly-5 and <5 token edges,
+    // repeated shingles (distinct), multi-byte UTF-8, and the empty text
+    val docs = docsDf(Seq(
+      1L -> "a b c d e f g",
+      2L -> "a  b c d e",                    // double space -> empty token
+      3L -> " a b c d",                      // leading space: 5 tokens
+      4L -> "a b c d ",                      // trailing space: 5 tokens
+      5L -> "a b c d",                       // 4 tokens: no shingles
+      6L -> "",                              // split("") = [""]: 1 token
+      7L -> "x y x y x y x y x y",           // repeated shingles collapse
+      8L -> "ä β 语 d e f",                  // multi-byte codepoints
+      9L -> "  a   b  ",                     // empty-token soup: 7 tokens
+      10L -> "a b c d e"))                   // exactly 5 tokens: 1 shingle
+    val legacy = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .withColumn("p", explode(expr("sequence(1, size(t) - 4)")))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(t, p, 5))").as("sh"))
+      .distinct()
+      .collect().map(_.toString).sorted.toSeq
+    val kernel = Dedup.shingleRows(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(kernel == legacy)
+    // sanity on the known edges
+    assert(!kernel.exists(_.startsWith("[5,")))
+    assert(!kernel.exists(_.startsWith("[6,")))
+    assert(kernel.count(_.startsWith("[7,")) == 2) // "x y x y x" / "y x y x y"
+    assert(kernel.count(_.startsWith("[10,")) == 1)
+  }
+
   test("pair ledger serve is empty-safe when no candidates ever appear") {
     val t1 = docsDf(Seq(
       10L -> "one two three four five six",
